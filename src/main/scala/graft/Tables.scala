@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pruned readers over the test-schema parquet tables plus the derived
+  * market-data views every operator shares.
+  *
+  * The tick/quote mapping (reference: etl/normalizer.py:11,69) treats
+  * `events` as the raw feed: symbol := event_type, price := value,
+  * volume := 1 + user_id % 100 (deterministic synthetic size). Column
+  * pruning happens naturally — callers select before shuffling, and the
+  * parquet scan only materializes what the plan needs.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Raw tick feed: symbol/price/volume/ts (+ event_id for dedup keys).
+    * `ts` is an epoch-nanosecond long (nanosAsLong scan) — bucket math must
+    * use integer `div`, never double division (2^53 < ns epoch).
+    */
+  def ticks(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      col("ts"),
+      col("event_type").as("symbol"),
+      col("value").as("price"),
+      (lit(1) + col("user_id") % 100).cast("double").as("volume"),
+      col("user_id"),
+      col("props")
+    )
+
+  /** Derived two-sided quote feed (bid/ask around the trade price). */
+  def quotes(s: SparkSession, d: String): DataFrame =
+    ticks(s, d).select(
+      col("ts"),
+      col("symbol"),
+      round(col("price") * 0.999, 6).as("bid_price"),
+      round(col("price") * 1.001, 6).as("ask_price"),
+      col("volume").as("bid_size"),
+      round(col("volume") * 1.5, 6).as("ask_size")
+    )
+}

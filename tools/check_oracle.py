@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Dev-time replica of the driver's correctness gate.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+  - loads each <outDir>/<name> parquet (Spark result)
+  - runs <outDir>/oracle_sql.json [name] in DuckDB over the sf tables
+  - compares with columns sorted by name (values must match exactly)
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [name...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        t = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark output dir"); n_bad += 1; continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df()
+            oracle_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        spark_df = spark_df[sorted(spark_df.columns)]
+        oracle_df = oracle_df[sorted(oracle_df.columns)]
+        if list(spark_df.columns) != list(oracle_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(oracle_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}")
+            n_bad += 1; continue
+        bad_cols = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], oracle_df[c]
+            try:
+                eq = (a.astype(str).values == b.astype(str).values)
+            except Exception:
+                eq = (a.values == b.values)
+            if not eq.all():
+                i = (~eq).argmax()
+                bad_cols.append((c, i, a.iloc[i], b.iloc[i]))
+        if bad_cols:
+            c, i, av, bv = bad_cols[0]
+            print(f"FAIL {name}: {len(bad_cols)} col(s) differ; first: {c}[{i}] spark={av!r} oracle={bv!r}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
