@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    graft.operators.BarsPack
+    graft.operators.BarsPack,
+    graft.etl.EtlPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

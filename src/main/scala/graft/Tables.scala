@@ -42,14 +42,16 @@ object Tables {
       col("props")
     )
 
-  /** Derived two-sided quote feed (bid/ask around the trade price). */
+  /** Derived two-sided quote feed (bid/ask around the trade price).
+    * Pure IEEE products — bit-identical in any engine, no rounding needed.
+    */
   def quotes(s: SparkSession, d: String): DataFrame =
     ticks(s, d).select(
       col("ts"),
       col("symbol"),
-      round(col("price") * 0.999, 6).as("bid_price"),
-      round(col("price") * 1.001, 6).as("ask_price"),
+      (col("price") * 0.999).as("bid_price"),
+      (col("price") * 1.001).as("ask_price"),
       col("volume").as("bid_size"),
-      round(col("volume") * 1.5, 6).as("ask_size")
+      (col("volume") * 1.5).as("ask_size")
     )
 }

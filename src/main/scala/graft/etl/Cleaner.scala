@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-data cleaning: outlier removal, dedup, validation, gap fill.
+  *
+  * Reference: data_processing/cleaner.py (DataCleaner). Spark shapes:
+  * per-symbol statistics come from one aggregate that is broadcast back
+  * onto the feed (two narrow shuffles total, no per-row Python); the gap
+  * fill builds the minute spine with `sequence`+`explode` so the spine is
+  * generated distributed, never collected.
+  */
+object Cleaner {
+
+  /** Per-symbol IQR bounds (cleaner.py:21, method="iqr"); exact
+    * interpolated percentiles, threshold × IQR beyond the quartiles.
+    */
+  def iqrBounds(ticks: DataFrame, threshold: Double = 3.0): DataFrame =
+    ticks
+      .groupBy("symbol")
+      .agg(
+        percentile(col("price"), lit(0.25)).as("q1"),
+        percentile(col("price"), lit(0.75)).as("q3")
+      )
+      .select(
+        col("symbol"),
+        (col("q1") - (col("q3") - col("q1")) * threshold).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * threshold).as("hi")
+      )
+
+  /** Filter ticks outside per-symbol IQR bounds; bounds side is tiny and
+    * broadcast.
+    */
+  def removeOutliersIqr(ticks: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val bounds = iqrBounds(ticks, threshold)
+    ticks
+      .join(broadcast(bounds), "symbol")
+      .filter(col("price") >= col("lo") && col("price") <= col("hi"))
+      .drop("lo", "hi")
+  }
+
+  /** Filter ticks with per-symbol |z| >= threshold removed
+    * (cleaner.py:21, method="zscore"; sample stddev like pandas .std()).
+    */
+  def removeOutliersZscore(ticks: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = ticks.groupBy("symbol")
+      .agg(avg(col("price")).as("mu"), stddev_samp(col("price")).as("sd"))
+    ticks
+      .join(broadcast(stats), "symbol")
+      .filter(abs(col("price") - col("mu")) / col("sd") < threshold)
+      .drop("mu", "sd")
+  }
+
+  /** Keep the earliest record per duplicate key (cleaner.py:123,
+    * keep="first"): one hash aggregate, no sort.
+    */
+  def dedupKeepFirst(ticks: DataFrame): DataFrame =
+    ticks
+      .groupBy(col("user_id"), col("symbol"))
+      .agg(
+        // ms precision: DuckDB truncates parquet ns timestamps to µs, so
+        // raw ns longs can never hash-match across engines.
+        expr("min(ts) div 1000000").as("first_ts_ms"),
+        min_by(col("price"), col("ts")).as("first_price"),
+        count(lit(1)).as("n_dups")
+      )
+
+  /** Valid/invalid price partition counts (cleaner.py:215). */
+  def validatePrices(ticks: DataFrame, minPrice: Double, maxPrice: Double): DataFrame =
+    ticks
+      .groupBy("symbol")
+      .agg(
+        sum(when(col("price") >= minPrice && col("price") <= maxPrice, 1L).otherwise(0L)).as("valid_count"),
+        sum(when(col("price") < minPrice || col("price") > maxPrice, 1L).otherwise(0L)).as("invalid_count"),
+        count(lit(1)).as("total")
+      )
+
+  /** Minute spine per symbol with forward-filled close (cleaner.py:171,
+    * method="ffill"). The spine generates distributed via
+    * sequence+explode; the fill is a per-symbol `last(ignoreNulls)`
+    * running window — no driver-side reindex.
+    */
+  def fillMissingMinutes(bars: DataFrame): DataFrame = {
+    val spine = bars
+      .groupBy("symbol")
+      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
+      .select(col("symbol"),
+        explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(bars.select("symbol", "bucket_ms", "close"), Seq("symbol", "bucket_ms"), "left")
+      .select(
+        col("symbol"),
+        col("bucket_ms"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+        col("close").isNull.cast("int").as("was_missing")
+      )
+  }
+}

@@ -1,0 +1,128 @@
+package graft.etl
+
+import graft.{QueryPack, Tables}
+import graft.functions.Port
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL + cleaning queries. Reference: etl/normalizer.py,
+  * data_processing/cleaner.py, etl/database_writer.py:165.
+  */
+object EtlPack extends QueryPack {
+  import graft.operators.Bars
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize_trades" -> ((s, d) =>
+      Normalizer.trades(Tables.events(s, d))
+        .orderBy("ts_ms", "symbol", "feed_seq", "price")),
+    "q_normalize_quotes" -> ((s, d) =>
+      Normalizer.quotes(Tables.quotes(s, d))
+        .orderBy("ts_ms", "symbol", "bid_price")),
+    "q_clean_dedup_exact" -> ((s, d) =>
+      Cleaner.dedupKeepFirst(Tables.ticks(s, d)).orderBy("user_id", "symbol")),
+    "q_clean_outliers_iqr" -> ((s, d) => {
+      val kept = Cleaner.removeOutliersIqr(Tables.ticks(s, d))
+      kept.groupBy("symbol")
+        .agg(count(lit(1)).as("kept_count"),
+          min("price").as("kept_min"), max("price").as("kept_max"))
+        .orderBy("symbol")
+    }),
+    "q_clean_outliers_zscore" -> ((s, d) => {
+      val kept = Cleaner.removeOutliersZscore(Tables.ticks(s, d))
+      kept.groupBy("symbol")
+        .agg(count(lit(1)).as("kept_count"),
+          min("price").as("kept_min"), max("price").as("kept_max"))
+        .orderBy("symbol")
+    }),
+    "q_validate_prices" -> ((s, d) =>
+      Cleaner.validatePrices(Tables.ticks(s, d), 10.0, 180.0).orderBy("symbol")),
+    "q_fill_missing_minutes" -> ((s, d) =>
+      Cleaner.fillMissingMinutes(Bars.ohlcv(Tables.ticks(s, d), 60))
+        .orderBy("symbol", "bucket_ms")),
+    "q_latest_trades" -> ((s, d) => {
+      val w = Window.partitionBy("symbol").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.ticks(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("symbol"), expr("ts div 1000000").as("ts_ms"),
+          col("price"), col("volume"), col("rn"))
+        .orderBy("symbol", "rn")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_normalize_trades" ->
+      """SELECT epoch_ns(ts) // 1000000 AS ts_ms, event_type AS symbol,
+        |       value AS price, CAST(1 + user_id % 100 AS DOUBLE) AS volume,
+        |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS feed_seq
+        |FROM events
+        |WHERE value > 0 AND event_type IS NOT NULL AND length(event_type) > 0
+        |ORDER BY ts_ms, symbol, feed_seq, price""".stripMargin,
+    "q_normalize_quotes" ->
+      s"""WITH ${QueryPack.TicksCte}
+         |SELECT epoch_ns(ts) // 1000000 AS ts_ms, symbol,
+         |       price * 0.999 AS bid_price, price * 1.001 AS ask_price,
+         |       volume AS bid_size, volume * 1.5 AS ask_size,
+         |       (price * 0.999 + price * 1.001) / 2 AS mid,
+         |       price * 1.001 - price * 0.999 AS spread
+         |FROM ticks ORDER BY ts_ms, symbol, bid_price""".stripMargin,
+    "q_clean_dedup_exact" ->
+      s"""WITH ${QueryPack.TicksCte}
+         |SELECT user_id, symbol, min(epoch_ns(ts)) // 1000000 AS first_ts_ms,
+         |       arg_min(price, ts) AS first_price, count(*) AS n_dups
+         |FROM ticks GROUP BY user_id, symbol ORDER BY user_id, symbol""".stripMargin,
+    "q_clean_outliers_iqr" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |bounds AS (
+         |  SELECT symbol,
+         |         quantile_cont(price, 0.25) - (quantile_cont(price, 0.75) - quantile_cont(price, 0.25)) * 3.0 AS lo,
+         |         quantile_cont(price, 0.75) + (quantile_cont(price, 0.75) - quantile_cont(price, 0.25)) * 3.0 AS hi
+         |  FROM ticks GROUP BY symbol
+         |)
+         |SELECT t.symbol, count(*) AS kept_count,
+         |       min(price) AS kept_min, max(price) AS kept_max
+         |FROM ticks t JOIN bounds b ON t.symbol = b.symbol
+         |WHERE t.price >= b.lo AND t.price <= b.hi
+         |GROUP BY t.symbol ORDER BY t.symbol""".stripMargin,
+    "q_clean_outliers_zscore" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |stats AS (
+         |  SELECT symbol, avg(price) AS mu, stddev_samp(price) AS sd
+         |  FROM ticks GROUP BY symbol
+         |)
+         |SELECT t.symbol, count(*) AS kept_count,
+         |       min(price) AS kept_min, max(price) AS kept_max
+         |FROM ticks t JOIN stats s ON t.symbol = s.symbol
+         |WHERE abs(t.price - s.mu) / s.sd < 3.0
+         |GROUP BY t.symbol ORDER BY t.symbol""".stripMargin,
+    "q_validate_prices" ->
+      s"""WITH ${QueryPack.TicksCte}
+         |SELECT symbol,
+         |       CAST(sum(CASE WHEN price >= 10.0 AND price <= 180.0 THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
+         |       CAST(sum(CASE WHEN price < 10.0 OR price > 180.0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_count,
+         |       count(*) AS total
+         |FROM ticks GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_fill_missing_minutes" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |spine AS (
+         |  SELECT symbol, unnest(generate_series(lo, hi, 60000)) AS bucket_ms
+         |  FROM (SELECT symbol, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+         |        FROM bars GROUP BY symbol)
+         |)
+         |SELECT s.symbol, s.bucket_ms,
+         |       last_value(b.close IGNORE NULLS) OVER (
+         |         PARTITION BY s.symbol ORDER BY s.bucket_ms
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+         |       CAST(b.close IS NULL AS INT) AS was_missing
+         |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.bucket_ms = b.bucket_ms
+         |ORDER BY s.symbol, s.bucket_ms""".stripMargin,
+    "q_latest_trades" ->
+      s"""WITH ${QueryPack.TicksCte}
+         |SELECT symbol, epoch_ns(ts) // 1000000 AS ts_ms, price, volume, rn FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY symbol ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ticks)
+         |WHERE rn <= 3 ORDER BY symbol, rn""".stripMargin
+  )
+}
