@@ -26,14 +26,14 @@ object QueryPack {
       |  FROM events
       |)""".stripMargin
 
-  /** Shared DuckDB CTE: 1-minute OHLCV bars over the tick view
-    * (mirrors graft.operators.Bars.ohlcv(ticks, 60)).
+  /** Shared DuckDB CTE: OHLCV bars at `sec` granularity over the tick view
+    * (mirrors graft.operators.Bars.ohlcv(ticks, sec)).
     */
-  val BarsCte: String =
-    TicksCte + """,
+  def barsCteAt(sec: Long): String =
+    TicksCte + s""",
       |bars AS (
       |  SELECT symbol,
-      |         epoch_ns(ts) // 60000000000 * 60000 AS bucket_ms,
+      |         epoch_ns(ts) // ${sec * 1000000000L} * ${sec * 1000L} AS bucket_ms,""".stripMargin + """
       |         arg_min(price, ts) AS open,
       |         max(price) AS high,
       |         min(price) AS low,
@@ -42,4 +42,7 @@ object QueryPack {
       |         count(*) AS n_trades
       |  FROM ticks GROUP BY symbol, 2
       |)""".stripMargin
+
+  /** 1-minute bars (the default granularity most queries share). */
+  val BarsCte: String = barsCteAt(60)
 }

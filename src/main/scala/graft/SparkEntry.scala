@@ -7,7 +7,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.operators.BarsPack,
-    graft.etl.EtlPack
+    graft.etl.EtlPack,
+    graft.backtest.BacktestPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,258 @@
+package graft.backtest
+
+import graft.{QueryPack, Tables}
+import graft.functions.Port
+import graft.operators.Bars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Strategy signals, vectorized backtest, performance metrics, ML features,
+  * walk-forward folds. Reference: backtesting/strategy.py, portfolio.py,
+  * metrics.py, ml_strategy.py.
+  */
+object BacktestPack extends QueryPack {
+
+  private def bars1m(s: SparkSession, d: String): DataFrame =
+    Bars.ohlcv(Tables.ticks(s, d), 60)
+
+  private def btMaCross(s: SparkSession, d: String): DataFrame =
+    Backtester.run(Signals.maCross(bars1m(s, d)))
+
+  private val sigCols = Seq("symbol", "bucket_ms", "close", "rn", "signal")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_signal_ma_cross" -> ((s, d) =>
+      Signals.maCross(bars1m(s, d))
+        .select(col("symbol"), col("bucket_ms"), col("close"),
+          col("rn").cast("long").as("rn"), col("signal"))
+        .orderBy("symbol", "bucket_ms")),
+    "q_signal_mean_reversion" -> ((s, d) =>
+      Signals.meanReversion(bars1m(s, d))
+        .select(col("symbol"), col("bucket_ms"), col("close"),
+          col("rn").cast("long").as("rn"), col("signal"))
+        .orderBy("symbol", "bucket_ms")),
+    "q_signal_momentum" -> ((s, d) =>
+      Signals.momentum(bars1m(s, d))
+        .select(col("symbol"), col("bucket_ms"), col("close"),
+          col("rn").cast("long").as("rn"), col("signal"))
+        .orderBy("symbol", "bucket_ms")),
+    "q_backtest_ma_cross" -> ((s, d) =>
+      btMaCross(s, d)
+        .select(col("symbol"), col("bucket_ms"), col("close"), col("signal"),
+          col("position"), col("trade"), col("returns"),
+          col("strategy_returns"), col("costs"), col("net_returns"), col("log_equity"))
+        .orderBy("symbol", "bucket_ms")),
+    "q_perf_metrics" -> ((s, d) =>
+      Metrics.compute(btMaCross(s, d)).orderBy("symbol")),
+    "q_consecutive_streaks" -> ((s, d) => {
+      val bt = btMaCross(s, d)
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val signed = bt
+        .withColumn("sgn",
+          when(col("net_returns") > 0, 1).when(col("net_returns") < 0, -1).otherwise(0))
+        .withColumn("rn2", row_number().over(w))
+        .filter(col("sgn") =!= 0)
+        .withColumn("grp",
+          col("rn2") - row_number().over(Window.partitionBy("symbol", "sgn").orderBy("bucket_ms")))
+      signed.groupBy("symbol", "sgn", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("symbol")
+        .agg(
+          coalesce(max(when(col("sgn") === 1, col("len"))), lit(0L)).as("max_consecutive_wins"),
+          coalesce(max(when(col("sgn") === -1, col("len"))), lit(0L)).as("max_consecutive_losses"))
+        .orderBy("symbol")
+    }),
+    "q_drawdown_series" -> ((s, d) => {
+      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      btMaCross(s, d)
+        .withColumn("log_peak", max(col("log_equity")).over(cum))
+        .withColumn("dd", Port.r(exp(col("log_equity") - col("log_peak")) - 1, 6))
+        .select("symbol", "bucket_ms", "log_equity", "log_peak", "dd")
+        .orderBy("symbol", "bucket_ms")
+    }),
+    "q_portfolio_multi_asset" -> ((s, d) => {
+      val bt = Backtester.run(Signals.maCross(Bars.ohlcv(Tables.ticks(s, d), 3600)))
+      val port = bt.groupBy("bucket_ms")
+        .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
+      val cum = Window.orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
+      port
+        .withColumn("log_equity",
+          Port.r(sum(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999)))).over(cum), 8))
+        .orderBy("bucket_ms")
+    }),
+    "q_ml_features" -> ((s, d) =>
+      MlFeatures.compute(bars1m(s, d)).orderBy("symbol", "bucket_ms")),
+    "q_walk_forward_folds" -> ((s, d) =>
+      bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
+        .select(col("symbol"), col("n"), explode(sequence(lit(0), lit(4))).as("split_id"))
+        .withColumn("test_start", col("n") - (lit(5) - col("split_id")) * 252)
+        .filter(col("test_start") >= 252)
+        .select(col("symbol"), col("split_id").cast("long").as("split_id"),
+          col("test_start").as("train_size"), lit(252L).as("test_size"),
+          (col("test_start") + 1).as("test_start_rn"),
+          (col("test_start") + 252).as("test_end_rn"))
+        .orderBy("symbol", "split_id")),
+    "q_train_test_split" -> ((s, d) => {
+      val rnb = Signals.withRn(bars1m(s, d)).select("symbol", "bucket_ms", "rn")
+      val counts = rnb.groupBy("symbol").agg(count(lit(1)).as("n"))
+        .withColumn("split_idx", floor(col("n") * 0.8))
+      rnb.join(broadcast(counts), "symbol")
+        .groupBy("symbol", "n", "split_idx")
+        .agg(
+          max(when(col("rn") === col("split_idx"), col("bucket_ms"))).as("train_end_ms"),
+          max(when(col("rn") === col("split_idx") + 1, col("bucket_ms"))).as("test_start_ms"))
+        .orderBy("symbol")
+    })
+  )
+
+  private def sigOracle(signalCase: String, extraWin: String = ""): String =
+    s"""WITH ${QueryPack.BarsCte},
+       |sig AS (
+       |  SELECT symbol, bucket_ms, close,
+       |         CAST(row_number() OVER w AS BIGINT) AS rn,
+       |         $extraWin
+       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |)
+       |SELECT symbol, bucket_ms, close, rn, $signalCase AS signal
+       |FROM sig ORDER BY symbol, bucket_ms""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_signal_ma_cross" -> sigOracle(
+      "CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END",
+      """avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
+        |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma""".stripMargin),
+    "q_signal_mean_reversion" -> sigOracle(
+      """CASE WHEN rn < 20 THEN 0
+        |       WHEN (close - mu20) / sd20 < -2.0 THEN 1
+        |       WHEN (close - mu20) / sd20 > 2.0 THEN -1
+        |       ELSE 0 END""".stripMargin,
+      """avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
+        |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20""".stripMargin),
+    "q_signal_momentum" -> sigOracle(
+      """CASE WHEN rn <= 20 THEN 0
+        |       WHEN close / lag20 - 1 > 0.02 THEN 1
+        |       WHEN close / lag20 - 1 < -0.02 THEN -1
+        |       ELSE 0 END""".stripMargin,
+      "lag(close, 20) OVER w AS lag20"),
+    "q_backtest_ma_cross" ->
+      s"""WITH ${BtSql.MaCrossBacktestCte}
+         |SELECT symbol, bucket_ms, close, signal, position, trade, returns,
+         |       strategy_returns, costs, net_returns, log_equity
+         |FROM bt ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_perf_metrics" ->
+      s"""WITH ${BtSql.WithPeakCte}
+         |SELECT symbol,
+         |  floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 1e6 + 0.5) / 1e6 AS log_total_return,
+         |  floor((exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) * 1e6 + 0.5) / 1e6 AS cagr,
+         |  floor(stddev_samp(net_returns) * sqrt(252.0) * 1e6 + 0.5) / 1e6 AS volatility,
+         |  floor(coalesce(CASE WHEN stddev_samp(net_returns - 0.02/252) != 0
+         |    THEN avg(net_returns - 0.02/252) / stddev_samp(net_returns - 0.02/252) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sharpe_ratio,
+         |  floor(coalesce(CASE WHEN stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) != 0
+         |    THEN avg(net_returns - 0.02/252) / stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sortino_ratio,
+         |  floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown,
+         |  floor(coalesce(CASE WHEN abs(min(dd)) > 0
+         |    THEN (exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) / abs(min(dd)) END, 0.0) * 1e6 + 0.5) / 1e6 AS calmar_ratio,
+         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) > 0
+         |    THEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) / sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e6 + 0.5) / 1e6 AS win_rate,
+         |  CASE WHEN abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) != 0
+         |    THEN floor(sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 END AS profit_factor,
+         |  CAST(sum(CASE WHEN prev_pos IS NOT NULL AND position != prev_pos THEN 1 ELSE 0 END) AS BIGINT) AS num_trades,
+         |  floor(sum(CASE WHEN position != 0 THEN 1.0 ELSE 0.0 END) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exposure,
+         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+         |    THEN sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_win,
+         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+         |    THEN -abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) / (sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END)) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_loss
+         |FROM wp GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_consecutive_streaks" ->
+      s"""WITH ${BtSql.MaCrossBacktestCte},
+         |signed AS (
+         |  SELECT symbol, bucket_ms,
+         |         CASE WHEN net_returns > 0 THEN 1 WHEN net_returns < 0 THEN -1 ELSE 0 END AS sgn,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY bucket_ms) AS rn2
+         |  FROM bt
+         |),
+         |isl AS (
+         |  SELECT symbol, sgn,
+         |         rn2 - row_number() OVER (PARTITION BY symbol, sgn ORDER BY bucket_ms) AS grp
+         |  FROM signed WHERE sgn != 0
+         |),
+         |cnt AS (SELECT symbol, sgn, grp, count(*) AS len FROM isl GROUP BY 1, 2, 3)
+         |SELECT symbol,
+         |       CAST(coalesce(max(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT) AS max_consecutive_wins,
+         |       CAST(coalesce(max(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT) AS max_consecutive_losses
+         |FROM cnt GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_drawdown_series" ->
+      s"""WITH ${BtSql.WithPeakCte}
+         |SELECT symbol, bucket_ms, log_equity, log_peak,
+         |       floor(dd * 1e6 + 0.5) / 1e6 AS dd
+         |FROM wp ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_portfolio_multi_asset" ->
+      s"""WITH ${BtSql.maCrossChain(3600)},
+         |port AS (
+         |  SELECT bucket_ms, floor(sum(net_returns) / 5 * 1e8 + 0.5) / 1e8 AS port_net
+         |  FROM bt GROUP BY bucket_ms
+         |)
+         |SELECT bucket_ms, port_net,
+         |       floor(sum(ln(1.0 + greatest(port_net, -0.9999))) OVER (
+         |         ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
+         |FROM port ORDER BY bucket_ms""".stripMargin,
+    "q_ml_features" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |f0 AS (
+         |  SELECT symbol, bucket_ms, close, volume,
+         |         row_number() OVER w AS rn,
+         |         close - lag(close) OVER w AS delta,
+         |         close / lag(close) OVER w - 1 AS returns_1d,
+         |         close / lag(close, 5) OVER w - 1 AS returns_5d
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |f1 AS (
+         |  SELECT *,
+         |         avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gain,
+         |         avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS loss,
+         |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+         |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+         |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma_fast_raw,
+         |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_slow_raw,
+         |         avg(volume) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vsma20,
+         |         stddev_samp(returns_1d) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20
+         |  FROM f0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |)
+         |SELECT symbol, bucket_ms, close, returns_1d, returns_5d,
+         |       CASE WHEN loss = 0 AND gain = 0 THEN NULL
+         |            WHEN loss = 0 THEN 100.0
+         |            ELSE floor((100.0 - 100.0 / (1.0 + gain / loss)) * 1e4 + 0.5) / 1e4 END AS rsi,
+         |       floor((sma20 + sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_upper,
+         |       floor((sma20 - sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_lower,
+         |       floor(sma_fast_raw * 1e6 + 0.5) / 1e6 AS sma_fast,
+         |       floor(sma_slow_raw * 1e6 + 0.5) / 1e6 AS sma_slow,
+         |       floor(volume / vsma20 * 1e6 + 0.5) / 1e6 AS volume_sma_ratio,
+         |       floor(vol20 * 1e8 + 0.5) / 1e8 AS volatility
+         |FROM f1 WHERE rn >= 50 ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_walk_forward_folds" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |counts AS (SELECT symbol, count(*) AS n FROM bars GROUP BY symbol),
+         |folds AS (SELECT symbol, n, unnest(generate_series(0, 4)) AS split_id FROM counts)
+         |SELECT symbol, CAST(split_id AS BIGINT) AS split_id,
+         |       CAST(n - (5 - split_id) * 252 AS BIGINT) AS train_size,
+         |       CAST(252 AS BIGINT) AS test_size,
+         |       CAST(n - (5 - split_id) * 252 + 1 AS BIGINT) AS test_start_rn,
+         |       CAST(n - (5 - split_id) * 252 + 252 AS BIGINT) AS test_end_rn
+         |FROM folds WHERE n - (5 - split_id) * 252 >= 252
+         |ORDER BY symbol, split_id""".stripMargin,
+    "q_train_test_split" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |rnb AS (SELECT symbol, bucket_ms,
+         |               row_number() OVER (PARTITION BY symbol ORDER BY bucket_ms) AS rn
+         |        FROM bars),
+         |counts AS (SELECT symbol, count(*) AS n,
+         |                  CAST(floor(count(*) * 0.8) AS BIGINT) AS split_idx
+         |           FROM rnb GROUP BY symbol)
+         |SELECT c.symbol, c.n, c.split_idx,
+         |       max(CASE WHEN r.rn = c.split_idx THEN r.bucket_ms END) AS train_end_ms,
+         |       max(CASE WHEN r.rn = c.split_idx + 1 THEN r.bucket_ms END) AS test_start_ms
+         |FROM counts c JOIN rnb r ON c.symbol = r.symbol
+         |GROUP BY c.symbol, c.n, c.split_idx ORDER BY c.symbol""".stripMargin
+  )
+}
