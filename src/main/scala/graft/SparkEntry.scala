@@ -8,7 +8,9 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.operators.BarsPack,
     graft.etl.EtlPack,
-    graft.backtest.BacktestPack
+    graft.backtest.BacktestPack,
+    graft.backtest.RiskPack,
+    graft.backtest.PortfolioPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

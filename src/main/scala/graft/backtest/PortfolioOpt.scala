@@ -1,0 +1,106 @@
+package graft.backtest
+
+import graft.functions.Port
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Portfolio statistics and optimization queries.
+  *
+  * Reference: backtesting/portfolio_optimization.py. The scipy SLSQP loops
+  * (optimize_max_sharpe/min_volatility) re-express as a distributed weight-
+  * grid search: the grid is generated relationally, crossed with the
+  * pairwise covariance matrix, and scored in one aggregation — the shape
+  * that scales to dense grids on a cluster, replacing a driver-side
+  * optimizer. Risk-parity contributions (RiskParityOptimizer:245) are the
+  * same relational product with fixed weights.
+  */
+object PortfolioOpt {
+  val RiskFree = 0.02
+
+  /** Pairwise annualized covariance/correlation matrix of per-symbol bar
+    * returns, joined on time bucket (full N×N, both directions).
+    * portfolio_optimization.py:22 (returns_df.cov() * 252).
+    */
+  def covMatrix(bars: DataFrame): DataFrame = {
+    val rets = Risk.barReturns(bars)
+    val a = rets.select(col("symbol").as("symbol1"), col("bucket_ms"), col("r").as("r1"))
+    val b = rets.select(col("symbol").as("symbol2"), col("bucket_ms"), col("r").as("r2"))
+    a.join(b, "bucket_ms")
+      .groupBy("symbol1", "symbol2")
+      .agg(
+        (covar_samp(col("r1"), col("r2")) * 252).as("cov_ann_raw"),
+        corr(col("r1"), col("r2")).as("corr_raw"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Mean annualized return per symbol. */
+  def meanReturns(bars: DataFrame): DataFrame =
+    Risk.barReturns(bars).groupBy("symbol")
+      .agg((avg(col("r")) * 252).as("mu_ann_raw"))
+
+  /** All weight compositions of `quarters` steps over the symbol set,
+    * long format: (grid_id, symbol, weight).
+    */
+  def weightGrid(spark: SparkSession, symbols: Seq[String], quarters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val n = symbols.length
+    def compositions(slots: Int, total: Int): Seq[List[Int]] =
+      if (slots == 1) Seq(List(total))
+      else (0 to total).flatMap(i => compositions(slots - 1, total - i).map(i :: _))
+    // grid_id = base-(quarters+1) encoding of the composition digits, so
+    // the oracle can recompute it arithmetically.
+    val rows = compositions(n, quarters).flatMap { ws =>
+      val gid = ws.foldLeft(0L)((a, w) => a * (quarters + 1) + w)
+      ws.zip(symbols).map { case (w, sym) =>
+        (gid, sym, w.toDouble / quarters)
+      }
+    }
+    rows.toDF("grid_id", "symbol", "weight")
+  }
+
+  /** Efficient frontier by grid search: portfolio return/vol/Sharpe per
+    * weight composition (portfolio_optimization.py:182).
+    */
+  def frontier(spark: SparkSession, bars: DataFrame, quarters: Int = 4): DataFrame = {
+    val cov = covMatrix(bars)
+    val mu = meanReturns(bars)
+    val symbols = mu.select("symbol").collect().map(_.getString(0)).sorted.toSeq
+    val grid = weightGrid(spark, symbols, quarters)
+
+    val ret = grid.join(mu, "symbol")
+      .groupBy("grid_id")
+      .agg(sum(col("weight") * col("mu_ann_raw")).as("port_ret_raw"))
+
+    val g1 = grid.select(col("grid_id"), col("symbol").as("symbol1"), col("weight").as("w1"))
+    val g2 = grid.select(col("grid_id"), col("symbol").as("symbol2"), col("weight").as("w2"))
+    val vol = g1.join(g2, "grid_id")
+      .join(broadcast(cov), Seq("symbol1", "symbol2"))
+      .groupBy("grid_id")
+      .agg(sqrt(sum(col("w1") * col("w2") * col("cov_ann_raw"))).as("port_vol_raw"))
+
+    ret.join(vol, "grid_id")
+      .select(
+        col("grid_id"),
+        Port.r(col("port_ret_raw"), 6).as("port_return"),
+        Port.r(col("port_vol_raw"), 6).as("port_vol"),
+        Port.r(when(col("port_vol_raw") > 0,
+          (col("port_ret_raw") - RiskFree) / col("port_vol_raw")).otherwise(0.0), 6).as("sharpe"))
+  }
+
+  /** Risk contribution per asset at fixed equal weights
+    * (portfolio_optimization.py:245 calculate_risk_contributions).
+    */
+  def riskContributions(bars: DataFrame, weight: Double = 0.2): DataFrame = {
+    val cov = covMatrix(bars)
+    val marginal = cov.groupBy("symbol1")
+      .agg(sum(col("cov_ann_raw") * weight).as("marginal_raw"))
+    val portVol = marginal
+      .agg(sqrt(sum(col("marginal_raw") * weight)).as("port_vol_raw"))
+    marginal.crossJoin(broadcast(portVol))
+      .select(
+        col("symbol1").as("symbol"),
+        Port.r(col("marginal_raw"), 4).as("marginal_contrib"),
+        Port.r(lit(weight) * col("marginal_raw") / col("port_vol_raw"), 6).as("risk_contrib"),
+        Port.r(col("port_vol_raw"), 6).as("port_vol"))
+  }
+}

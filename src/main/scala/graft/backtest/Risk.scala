@@ -1,0 +1,100 @@
+package graft.backtest
+
+import graft.functions.Port
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Risk analytics: historical VaR/CVaR, Kelly and volatility position
+  * sizing, limit-breach monitoring.
+  *
+  * Reference: backtesting/risk_monitor.py (RiskMonitor:56,75 —
+  * interpolated-quantile VaR, mean-below-VaR CVaR; PositionSizer:332,360;
+  * monitor/check_* :120-278). Spark shape: per-symbol stats in one
+  * aggregate, broadcast back where a second pass needs them.
+  */
+object Risk {
+
+  /** Per-symbol bar returns (null first bar dropped). */
+  def barReturns(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    bars
+      .withColumn("r", col("close") / lag(col("close"), 1).over(w) - 1)
+      .filter(col("r").isNotNull)
+      .select("symbol", "bucket_ms", "r")
+  }
+
+  /** VaR(95/99) + CVaR(95) per symbol (risk_monitor.py:56,75). */
+  def varCvar(bars: DataFrame): DataFrame = {
+    val rets = barReturns(bars)
+    val vars = rets.groupBy("symbol").agg(
+      percentile(col("r"), lit(0.05)).as("var_95_raw"),
+      percentile(col("r"), lit(0.01)).as("var_99_raw"))
+    rets
+      .join(broadcast(vars), "symbol")
+      .groupBy("symbol")
+      .agg(
+        Port.r(first(col("var_95_raw")), 8).as("var_95"),
+        Port.r(first(col("var_99_raw")), 8).as("var_99"),
+        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** Kelly fraction from a backtest's net returns (risk_monitor.py:332):
+    * quarter-Kelly, capped to [0, maxPosition].
+    */
+  def kelly(backtest: DataFrame, maxPosition: Double = 0.25): DataFrame = {
+    val net = col("net_returns")
+    val wins = sum(when(net > 0, 1.0).otherwise(0.0))
+    val nonzero = sum(when(net =!= 0, 1.0).otherwise(0.0))
+    val gains = sum(when(net > 0, net).otherwise(0.0))
+    val losses = abs(sum(when(net < 0, net).otherwise(0.0)))
+    backtest.groupBy("symbol")
+      .agg(
+        Port.r(coalesce(when(nonzero > 0, wins / nonzero), lit(0.0)), 6).as("win_rate"),
+        Port.r(coalesce(when(wins > 0, gains / wins), lit(0.0)), 8).as("avg_win"),
+        Port.r(coalesce(when(nonzero - wins > 0, losses / (nonzero - wins)), lit(0.0)), 8).as("avg_loss"))
+      .withColumn("kelly_fraction", {
+        val r = col("avg_win") / col("avg_loss")
+        val k = (col("win_rate") * r - (lit(1.0) - col("win_rate"))) / r * 0.25
+        Port.r(when(col("avg_loss") === 0, 0.0)
+          .otherwise(least(greatest(k, lit(0.0)), lit(maxPosition))), 6)
+      })
+  }
+
+  /** Volatility-targeted sizing + annualized stats per symbol
+    * (risk_monitor.py:360; portfolio_optimization.py:22 annualization).
+    */
+  def volSizing(bars: DataFrame, portfolioValue: Double = 1000000.0,
+                targetVol: Double = 0.15, maxPosition: Double = 0.25): DataFrame =
+    barReturns(bars).groupBy("symbol")
+      .agg(
+        Port.r(avg(col("r")) * 252, 8).as("mean_return_ann"),
+        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
+      .withColumn("position_fraction",
+        Port.r(when(col("volatility_ann") === 0, 0.0)
+          .otherwise(least(lit(targetVol) / col("volatility_ann"), lit(maxPosition))), 6))
+      .withColumn("position_dollars",
+        Port.r(col("position_fraction") * portfolioValue, 2))
+
+  /** Limit-breach monitoring over a backtest (risk_monitor.py:155-278):
+    * daily-loss and drawdown threshold alerts per symbol.
+    */
+  def limitAlerts(backtest: DataFrame,
+                  ddThreshold: Double = 0.20, dailyLossLimit: Double = 0.05): DataFrame = {
+    val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withDd = backtest
+      .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
+      .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
+    val daily = withDd.groupBy("symbol", "day_ms")
+      .agg(sum(col("net_returns")).as("day_net"), min(col("dd")).as("day_min_dd"))
+    daily.groupBy("symbol")
+      .agg(
+        sum(when(col("day_net") < -dailyLossLimit, 1L).otherwise(0L)).as("n_daily_loss_alerts"),
+        sum(when(col("day_min_dd") < -ddThreshold, 1L).otherwise(0L)).as("n_drawdown_alert_days"),
+        Port.r(min(col("day_net")), 8).as("worst_daily_net"),
+        Port.r(min(col("day_min_dd")), 6).as("worst_drawdown"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.backtest
+
+import graft.{QueryPack, Tables}
+import graft.operators.Bars
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Risk queries. Reference: backtesting/risk_monitor.py. */
+object RiskPack extends QueryPack {
+
+  private def bars1m(s: SparkSession, d: String): DataFrame =
+    Bars.ohlcv(Tables.ticks(s, d), 60)
+
+  private def btMaCross(s: SparkSession, d: String): DataFrame =
+    Backtester.run(Signals.maCross(bars1m(s, d)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_var_cvar" -> ((s, d) => Risk.varCvar(bars1m(s, d)).orderBy("symbol")),
+    "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
+    "q_vol_position_sizing" -> ((s, d) => Risk.volSizing(bars1m(s, d)).orderBy("symbol")),
+    "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol"))
+  )
+
+  private val RetsCte: String =
+    QueryPack.BarsCte + """,
+      |rets0 AS (
+      |  SELECT symbol, bucket_ms,
+      |         close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms) - 1 AS r
+      |  FROM bars
+      |),
+      |rets AS (SELECT * FROM rets0 WHERE r IS NOT NULL)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_var_cvar" ->
+      s"""WITH $RetsCte,
+         |v AS (
+         |  SELECT symbol, quantile_cont(r, 0.05) AS var95, quantile_cont(r, 0.01) AS var99
+         |  FROM rets GROUP BY symbol
+         |)
+         |SELECT r.symbol,
+         |       floor(max(v.var95) * 1e8 + 0.5) / 1e8 AS var_95,
+         |       floor(max(v.var99) * 1e8 + 0.5) / 1e8 AS var_99,
+         |       floor(avg(CASE WHEN r.r <= v.var95 THEN r.r END) * 1e8 + 0.5) / 1e8 AS cvar_95,
+         |       count(*) AS n
+         |FROM rets r JOIN v ON r.symbol = v.symbol
+         |GROUP BY r.symbol ORDER BY r.symbol""".stripMargin,
+    "q_kelly_sizing" ->
+      s"""WITH ${BtSql.MaCrossBacktestCte},
+         |agg AS (
+         |  SELECT symbol,
+         |    floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) > 0
+         |      THEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) / sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e6 + 0.5) / 1e6 AS win_rate,
+         |    floor(coalesce(CASE WHEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+         |      THEN sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e8 + 0.5) / 1e8 AS avg_win,
+         |    floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+         |      THEN abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) / (sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END)) END, 0.0) * 1e8 + 0.5) / 1e8 AS avg_loss
+         |  FROM bt GROUP BY symbol
+         |)
+         |SELECT symbol, win_rate, avg_win, avg_loss,
+         |       floor((CASE WHEN avg_loss = 0 THEN 0.0
+         |              ELSE least(greatest((win_rate * (avg_win / avg_loss) - (1.0 - win_rate)) / (avg_win / avg_loss) * 0.25, 0.0), 0.25)
+         |              END) * 1e6 + 0.5) / 1e6 AS kelly_fraction
+         |FROM agg ORDER BY symbol""".stripMargin,
+    "q_vol_position_sizing" ->
+      s"""WITH $RetsCte,
+         |agg AS (
+         |  SELECT symbol,
+         |         floor(avg(r) * 252 * 1e8 + 0.5) / 1e8 AS mean_return_ann,
+         |         floor(stddev_samp(r) * sqrt(252.0) * 1e8 + 0.5) / 1e8 AS volatility_ann
+         |  FROM rets GROUP BY symbol
+         |),
+         |frac AS (
+         |  SELECT *, floor((CASE WHEN volatility_ann = 0 THEN 0.0
+         |                   ELSE least(0.15 / volatility_ann, 0.25) END) * 1e6 + 0.5) / 1e6 AS position_fraction
+         |  FROM agg
+         |)
+         |SELECT symbol, mean_return_ann, volatility_ann, position_fraction,
+         |       floor(position_fraction * 1000000.0 * 1e2 + 0.5) / 1e2 AS position_dollars
+         |FROM frac ORDER BY symbol""".stripMargin,
+    "q_risk_limit_alerts" ->
+      s"""WITH ${BtSql.WithPeakCte},
+         |daily AS (
+         |  SELECT symbol, bucket_ms // 86400000 * 86400000 AS day_ms,
+         |         sum(net_returns) AS day_net, min(dd) AS day_min_dd
+         |  FROM wp GROUP BY symbol, 2
+         |)
+         |SELECT symbol,
+         |       CAST(sum(CASE WHEN day_net < -0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_daily_loss_alerts,
+         |       CAST(sum(CASE WHEN day_min_dd < -0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawdown_alert_days,
+         |       floor(min(day_net) * 1e8 + 0.5) / 1e8 AS worst_daily_net,
+         |       floor(min(day_min_dd) * 1e6 + 0.5) / 1e6 AS worst_drawdown
+         |FROM daily GROUP BY symbol ORDER BY symbol""".stripMargin
+  )
+}
