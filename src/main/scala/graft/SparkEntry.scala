@@ -10,7 +10,8 @@ object SparkEntry {
     graft.etl.EtlPack,
     graft.backtest.BacktestPack,
     graft.backtest.RiskPack,
-    graft.backtest.PortfolioPack
+    graft.backtest.PortfolioPack,
+    graft.operators.DerivativesPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.{BlackScholes, Port}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derivatives queries: Black-Scholes chain pricing + greeks, option
+  * strategy P&L tables, futures calculator.
+  * Reference: backtesting/derivatives.py.
+  *
+  * The option grid derives deterministically from `part`
+  * (spot := p_retailprice; strike/expiry/vol fan out from p_partkey), so
+  * the chain scales with the table and both engines build identical
+  * inputs.
+  */
+object DerivativesPack extends QueryPack {
+
+  private def grid(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("id"),
+      col("p_retailprice").as("s"),
+      (col("p_retailprice") * (lit(0.8) + (col("p_partkey") % 5).cast("double") * 0.1)).as("k"),
+      ((lit(1) + col("p_partkey") % 24).cast("double") / 12.0).as("t"),
+      (lit(0.15) + (col("p_partkey") % 20).cast("double") * 0.01).as("sigma"))
+
+  private val GridCte: String =
+    """grid AS (
+      |  SELECT p_partkey AS id, p_retailprice AS s,
+      |         p_retailprice * (0.8 + CAST(p_partkey % 5 AS DOUBLE) * 0.1) AS k,
+      |         CAST(1 + p_partkey % 24 AS DOUBLE) / 12.0 AS t,
+      |         0.15 + CAST(p_partkey % 20 AS DOUBLE) * 0.01 AS sigma
+      |  FROM part
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_black_scholes" -> ((s, d) =>
+      BlackScholes.withPricing(grid(s, d))
+        .select(col("id"), col("s"), col("k"), col("t"), col("sigma"),
+          Port.r(col("call"), 4).as("call"),
+          Port.r(col("put"), 4).as("put"),
+          Port.r(col("delta_call"), 6).as("delta_call"),
+          Port.r(col("delta_put"), 6).as("delta_put"),
+          Port.r(col("gamma"), 8).as("gamma"),
+          Port.r(col("vega"), 4).as("vega"),
+          Port.r(col("theta_call"), 6).as("theta_call"),
+          Port.r(col("theta_put"), 6).as("theta_put"),
+          Port.r(col("rho_call"), 4).as("rho_call"),
+          Port.r(col("rho_put"), 4).as("rho_put"))
+        .orderBy("id")),
+    "q_option_strategies" -> ((s, d) =>
+      BlackScholes.withPricing(grid(s, d))
+        .select(col("id"), col("s"), col("k"),
+          // covered call (derivatives.py:224), 100 shares
+          Port.r(col("s") * 100, 2).as("cc_stock_value"),
+          Port.r(col("call") * 100, 4).as("cc_premium_received"),
+          Port.r((col("k") - col("s")) * 100 + col("call") * 100, 4).as("cc_max_profit"),
+          Port.r(col("s") - col("call"), 4).as("cc_breakeven"),
+          // protective put (derivatives.py:254)
+          Port.r(col("put") * 100, 4).as("pp_premium_paid"),
+          Port.r((col("s") - col("k")) * 100 + col("put") * 100, 4).as("pp_max_loss"),
+          Port.r(col("s") + col("put"), 4).as("pp_breakeven"),
+          // straddle (derivatives.py:284), 1 contract
+          Port.r((col("call") + col("put")) * 100, 4).as("st_total_cost"),
+          Port.r(col("k") + (col("call") + col("put")), 4).as("st_upper_breakeven"),
+          Port.r(col("k") - (col("call") + col("put")), 4).as("st_lower_breakeven"))
+        .orderBy("id")),
+    "q_futures_calc" -> ((s, d) =>
+      // contracts derive from orders: entry := totalprice/100 at order date,
+      // current := entry*(1±drift by priority), size 50, qty 1+key%10.
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        (col("o_totalprice") / 100).as("entry"),
+        (col("o_totalprice") / 100 * (lit(0.9) + (col("o_orderkey") % 21).cast("double") * 0.01)).as("current"),
+        lit(50.0).as("contract_size"),
+        (lit(1) + col("o_orderkey") % 10).cast("double").as("qty"))
+        .withColumn("margin", Port.r(col("current") * col("contract_size") * col("qty") * 0.10, 4))
+        .withColumn("pnl", Port.r((col("current") - col("entry")) * col("contract_size") * col("qty"), 4))
+        .withColumn("basis", Port.r(col("entry") - col("current"), 6))
+        .withColumn("carry_cost",
+          Port.r(col("entry") * exp((lit(0.02) - 0.01) * 0.5) - col("entry"), 6))
+        .orderBy("id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_black_scholes" ->
+      s"""WITH $GridCte,
+         |${BlackScholes.pricedSql}
+         |SELECT id, s, k, t, sigma,
+         |       floor(call * 1e4 + 0.5) / 1e4 AS call,
+         |       floor(put * 1e4 + 0.5) / 1e4 AS put,
+         |       floor(delta_call * 1e6 + 0.5) / 1e6 AS delta_call,
+         |       floor(delta_put * 1e6 + 0.5) / 1e6 AS delta_put,
+         |       floor(gamma * 1e8 + 0.5) / 1e8 AS gamma,
+         |       floor(vega * 1e4 + 0.5) / 1e4 AS vega,
+         |       floor(theta_call * 1e6 + 0.5) / 1e6 AS theta_call,
+         |       floor(theta_put * 1e6 + 0.5) / 1e6 AS theta_put,
+         |       floor(rho_call * 1e4 + 0.5) / 1e4 AS rho_call,
+         |       floor(rho_put * 1e4 + 0.5) / 1e4 AS rho_put
+         |FROM priced ORDER BY id""".stripMargin,
+    "q_option_strategies" ->
+      s"""WITH $GridCte,
+         |${BlackScholes.pricedSql}
+         |SELECT id, s, k,
+         |       floor(s * 100 * 1e2 + 0.5) / 1e2 AS cc_stock_value,
+         |       floor(call * 100 * 1e4 + 0.5) / 1e4 AS cc_premium_received,
+         |       floor(((k - s) * 100 + call * 100) * 1e4 + 0.5) / 1e4 AS cc_max_profit,
+         |       floor((s - call) * 1e4 + 0.5) / 1e4 AS cc_breakeven,
+         |       floor(put * 100 * 1e4 + 0.5) / 1e4 AS pp_premium_paid,
+         |       floor(((s - k) * 100 + put * 100) * 1e4 + 0.5) / 1e4 AS pp_max_loss,
+         |       floor((s + put) * 1e4 + 0.5) / 1e4 AS pp_breakeven,
+         |       floor((call + put) * 100 * 1e4 + 0.5) / 1e4 AS st_total_cost,
+         |       floor((k + (call + put)) * 1e4 + 0.5) / 1e4 AS st_upper_breakeven,
+         |       floor((k - (call + put)) * 1e4 + 0.5) / 1e4 AS st_lower_breakeven
+         |FROM priced ORDER BY id""".stripMargin,
+    "q_futures_calc" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS id,
+        |         o_totalprice / 100 AS entry,
+        |         o_totalprice / 100 * (0.9 + CAST(o_orderkey % 21 AS DOUBLE) * 0.01) AS current,
+        |         50.0 AS contract_size,
+        |         CAST(1 + o_orderkey % 10 AS DOUBLE) AS qty
+        |  FROM orders
+        |)
+        |SELECT id, entry, current, contract_size, qty,
+        |       floor(current * contract_size * qty * 0.10 * 1e4 + 0.5) / 1e4 AS margin,
+        |       floor((current - entry) * contract_size * qty * 1e4 + 0.5) / 1e4 AS pnl,
+        |       floor((entry - current) * 1e6 + 0.5) / 1e6 AS basis,
+        |       floor((entry * exp((0.02 - 0.01) * 0.5) - entry) * 1e6 + 0.5) / 1e6 AS carry_cost
+        |FROM f ORDER BY id""".stripMargin
+  )
+}
