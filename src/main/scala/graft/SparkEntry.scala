@@ -11,7 +11,9 @@ object SparkEntry {
     graft.backtest.BacktestPack,
     graft.backtest.RiskPack,
     graft.backtest.PortfolioPack,
-    graft.operators.DerivativesPack
+    graft.operators.DerivativesPack,
+    graft.operators.EventsPack,
+    graft.operators.TpchPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (latest right row at-or-before each left row) via
+  * the union trick: tag both sides, sort within partition by (time, tag)
+  * with right rows first at ties, forward-fill right values, keep left
+  * rows.
+  *
+  * This is the scalable shape for quote-asof-trade enrichment: one shuffle
+  * on the partition key, no range-condition row explosion, window state is
+  * a single value. Reference capability: etl/database_writer.py:165
+  * (get_latest_trades as-of) and the tick→bar enrichment implicit in
+  * backtesting/engine.py's price lookup.
+  */
+object AsOfJoin {
+
+  /** @param left     rows to enrich; must carry `partCol` and `timeCol`
+    * @param right    lookup side; same `partCol`/`timeCol` plus `valueCols`
+    * @param timeCol  numeric event-time column (same unit both sides)
+    */
+  def backward(left: DataFrame, right: DataFrame, partCol: String,
+               timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftTagged = valueCols
+      .foldLeft(left.withColumn("_tag", lit(1))) { (df, v) =>
+        df.withColumn(v, lit(null).cast(right.schema(v).dataType))
+      }
+      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col) ++
+        left.columns.filterNot(c => c == partCol || c == timeCol).map(col): _*)
+
+    val rightTagged = right
+      .withColumn("_tag", lit(0))
+      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col): _*)
+
+    val extraLeftCols = left.columns.filterNot(c => c == partCol || c == timeCol)
+    val unioned = rightTagged
+      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col) ++
+        extraLeftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .unionByName(leftTagged)
+
+    val w = Window.partitionBy(partCol).orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1).drop("_tag")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: gap sessionization, ordered funnel, as-of
+  * enrichment, order-book depth. Reference: order_book.py:125-204 (book
+  * views); websocket_client.py stats windows; database_writer.py:165.
+  */
+object EventsPack extends QueryPack {
+
+  private val GapNs = 30L * 60 * 1000000000L // 30-minute session gap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val sess = Tables.events(s, d)
+        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("gap").isNull || col("gap") > GapNs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"), expr("(max(ts) - min(ts)) div 1000000").as("dur_ms"))
+        .groupBy("user_id")
+        .agg(max(col("sid")).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"),
+          max(col("dur_ms")).as("max_session_dur_ms"))
+        .orderBy("user_id")
+    }),
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+        ev.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min(col("ts")).as(outCol))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+      val s2 = firstAfter("view", s1, "t_signup", "t_view")
+      val s3 = firstAfter("click", s2, "t_view", "t_click")
+      val s4 = firstAfter("purchase", s3, "t_click", "t_purchase")
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .join(s4, Seq("user_id"), "left")
+        .agg(count(col("t_signup")).as("n_signup"),
+          count(col("t_view")).as("n_view_after"),
+          count(col("t_click")).as("n_click_after"),
+          count(col("t_purchase")).as("n_purchase_after"))
+    }),
+    "q_asof_join" -> ((s, d) => {
+      val left = Tables.ticks(s, d)
+        .select(col("symbol"), expr("ts div 1000000").as("ts_ms"), col("price"))
+      val right = Bars.ohlcv(Tables.ticks(s, d), 3600)
+        .select(col("symbol"), (col("bucket_ms") + 3600000L).as("ts_ms"),
+          col("close").as("prev_hour_close"))
+      AsOfJoin.backward(left, right, "symbol", "ts_ms", Seq("prev_hour_close"))
+        .select("symbol", "ts_ms", "price", "prev_hour_close")
+        .orderBy("symbol", "ts_ms", "price")
+    }),
+    "q_order_book_depth" -> ((s, d) =>
+      bookLevels(s, d)
+        .withColumn("level_rank", row_number().over(
+          Window.partitionBy("symbol", "side")
+            .orderBy(when(col("side") === "buy", -col("price_level")).otherwise(col("price_level")))).cast("long"))
+        .filter(col("level_rank") <= 5)
+        .select("symbol", "side", "level_rank", "price_level", "total_qty", "n_orders")
+        .orderBy("symbol", "side", "level_rank")),
+    "q_order_book_summary" -> ((s, d) =>
+      bookLevels(s, d).groupBy("symbol")
+        .agg(
+          max(when(col("side") === "buy", col("price_level"))).as("best_bid"),
+          min(when(col("side") === "sell", col("price_level"))).as("best_ask"))
+        .withColumn("spread", col("best_ask") - col("best_bid"))
+        .withColumn("mid", (col("best_bid") + col("best_ask")) / 2.0)
+        .orderBy("symbol"))
+  )
+
+  /** Synthetic limit-order book: side by user parity, integer price
+    * levels, resting qty aggregated per level (order_book.py:179
+    * get_depth).
+    */
+  private def bookLevels(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .select(col("symbol"),
+        when(col("user_id") % 2 === 0, "buy").otherwise("sell").as("side"),
+        floor(col("price")).as("price_level"),
+        col("volume"))
+      .groupBy("symbol", "side", "price_level")
+      .agg(sum(col("volume")).as("total_qty"), count(lit(1)).as("n_orders"))
+
+  private val LevelsCte: String =
+    QueryPack.TicksCte + """,
+      |lvls AS (
+      |  SELECT symbol,
+      |         CASE WHEN user_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+      |         CAST(floor(price) AS BIGINT) AS price_level,
+      |         sum(volume) AS total_qty, count(*) AS n_orders
+      |  FROM ticks GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+         |g AS (
+         |  SELECT user_id, tns,
+         |         tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns) AS gap
+         |  FROM e
+         |),
+         |sids AS (
+         |  SELECT user_id, tns,
+         |         sum(CASE WHEN gap IS NULL OR gap > ${GapNs} THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY user_id ORDER BY tns
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g
+         |),
+         |per_sess AS (
+         |  SELECT user_id, sid, count(*) AS n_ev,
+         |         (max(tns) - min(tns)) // 1000000 AS dur_ms
+         |  FROM sids GROUP BY user_id, sid
+         |)
+         |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+         |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+         |       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+         |       CAST(max(dur_ms) AS BIGINT) AS max_session_dur_ms
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_view FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t_signup GROUP BY e.user_id
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t_view GROUP BY e.user_id
+        |),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t_click GROUP BY e.user_id
+        |)
+        |SELECT count(s1.t_signup) AS n_signup, count(s2.t_view) AS n_view_after,
+        |       count(s3.t_click) AS n_click_after, count(s4.t_purchase) AS n_purchase_after
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |        LEFT JOIN s4 ON s1.user_id = s4.user_id""".stripMargin,
+    "q_asof_join" ->
+      s"""WITH ${QueryPack.barsCteAt(3600)},
+         |b AS (SELECT symbol, bucket_ms + 3600000 AS avail_ms, close FROM bars),
+         |t AS (SELECT symbol, epoch_ns(ts) // 1000000 AS ts_ms, price FROM ticks)
+         |SELECT t.symbol, t.ts_ms, t.price, b.close AS prev_hour_close
+         |FROM t ASOF LEFT JOIN b ON t.symbol = b.symbol AND t.ts_ms >= b.avail_ms
+         |ORDER BY t.symbol, t.ts_ms, t.price""".stripMargin,
+    "q_order_book_depth" ->
+      s"""WITH $LevelsCte
+         |SELECT symbol, side, level_rank, price_level, total_qty, n_orders FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, side
+         |    ORDER BY CASE WHEN side = 'buy' THEN -price_level ELSE price_level END) AS level_rank
+         |  FROM lvls)
+         |WHERE level_rank <= 5 ORDER BY symbol, side, level_rank""".stripMargin,
+    "q_order_book_summary" ->
+      s"""WITH $LevelsCte
+         |SELECT symbol,
+         |       max(CASE WHEN side = 'buy' THEN price_level END) AS best_bid,
+         |       min(CASE WHEN side = 'sell' THEN price_level END) AS best_ask,
+         |       min(CASE WHEN side = 'sell' THEN price_level END)
+         |         - max(CASE WHEN side = 'buy' THEN price_level END) AS spread,
+         |       (max(CASE WHEN side = 'buy' THEN price_level END)
+         |         + min(CASE WHEN side = 'sell' THEN price_level END)) / 2.0 AS mid
+         |FROM lvls GROUP BY symbol ORDER BY symbol""".stripMargin
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style analytical queries — the bench headliners exercising scan/
+  * filter/multi-join/aggregate/window shapes (reference:
+  * tools/benchmark_loader.py:139 benchmark_aggregation generalized).
+  *
+  * Money aggregates use integer-scaled exact sums: each term is snapped to
+  * its exact decimal value in integer cents (floor(x·10^k + 0.5) — the
+  * double product is within 1e-5 of the true decimal, so the snap is
+  * exact), and integer sums are associativity-independent, hence
+  * bit-identical across engines with no rounding tolerance at all.
+  */
+object TpchPack extends QueryPack {
+
+  /** 1998-06-01 UTC in epoch millis — the Q1/Q3 date cut. */
+  private val CutMs = 896659200000L
+
+  private def e(scale: Long, c: org.apache.spark.sql.Column) =
+    sum(floor(c * scale + lit(0.5)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(unix_millis(col("l_shipdate").cast("timestamp")) <= CutMs)
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          e(100L, col("l_quantity")).as("qty_e2"),
+          e(100L, col("l_extendedprice")).as("base_e2"),
+          e(10000L, discPrice).as("disc_e4"),
+          e(1000000L, charge).as("charge_e6"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("qty_e2") / 100.0).as("sum_qty"),
+          (col("base_e2") / 100.0).as("sum_base_price"),
+          (col("disc_e4") / 10000.0).as("sum_disc_price"),
+          (col("charge_e6") / 1000000.0).as("sum_charge"),
+          (col("qty_e2") / 100.0 / col("count_order")).as("avg_qty"),
+          (col("base_e2") / 100.0 / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(unix_millis(col("o_orderdate").cast("timestamp")) < CutMs)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(unix_millis(col("l_shipdate").cast("timestamp")) > CutMs)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority")
+        .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
+        .select(col("l_orderkey"), col("o_orderdate_ms"), col("o_orderpriority"),
+          (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
+        .orderBy(col("rev_e4").desc, col("l_orderkey")).limit(10)
+        .drop("rev_e4")
+    }),
+    "q5_local_supplier" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d).join(broadcast(asia),
+        col("n_regionkey") === col("r_regionkey")).select("n_nationkey", "n_name")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), (col("rev_e4") / 10000.0).as("revenue"), col("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q_top_customers_per_nation" -> ((s, d) => {
+      val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("n_name", "rank")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+         |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+         |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_qty,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE epoch_ms(l_shipdate) <= $CutMs
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate_ms, o_orderpriority, rev_e4 / 10000.0 AS revenue FROM (
+         |  SELECT l.l_orderkey, epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority,
+         |         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING'
+         |    AND epoch_ms(o.o_orderdate) < $CutMs
+         |    AND epoch_ms(l.l_shipdate) > $CutMs
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY rev_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_top_customers_per_nation" ->
+      """SELECT n_name, rank, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+        |         row_number() OVER (PARTITION BY n.n_name
+        |                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rank
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin
+  )
+}
