@@ -13,7 +13,10 @@ object SparkEntry {
     graft.backtest.PortfolioPack,
     graft.operators.DerivativesPack,
     graft.operators.EventsPack,
-    graft.operators.TpchPack
+    graft.operators.TpchPack,
+    graft.operators.TextPack,
+    graft.operators.AnnPack,
+    graft.operators.DedupPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token statistics, BPE-ish token counting, language-ID scoring, quality
+  * scoring, fingerprinting, exact + n-gram-Jaccard dedup.
+  *
+  * All ratios are integer/integer divisions — bit-identical across
+  * engines with no rounding tolerance. The n-gram inverted-index join
+  * caps per-shingle postings (stopword-shingle cut) so the pair
+  * generation stays linear at 100 TB; the cap is part of the operator
+  * definition on both engines.
+  */
+object TextPack extends QueryPack {
+
+  /** Language → discriminative-token profile (the stopword-profile
+    * mechanism; weights are occurrence counts).
+    */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "order", "en" -> "window", "en" -> "table", "en" -> "group",
+    "fr" -> "query", "fr" -> "scan", "fr" -> "data", "fr" -> "batch",
+    "es" -> "agg", "es" -> "slow", "es" -> "merge", "es" -> "value",
+    "de" -> "hash", "de" -> "big", "de" -> "customer", "de" -> "row",
+    "zh" -> "join", "zh" -> "fast", "zh" -> "spark", "zh" -> "the")
+
+  /** Distinct 3-gram word shingles per doc (lead-window formulation —
+    * no quadratic substring work).
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[shingles]] (final CTE: shd). */
+  val ShinglesCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |),
+      |shd AS (SELECT DISTINCT doc_id, lang, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
+
+  private val BpePattern = "\\w+|[^\\w\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("long") /
+          size(split(col("text"), " "))).as("avg_token_len"))
+        .orderBy("doc_id")),
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe_toks"),
+        length(col("text")).cast("long").as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_toks")).as("total_ws_tokens"),
+          sum(col("bpe_toks")).as("total_bpe_tokens"),
+          sum(col("chars")).as("total_chars"),
+          (sum(col("ws_toks")) / count(lit(1))).as("avg_tokens_per_doc"))
+        .orderBy("source")),
+    "q_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val profiles = {
+        import s.implicits._
+        LangProfiles.toDF("plang", "tok")
+      }
+      val matched = toks.join(broadcast(profiles), "tok")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      val grid = docs.select("doc_id").crossJoin(broadcast(profiles.select("plang").distinct()))
+      val scores = grid.join(matched, Seq("doc_id", "plang"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      val ranked = scores.withColumn("rk",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))))
+      ranked.filter(col("rk") === 1)
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("plang").as("pred_lang"), col("hits"),
+          (col("lang") === col("plang")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        size(filter(split(col("text"), " "),
+          t => t === "the" || t === "a")).cast("long").as("n_stop"))
+        .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("length_score", least(col("n_chars") / 500.0, lit(1.0)))
+        .withColumn("quality",
+          col("length_score") * 0.4 + col("distinct_ratio") * 0.3 +
+            (lit(1.0) - col("stop_ratio")) * 0.3)
+        .orderBy("doc_id")),
+    "q_doc_fingerprint" -> ((s, d) => {
+      val fp = Tables.documents(s, d).select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      fp.withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_exact_docs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_doc_id")),
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val shd = shingles(Tables.documents(s, d)).cache()
+      // stopword-shingle cut: postings capped (no-op at this corpus,
+      // linearity guard at scale)
+      val ok = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000).select("shingle")
+      val shf = shd.join(ok, "shingle").select("doc_id", "shingle")
+      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = shf.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = shf.select(col("doc_id").as("doc2"), col("shingle"))
+      a.join(b, "shingle").filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+        .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", "sz1", "sz2", "jaccard")
+        .orderBy("doc1", "doc2")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |       length(regexp_replace(text, ' ', '', 'g')) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         |       CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS total_bpe_tokens,
+         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) / count(*) AS avg_tokens_per_doc
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_lang_id" -> {
+      val vals = LangProfiles.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |profiles AS (SELECT * FROM (VALUES $vals) p(plang, tok)),
+         |matched AS (
+         |  SELECT t.doc_id, p.plang, count(*) AS hits
+         |  FROM toks t JOIN profiles p ON t.tok = p.tok GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT d.doc_id, l.plang FROM documents d
+         |  CROSS JOIN (SELECT DISTINCT plang FROM profiles) l
+         |),
+         |scores AS (
+         |  SELECT g.doc_id, g.plang, CAST(coalesce(m.hits, 0) AS BIGINT) AS hits
+         |  FROM grid g LEFT JOIN matched m ON g.doc_id = m.doc_id AND g.plang = m.plang
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
+         |  FROM scores
+         |)
+         |SELECT r.doc_id, d.lang AS true_lang, r.plang AS pred_lang, r.hits,
+         |       CAST(d.lang = r.plang AS INT) AS correct
+         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
+    },
+    "q_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t = 'the' OR t = 'a')) AS n_stop
+        |  FROM documents
+        |),
+        |ratios AS (
+        |  SELECT *, n_distinct / n_tokens AS distinct_ratio,
+        |         n_stop / n_tokens AS stop_ratio,
+        |         least(n_chars / 500.0, 1.0) AS length_score
+        |  FROM base
+        |)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop,
+        |       distinct_ratio, stop_ratio, length_score,
+        |       length_score * 0.4 + distinct_ratio * 0.3 + (1.0 - stop_ratio) * 0.3 AS quality
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint,
+        |       count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact_docs" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+         |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc1, doc2, inter, s1.sz AS sz1, s2.sz AS sz2,
+         |       inter / (s1.sz + s2.sz - inter) AS jaccard
+         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+         |WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin
+  )
+}
