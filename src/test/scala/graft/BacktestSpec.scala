@@ -1,0 +1,50 @@
+package graft
+
+import graft.backtest.{Backtester, Metrics, Signals}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BacktestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("vectorized backtest: hand-checked positions, costs, net returns") {
+    import spark.implicits._
+    // bars with a precomputed signal: flat → long → flat
+    val bars = Seq(
+      ("A", 0L, 100.0, 0), ("A", 60000L, 110.0, 1),
+      ("A", 120000L, 121.0, 1), ("A", 180000L, 121.0, 0)
+    ).toDF("symbol", "bucket_ms", "close", "signal")
+    val bt = Backtester.run(bars).orderBy("bucket_ms").collect()
+    // t1: enters long (trade=1, cost 0.0015), lagged position 0 → strategy 0
+    assert(bt(1).getAs[Double]("costs") == 0.0015)
+    assert(bt(1).getAs[Double]("strategy_returns") == 0.0)
+    // t2: held long through +10% bar
+    assert(math.abs(bt(2).getAs[Double]("net_returns") - 0.1) < 1e-12)
+    // t3: exits (trade=-1, cost) with flat price
+    assert(bt(3).getAs[Double]("net_returns") == -0.0015)
+    // log equity compounds net returns
+    val expected = math.log(1 - 0.0015) + math.log(1.1) + math.log(1 - 0.0015)
+    assert(math.abs(bt(3).getAs[Double]("log_equity") - expected) < 1e-6)
+  }
+
+  test("signals warmup: no signal before lookback completes") {
+    val bars = graft.operators.Bars.ohlcv(Tables.ticks(spark, TestSpark.Sf), 3600)
+    val sig = Signals.maCross(bars, fast = 3, slow = 5)
+    val early = sig.filter(col("rn") < 5).filter(col("signal") =!= 0).count()
+    assert(early == 0)
+  }
+
+  test("metrics aggregate produces one row per symbol with sane bounds") {
+    val bars = graft.operators.Bars.ohlcv(Tables.ticks(spark, TestSpark.Sf), 60)
+    val m = Metrics.compute(Backtester.run(Signals.maCross(bars))).collect()
+    assert(m.length == 5)
+    m.foreach { r =>
+      val mdd = r.getAs[Double]("max_drawdown")
+      assert(mdd <= 0.0 && mdd >= -1.0)
+      val wr = r.getAs[Double]("win_rate")
+      assert(wr >= 0.0 && wr <= 1.0)
+      val exp = r.getAs[Double]("exposure")
+      assert(exp >= 0.0 && exp <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{NormCdf, Port}
+import graft.operators.{AsOfJoin, Bars}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PortSpec extends AnyFunSuite {
+  test("Port.r rounds half-up via pure floor arithmetic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(1.23456, -1.23456, 2.5, 31.31875).toDF("x")
+      .select(Port.r(col("x"), 4).as("r4"), Port.r(col("x"), 0).as("r0"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 1.2346)
+    assert(rows(2).getDouble(1) == 3.0) // half-up at integer scale
+  }
+}
+
+class NormCdfSpec extends AnyFunSuite {
+  test("cdf matches known normal quantiles within A&S tolerance") {
+    assert(math.abs(NormCdf.cdf(0.0) - 0.5) < 1e-7)
+    assert(math.abs(NormCdf.cdf(1.959963985) - 0.975) < 1e-6)
+    assert(math.abs(NormCdf.cdf(-1.959963985) - 0.025) < 1e-6)
+    assert(NormCdf.cdf(8.0) > 0.9999999)
+  }
+
+  test("expression evaluates inside a column pipeline (codegen path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = Seq(0.0, 1.0, -1.0).toDF("x")
+      .select(NormCdf(col("x")).as("p")).as[Double].collect()
+    assert(math.abs(out(0) - 0.5) < 1e-7)
+    assert(math.abs(out(1) + out(2) - 1.0) < 1e-7) // symmetry
+  }
+}
+
+class BarsSpec extends AnyFunSuite {
+  test("ohlcv picks open/close by time, volume sums") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // ts in ns; two bars for A, one for B
+    val ticks = Seq(
+      (0L * 1000000000L, "A", 10.0, 1.0),
+      (30L * 1000000000L, "A", 12.0, 2.0),
+      (59L * 1000000000L, "A", 11.0, 1.0),
+      (70L * 1000000000L, "A", 13.0, 1.0),
+      (5L * 1000000000L, "B", 5.0, 1.0)
+    ).toDF("ts", "symbol", "price", "volume")
+    val bars = Bars.ohlcv(ticks, 60).orderBy("symbol", "bucket_ms").collect()
+    val a0 = bars(0)
+    assert(a0.getAs[Double]("open") == 10.0)
+    assert(a0.getAs[Double]("high") == 12.0)
+    assert(a0.getAs[Double]("low") == 10.0)
+    assert(a0.getAs[Double]("close") == 11.0)
+    assert(a0.getAs[Double]("volume") == 4.0)
+    assert(bars.length == 3)
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  test("backward as-of picks latest right value at-or-before, inclusive ties") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq(("A", 5L, 1), ("A", 10L, 2), ("A", 15L, 3), ("B", 5L, 4))
+      .toDF("symbol", "t", "k")
+    val right = Seq(("A", 4L, 100.0), ("A", 10L, 200.0)).toDF("symbol", "t", "v")
+    val out = AsOfJoin.backward(left, right, "symbol", "t", Seq("v"))
+      .orderBy("symbol", "t").collect()
+    assert(out(0).getAs[Double]("v") == 100.0) // t=5 ← right@4
+    assert(out(1).getAs[Double]("v") == 200.0) // t=10 tie → inclusive
+    assert(out(2).getAs[Double]("v") == 200.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("v"))) // B: no right row
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.{DedupPack, TextPack}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("minhash-LSH recalls every exact-Jaccard near-dup pair (>= 0.8)") {
+    val exact = TextPack.queries("q_dedup_ngram_jaccard")(spark, TestSpark.Sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupPack.queries("q_dedup_minhash_lsh")(spark, TestSpark.Sf)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash pairs respect the hamming bound and are near-dups structurally") {
+    val pairs = DedupPack.queries("q_dedup_simhash")(spark, TestSpark.Sf).collect()
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
+  }
+
+  test("fnv64 is stable") {
+    assert(DedupPack.fnv64("spark") == DedupPack.fnv64("spark"))
+    assert(DedupPack.fnv64("spark") != DedupPack.fnv64("sparl"))
+  }
+}

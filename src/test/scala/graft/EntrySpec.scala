@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("driver contract: entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; every query runs at sf0.001 with rows") {
+    val qs = SparkEntry.queries
+    val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // walk-forward folds need >= 504 bars/symbol (reference skips folds on
+    // short data) — sf0.001 has ~195, so empty there is the correct answer.
+    val mayBeEmptyAtTinyScale = Set("q_walk_forward_folds")
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, TestSpark.Sf).count()
+      if (!mayBeEmptyAtTinyScale(name))
+        assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("multimodal decode stub: deterministic fixed-width features") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(Tables.documents(spark, TestSpark.Sf))
+      .selectExpr("doc_id", "media").as[MediaRow]
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(f.width >= 64 && f.width < 640 && f.height >= 64 && f.height < 480)
+    }
+    val again = Multimodal.decodeStub(media).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.{StatefulPositions, StreamingBars}
+import graft.streaming.StatefulPositions.{PositionState, SignalEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("streaming OHLCV matches batch semantics on the same ticks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val ticks = input.toDF().toDF("ts", "symbol", "price", "volume")
+    val q = StreamingBars.bars(ticks).writeStream
+      .format("memory").queryName("sbars").outputMode("update").start()
+    input.addData(
+      (new Timestamp(0L), "A", 10.0, 1.0),
+      (new Timestamp(30000L), "A", 12.0, 2.0),
+      (new Timestamp(61000L), "A", 11.0, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sbars")
+      .groupBy("symbol", "bucket_ms")
+      .agg(last("open").as("open"), last("close").as("close"), last("volume").as("volume"))
+      .orderBy("bucket_ms").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("open") == 10.0)
+    assert(rows(0).getAs[Double]("close") == 12.0)
+    assert(rows(0).getAs[Double]("volume") == 3.0)
+  }
+
+  test("stateful position tracking: step transition accounting") {
+    val s0 = PositionState(0.0, StatefulPositions.InitialCash, 0.0)
+    val (s1, u1) = StatefulPositions.step(s0, SignalEvent("A", 1L, 100.0, 1))
+    assert(u1.traded == 100.0) // bought 100 shares
+    assert(math.abs(u1.cash - (1000000.0 - 10000.0 - 15.0)) < 1e-9) // cost 0.0015*10000
+    assert(math.abs(u1.equity - (u1.cash + 10000.0)) < 1e-9)
+    val (_, u2) = StatefulPositions.step(s1, SignalEvent("A", 2L, 110.0, 0))
+    assert(u2.traded == -100.0)
+    assert(u2.position == 0.0)
+  }
+
+  test("flatMapGroupsWithState tracks state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SignalEvent]
+    val q = StatefulPositions.track(input.toDS()).writeStream
+      .format("memory").queryName("spos").outputMode("append").start()
+    input.addData(SignalEvent("A", 1L, 100.0, 1))
+    q.processAllAvailable()
+    input.addData(SignalEvent("A", 2L, 110.0, 0)) // second micro-batch uses saved state
+    q.processAllAvailable()
+    val rows = spark.table("spos").orderBy("tsMs").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Double]("traded") == -100.0) // remembered the long position
+  }
+}
