@@ -20,10 +20,11 @@ object Cleaner {
   def iqrBounds(ticks: DataFrame, threshold: Double = 3.0): DataFrame =
     ticks
       .groupBy("symbol")
-      .agg(
-        percentile(col("price"), lit(0.25)).as("q1"),
-        percentile(col("price"), lit(0.75)).as("q3")
-      )
+      .agg(percentile(col("price"), array(lit(0.25), lit(0.75))).as("qs"))
+      .select(
+        col("symbol"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q3"))
       .select(
         col("symbol"),
         (col("q1") - (col("q3") - col("q1")) * threshold).as("lo"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.functions.Port
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,66 +26,53 @@ import org.apache.spark.sql.functions._
   */
 object AnnPack extends QueryPack {
 
-  /** (vec_id, pos, v): one row per vector component, v cast to double. */
-  private def comps(s: SparkSession, d: String): DataFrame =
+  /** (vec_id, label, e: array<double>, nrm): vectors as arrays — dot
+    * products stay inside whole-stage codegen via zip_with/aggregate, no
+    * per-component explode.
+    */
+  private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .withColumn("v", col("vf").cast("double")).drop("vf")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
 
-  private def norms(c: DataFrame): DataFrame =
-    c.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> ((s, d) => {
-      val c = comps(s, d).cache()
-      val nm = norms(c)
-      val q = c.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
-      val dots = broadcast(q).join(c.select("vec_id", "pos", "v"), "pos")
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id").agg(sum(col("qv") * col("v")).as("dot"))
-      val cos = dots
-        .join(nm.select(col("vec_id").as("q_id"), col("nrm").as("qn")), "q_id")
-        .join(nm, "vec_id")
-        .withColumn("cosine", Port.r(col("dot") / (col("qn") * col("nrm")), 6))
-      cos.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      val base = emb(s, d)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      base.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
         .filter(col("rank") <= 10)
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     }),
     "q_ann_ivf_topk" -> ((s, d) => {
-      val c = comps(s, d).cache()
-      val nm = norms(c)
-      // coarse quantizer: one centroid per label cell
-      val cent = c.groupBy("label", "pos")
-        .agg((sum(col("v")) / count(lit(1))).as("cv"))
-      val centNorm = cent.groupBy("label").agg(sqrt(sum(col("cv") * col("cv"))).as("cn"))
-      val qcomps = c.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("pos").as("qpos"), col("v").as("qv"))
-      val qnorms = nm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("nrm").as("qnorm"))
+      val base = emb(s, d).cache()
+      // coarse quantizer: per-label centroid rebuilt into an array column
+      val cent = base.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg((sum(col("v")) / count(lit(1))).as("cv"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("ce"))
+        .withColumn("cn", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       // probe: nearest centroid by snapped cosine (nprobe = 1)
-      val probe = qcomps.join(broadcast(cent), col("qpos") === col("pos"))
-        .groupBy("q_id", "label").agg(sum(col("qv") * col("cv")).as("cdot"))
-        .join(broadcast(centNorm), "label")
-        .join(broadcast(qnorms), "q_id")
-        .withColumn("ccos", Port.r(col("cdot") / (col("qnorm") * col("cn")), 6))
+      val probe = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", Port.r(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
         .withColumn("crk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))))
         .filter(col("crk") === 1)
-        .select(col("q_id"), col("label").as("probe_label"))
+        .select(col("q_id"), col("label").as("probe_label"), col("qe"), col("qn"))
       // exact cosine inside the probed cell only
-      val dots = c.join(broadcast(probe), col("label") === col("probe_label"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(broadcast(qcomps.withColumnRenamed("q_id", "q_id2")),
-          col("q_id2") === col("q_id") && col("qpos") === col("pos"))
-        .groupBy("q_id", "probe_label", "vec_id")
-        .agg(sum(col("v") * col("qv")).as("dot"))
-      dots
-        .join(qnorms, "q_id")
-        .join(nm, "vec_id")
-        .withColumn("cosine", Port.r(col("dot") / (col("qnorm") * col("nrm")), 6))
+      base.join(broadcast(probe),
+        col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
         .filter(col("rank") <= 5)

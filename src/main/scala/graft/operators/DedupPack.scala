@@ -22,14 +22,23 @@ object DedupPack extends QueryPack {
   val NumPerms = 32
   val NumBands = 8 // 4 rows per band
 
-  /** MinHash signatures: (doc_id, perm, mh). */
-  def minhash(docs: DataFrame): DataFrame =
-    TextPack.shingles(docs).select("doc_id", "shingle")
+  /** MinHash values: (doc_id, perm, mh) — explode the permutation index,
+    * hash, min-aggregate. Every stage is codegen'd; the groupBy shuffles
+    * fixed-width (doc, perm) keys only.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashFromShingles(TextPack.shingles(docs).select("doc_id", "shingle"))
+
+  /** Same, over an existing (doc_id, shingle) set (lets callers share a
+    * cached shingle table).
+    */
+  def minhashFromShingles(shd: DataFrame): DataFrame =
+    shd
       .withColumn("perm", explode(sequence(lit(0), lit(NumPerms - 1))))
       .withColumn("h", xxhash64(col("perm"), col("shingle")))
       .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
 
-  /** LSH band signatures: (doc_id, band, sig). */
+  /** LSH band keys: (doc_id, band, sig) — NumBands rows per doc. */
   def bandSignatures(mh: DataFrame): DataFrame =
     mh.withColumn("band", expr(s"perm div ${NumPerms / NumBands}"))
       .withColumn("rib", col("perm") % (NumPerms / NumBands))
@@ -71,11 +80,13 @@ object DedupPack extends QueryPack {
     "q_dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val shd = TextPack.shingles(docs).select("doc_id", "shingle").cache()
-      val sig = bandSignatures(minhash(docs))
+      // the cached shingle table feeds signatures, verification, and sizes
+      val sig = bandSignatures(minhashFromShingles(shd))
       val a = sig.select(col("doc_id").as("doc1"), col("band"), col("sig"))
       val b = sig.select(col("doc_id").as("doc2"), col("band"), col("sig"))
       val cand = a.join(b, Seq("band", "sig")).filter(col("doc1") < col("doc2"))
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
+        .cache()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = shd.select(col("doc_id").as("doc1"), col("shingle"))
         .join(shd.select(col("doc_id").as("doc2"), col("shingle")), "shingle")

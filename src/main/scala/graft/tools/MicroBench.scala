@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{DedupPack, TextPack}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc operator microbenchmarks (dev tool, not part of the driver
+  * contract). `runMain graft.tools.MicroBench <sfDir>`.
+  */
+object MicroBench {
+  def time(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[micro] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+  }
+
+  def shinglesWindow(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  def minhashExplode(shd: DataFrame): DataFrame =
+    shd.withColumn("perm", explode(sequence(lit(0), lit(31))))
+      .withColumn("h", xxhash64(col("perm"), col("shingle")))
+      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.get("micro")
+    val docs = Tables.documents(spark, d)
+    docs.count() // warm
+
+    if (sys.env.contains("MICRO_COLD_PROBE")) {
+      val tiny = Tables.documents(spark, "/root/testdata/sf0.001")
+      time("cold_shingles_tiny")(TextPack.shingles(tiny).count())
+      time("cold_shingles_full")(TextPack.shingles(docs).count())
+      time("cold_shingles_full_2nd")(TextPack.shingles(docs).count())
+      spark.stop(); return
+    }
+
+    for (round <- 1 to 3) {
+      println(s"[micro] --- round $round ---")
+      time("shingles_array")(TextPack.shingles(docs).count())
+      time("shingles_window")(shinglesWindow(docs).count())
+      time("minhash_nested_hof")(DedupPack.minhashSignatures(docs).count())
+      time("minhash_explode") {
+        minhashExplode(TextPack.shingles(docs).select("doc_id", "shingle")).count()
+      }
+      time("lsh_full_query")(DedupPack.queries("q_dedup_minhash_lsh")(spark, d).count())
+      time("jaccard_full_query")(TextPack.queries("q_dedup_ngram_jaccard")(spark, d).count())
+      locally {
+        val sig = DedupPack.bandSignatures(DedupPack.minhashSignatures(docs))
+        val a = sig.select(col("doc_id").as("doc1"), col("band"), col("sig"))
+        val b = sig.select(col("doc_id").as("doc2"), col("band"), col("sig"))
+        val cand = a.join(b, Seq("band", "sig")).filter(col("doc1") < col("doc2"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
+        time("lsh_candidates_only")(cand.count())
+        val shd = TextPack.shingles(docs).select("doc_id", "shingle")
+        val inter = shd.select(col("doc_id").as("doc1"), col("shingle"))
+          .join(shd.select(col("doc_id").as("doc2"), col("shingle")), "shingle")
+          .filter(col("doc1") < col("doc2"))
+          .join(cand.select("doc1", "doc2"), Seq("doc1", "doc2"), "leftsemi")
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+        time("lsh_inter_only")(inter.count())
+      }
+    }
+    spark.stop()
+  }
+}
