@@ -23,9 +23,14 @@ object TpchPack extends QueryPack {
   private def e(scale: Long, c: org.apache.spark.sql.Column) =
     sum(floor(c * scale + lit(0.5)))
 
+  /** The cut as a pushdown-friendly NTZ literal: comparing the raw column
+    * beats unix_millis(cast(...)), which blocks parquet predicate pushdown.
+    */
+  private val CutTs = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => {
-      val l = Tables.lineitem(s, d).filter(unix_millis(col("l_shipdate").cast("timestamp")) <= CutMs)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") <= CutTs)
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
       l.groupBy("l_returnflag", "l_linestatus")
@@ -48,10 +53,10 @@ object TpchPack extends QueryPack {
     "q3_shipping_priority" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
-      val o = Tables.orders(s, d).filter(unix_millis(col("o_orderdate").cast("timestamp")) < CutMs)
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < CutTs)
         .select(col("o_orderkey"), col("o_custkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"), col("o_orderpriority"))
-      val l = Tables.lineitem(s, d).filter(unix_millis(col("l_shipdate").cast("timestamp")) > CutMs)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > CutTs)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Prints formatted physical plans for headline queries and greps the
+  * properties that matter at scale: parquet filter pushdown, pruned read
+  * schemas, broadcast joins on dimension tables, whole-stage codegen
+  * coverage. `runMain graft.tools.ExplainAudit <sfDir> [query...]`.
+  */
+object ExplainAudit {
+  val Headliners = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q_ohlcv_1min", "q_backtest_ma_cross", "q_asof_join",
+    "q_dedup_ngram_jaccard", "q_ann_cosine_topk")
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Headliners
+    val spark = GraftSession.get("explain-audit")
+    names.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val scans = plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema")).map(_.trim).toSeq
+      val joins = plan.linesIterator.filter(_.contains("Join")).map(_.trim.takeWhile(_ != '(')).toSeq
+      // execute so AQE finalizes; codegen stages appear as *(n) markers
+      val df2 = SparkEntry.queries(name)(spark, d)
+      df2.collect()
+      val finalPlan = df2.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
+      println(s"==== $name")
+      scans.foreach(l => println(s"  scan: ${l.take(160)}"))
+      joins.distinct.foreach(l => println(s"  join: $l"))
+      println(s"  codegen spans: $codegenSpans")
+    }
+    spark.stop()
+  }
+}
