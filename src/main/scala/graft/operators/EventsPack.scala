@@ -67,6 +67,9 @@ object EventsPack extends QueryPack {
         .filter(col("level_rank") <= 5)
         .select("symbol", "side", "level_rank", "price_level", "total_qty", "n_orders")
         .orderBy("symbol", "side", "level_rank")),
+    "q_order_match_sim" -> ((s, d) =>
+      OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
+        .toDF().orderBy("symbol", "seq")),
     "q_order_book_summary" -> ((s, d) =>
       bookLevels(s, d).groupBy("symbol")
         .agg(

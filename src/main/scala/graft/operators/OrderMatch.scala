@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Price-time-priority limit-order matching.
+  *
+  * Reference: order_book.py:206 EventDrivenSimulator (submit → match loop,
+  * _match_orders :427). Matching is inherently sequential per symbol, so
+  * the Spark shape is `groupByKey(symbol).flatMapGroups`: state lives
+  * inside one task per symbol, symbols parallelize across the cluster,
+  * and nothing is collected to the driver. Output is deterministic given
+  * the (ts, event_id) total order of arrivals.
+  */
+object OrderMatch {
+
+  case class LimitOrder(symbol: String, ts: Long, event_id: Long, side: String,
+                        price: Double, qty: Double)
+  case class Fill(symbol: String, seq: Long, buy_event_id: Long, sell_event_id: Long,
+                  price: Double, qty: Double)
+
+  /** Match one symbol's order flow (price-time priority; trades print at
+    * the resting order's price).
+    */
+  def matchSymbol(symbol: String, orders: Iterator[LimitOrder]): Iterator[Fill] = {
+    // buy book: best = highest price, then earliest; sell book: lowest price, then earliest
+    implicit val buyOrd: Ordering[LimitOrder] =
+      Ordering.by((o: LimitOrder) => (o.price, -o.ts, -o.event_id))
+    val buys = mutable.PriorityQueue.empty[LimitOrder]
+    val sells = mutable.PriorityQueue.empty[LimitOrder](
+      Ordering.by((o: LimitOrder) => (-o.price, -o.ts, -o.event_id)))
+    val fills = mutable.ArrayBuffer.empty[Fill]
+    var seq = 0L
+
+    orders.toSeq.sortBy(o => (o.ts, o.event_id)).foreach { o =>
+      var remaining = o.qty
+      if (o.side == "buy") {
+        while (remaining > 0 && sells.nonEmpty && sells.head.price <= o.price) {
+          val resting = sells.dequeue()
+          val traded = math.min(remaining, resting.qty)
+          seq += 1
+          fills += Fill(symbol, seq, o.event_id, resting.event_id, resting.price, traded)
+          remaining -= traded
+          if (resting.qty > traded) sells.enqueue(resting.copy(qty = resting.qty - traded))
+        }
+        if (remaining > 0) buys.enqueue(o.copy(qty = remaining))
+      } else {
+        while (remaining > 0 && buys.nonEmpty && buys.head.price >= o.price) {
+          val resting = buys.dequeue()
+          val traded = math.min(remaining, resting.qty)
+          seq += 1
+          fills += Fill(symbol, seq, resting.event_id, o.event_id, resting.price, traded)
+          remaining -= traded
+          if (resting.qty > traded) buys.enqueue(resting.copy(qty = resting.qty - traded))
+        }
+        if (remaining > 0) sells.enqueue(o.copy(qty = remaining))
+      }
+    }
+    fills.iterator
+  }
+
+  def run(orders: Dataset[LimitOrder]): Dataset[Fill] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.groupByKey(_.symbol).flatMapGroups((sym, it) => matchSymbol(sym, it))
+  }
+
+  /** The tick feed as synthetic limit orders (side by user parity). */
+  def ordersFromTicks(ticks: DataFrame): Dataset[LimitOrder] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.select(
+      col("symbol"),
+      col("ts"),
+      col("event_id"),
+      when(col("user_id") % 2 === 0, "buy").otherwise("sell").as("side"),
+      col("price"),
+      col("volume").as("qty")).as[LimitOrder]
+  }
+}

@@ -39,6 +39,7 @@ object TpchPack extends QueryPack {
           e(100L, col("l_extendedprice")).as("base_e2"),
           e(10000L, discPrice).as("disc_e4"),
           e(1000000L, charge).as("charge_e6"),
+          e(100L, col("l_discount")).as("disc_e2"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           (col("qty_e2") / 100.0).as("sum_qty"),
@@ -47,6 +48,7 @@ object TpchPack extends QueryPack {
           (col("charge_e6") / 1000000.0).as("sum_charge"),
           (col("qty_e2") / 100.0 / col("count_order")).as("avg_qty"),
           (col("base_e2") / 100.0 / col("count_order")).as("avg_price"),
+          (col("disc_e2") / 100.0 / col("count_order")).as("avg_disc"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -106,6 +108,7 @@ object TpchPack extends QueryPack {
          |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
          |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_qty,
          |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price,
+         |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem WHERE epoch_ms(l_shipdate) <= $CutMs
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
