@@ -11,6 +11,7 @@ object SparkEntry {
     graft.backtest.BacktestPack,
     graft.backtest.RiskPack,
     graft.backtest.PortfolioPack,
+    graft.backtest.ExtrasPack,
     graft.operators.DerivativesPack,
     graft.operators.EventsPack,
     graft.operators.TpchPack,

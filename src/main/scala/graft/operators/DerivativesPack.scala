@@ -65,6 +65,30 @@ object DerivativesPack extends QueryPack {
           Port.r(col("k") + (col("call") + col("put")), 4).as("st_upper_breakeven"),
           Port.r(col("k") - (col("call") + col("put")), 4).as("st_lower_breakeven"))
         .orderBy("id")),
+    "q_iron_condor" -> ((s, d) => {
+      import s.implicits._
+      val legsDf = Seq(("lp", 0.9), ("up", 0.95), ("lc", 1.05), ("uc", 1.1)).toDF("leg", "mult")
+      val legs = grid(s, d).drop("k").crossJoin(broadcast(legsDf))
+        .withColumn("k", col("s") * col("mult"))
+      val priced = BlackScholes.withPricing(legs)
+      priced.groupBy("id", "s", "t", "sigma")
+        .agg(
+          max(when(col("leg") === "lp", col("put"))).as("put_lp"),
+          max(when(col("leg") === "up", col("put"))).as("put_up"),
+          max(when(col("leg") === "lc", col("call"))).as("call_lc"),
+          max(when(col("leg") === "uc", col("call"))).as("call_uc"),
+          max(when(col("leg") === "lp", col("k"))).as("k_lp"),
+          max(when(col("leg") === "up", col("k"))).as("k_up"),
+          max(when(col("leg") === "lc", col("k"))).as("k_lc"))
+        .withColumn("net_credit_raw",
+          (-col("put_lp") + col("put_up") + col("call_lc") - col("call_uc")) * 100)
+        .select(col("id"), col("s"), col("t"), col("sigma"),
+          Port.r(col("net_credit_raw"), 4).as("net_credit"),
+          Port.r(((col("k_up") - col("k_lp")) - col("net_credit_raw") / 100) * 100, 4).as("max_loss"),
+          Port.r(col("k_up") - col("net_credit_raw") / 100, 4).as("lower_breakeven"),
+          Port.r(col("k_lc") + col("net_credit_raw") / 100, 4).as("upper_breakeven"))
+        .orderBy("id")
+    }),
     "q_futures_calc" -> ((s, d) =>
       // contracts derive from orders: entry := totalprice/100 at order date,
       // current := entry*(1±drift by priority), size 50, qty 1+key%10.
@@ -113,6 +137,40 @@ object DerivativesPack extends QueryPack {
          |       floor((k + (call + put)) * 1e4 + 0.5) / 1e4 AS st_upper_breakeven,
          |       floor((k - (call + put)) * 1e4 + 0.5) / 1e4 AS st_lower_breakeven
          |FROM priced ORDER BY id""".stripMargin,
+    "q_iron_condor" ->
+      s"""WITH legsrc AS (
+         |  SELECT p_partkey AS id, p_retailprice AS s,
+         |         CAST(1 + p_partkey % 24 AS DOUBLE) / 12.0 AS t,
+         |         0.15 + CAST(p_partkey % 20 AS DOUBLE) * 0.01 AS sigma
+         |  FROM part
+         |),
+         |grid AS (
+         |  SELECT id, s, t, sigma, leg, s * mult AS k
+         |  FROM legsrc CROSS JOIN (VALUES ('lp', 0.9), ('up', 0.95),
+         |                                 ('lc', 1.05), ('uc', 1.1)) l(leg, mult)
+         |),
+         |${BlackScholes.pricedSql},
+         |agg AS (
+         |  SELECT id, s, t, sigma,
+         |         max(CASE WHEN leg = 'lp' THEN put END) AS put_lp,
+         |         max(CASE WHEN leg = 'up' THEN put END) AS put_up,
+         |         max(CASE WHEN leg = 'lc' THEN call END) AS call_lc,
+         |         max(CASE WHEN leg = 'uc' THEN call END) AS call_uc,
+         |         max(CASE WHEN leg = 'lp' THEN k END) AS k_lp,
+         |         max(CASE WHEN leg = 'up' THEN k END) AS k_up,
+         |         max(CASE WHEN leg = 'lc' THEN k END) AS k_lc
+         |  FROM priced GROUP BY 1, 2, 3, 4
+         |),
+         |cr AS (
+         |  SELECT *, (-put_lp + put_up + call_lc - call_uc) * 100 AS net_credit_raw
+         |  FROM agg
+         |)
+         |SELECT id, s, t, sigma,
+         |       floor(net_credit_raw * 1e4 + 0.5) / 1e4 AS net_credit,
+         |       floor(((k_up - k_lp) - net_credit_raw / 100) * 100 * 1e4 + 0.5) / 1e4 AS max_loss,
+         |       floor((k_up - net_credit_raw / 100) * 1e4 + 0.5) / 1e4 AS lower_breakeven,
+         |       floor((k_lc + net_credit_raw / 100) * 1e4 + 0.5) / 1e4 AS upper_breakeven
+         |FROM cr ORDER BY id""".stripMargin,
     "q_futures_calc" ->
       """WITH f AS (
         |  SELECT o_orderkey AS id,

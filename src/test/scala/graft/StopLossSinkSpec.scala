@@ -1,0 +1,55 @@
+package graft
+
+import graft.backtest.StopLoss
+import graft.backtest.StopLoss.SignalBar
+import graft.etl.Normalizer
+import graft.sources.ParquetSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StopLossSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("trailing stop exits when price retraces past the trail from the peak") {
+    val trades = StopLoss.trailingScan("A", Iterator(
+      SignalBar("A", 1L, 100.0, 1),  // enter
+      SignalBar("A", 2L, 110.0, 1),  // peak 110
+      SignalBar("A", 3L, 107.0, 1)   // 107 < 110*0.98=107.8 → stop
+    ), trailPct = 0.02).toSeq
+    assert(trades.size == 1)
+    val t = trades.head
+    assert(t.exit_reason == "trailing_stop" && t.peak_px == 110.0 && t.exit_px == 107.0)
+  }
+
+  test("signal exit and end-of-data exits are labeled; invariants hold on real data") {
+    val trades = StopLoss.run(
+      graft.backtest.Signals.maCross(
+        graft.operators.Bars.ohlcv(Tables.ticks(spark, TestSpark.Sf), 60))).collect()
+    assert(trades.nonEmpty)
+    trades.foreach { t =>
+      assert(t.exit_ms >= t.entry_ms)
+      assert(t.peak_px >= t.entry_px)
+      assert(Set("trailing_stop", "signal_exit", "end_of_data")(t.exit_reason))
+      if (t.exit_reason == "trailing_stop") assert(t.exit_px <= t.peak_px * 0.98 + 1e-9)
+    }
+  }
+}
+
+class ParquetSinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("partitioned sink roundtrip + pruned latest-trades read") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val trades = Normalizer.trades(Tables.events(spark, TestSpark.Sf))
+    ParquetSink.writeTrades(trades, dir)
+    val back = ParquetSink.readTrades(spark, dir)
+    assert(back.count() == trades.count())
+    // symbol filter must prune partition directories before IO
+    val plan = back.filter(col("symbol") === "click").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(symbol"), plan.take(500))
+    val latest = ParquetSink.latestTrades(spark, dir, "click", 5).collect()
+    assert(latest.length == 5)
+    assert(latest.map(_.getAs[Long]("ts_ms")).toSeq == latest.map(_.getAs[Long]("ts_ms")).sorted.reverse.toSeq)
+  }
+}
