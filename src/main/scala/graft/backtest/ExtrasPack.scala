@@ -19,25 +19,30 @@ object ExtrasPack extends QueryPack {
   private def bars1m(s: SparkSession, d: String): DataFrame =
     Bars.ohlcv(Tables.ticks(s, d), 60)
 
-  /** EMA via a bounded 60-tap window: a rank-range self-join weighted by
-    * (1-α)^lag, normalized — the set-level form of pandas ewm(span)
-    * (adjusted weights, truncated where weights < 1e-6; exact-infinite
-    * EWM is streaming state, not a set operator).
+  /** EMA via a bounded 60-tap weighted sum of window lags — one sort per
+    * symbol, no join (a rank-range self-join explodes to |bars|² per
+    * symbol before its range filter). The tap sums are fixed-order `+`
+    * chains, so both engines compute bit-identical doubles. This is the
+    * set-level form of pandas ewm(span) with adjusted weights truncated at
+    * 60 lags (weight < 1e-6); exact-infinite EWM is streaming state.
     */
-  private def emaCols(bars: DataFrame, spans: Seq[Int], taps: Int = 60): DataFrame = {
-    val rnb = Signals.withRn(bars).select("symbol", "bucket_ms", "rn", "close")
-    val a = rnb.select(col("symbol"), col("rn"), col("bucket_ms"))
-    val b = rnb.select(col("symbol").as("symbol2"), col("rn").as("rn2"), col("close").as("close2"))
-    val joined = a.join(b,
-      col("symbol") === col("symbol2") &&
-        col("rn2") <= col("rn") && col("rn2") > col("rn") - taps)
-      .withColumn("lag", col("rn") - col("rn2"))
-    val aggs = spans.map { span =>
+  private[backtest] val EmaTaps = 60
+
+  private def emaCols(bars: DataFrame, spans: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val lags = (0 until EmaTaps).map(k => lag(col("close"), k).over(w))
+    val withEmas = spans.foldLeft(bars) { (df, span) =>
       val alpha = 2.0 / (span + 1)
-      val w = pow(lit(1.0 - alpha), col("lag"))
-      (sum(w * col("close2")) / sum(w)).as(s"ema$span")
+      val weights = (0 until EmaTaps).map(k => math.pow(1.0 - alpha, k))
+      val num = lags.zip(weights).map { case (l, wt) =>
+        when(l.isNotNull, l * wt).otherwise(0.0)
+      }.reduce(_ + _)
+      val den = lags.zip(weights).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(0.0)
+      }.reduce(_ + _)
+      df.withColumn(s"ema$span", num / den)
     }
-    joined.groupBy("symbol", "bucket_ms", "rn").agg(aggs.head, aggs.tail: _*)
+    withEmas.select("symbol", "bucket_ms", "ema12", "ema26")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,9 +92,20 @@ object ExtrasPack extends QueryPack {
     })
   )
 
-  private def emaAggSql(span: Int): String = {
+  /** The matching 60-term lag chain in DuckDB SQL (weights embedded as the
+    * same Scala-computed double literals; left-assoc + chain like reduce).
+    */
+  private def emaSql(span: Int): String = {
     val alpha = 2.0 / (span + 1)
-    s"sum(pow(1.0 - $alpha, lag) * close2) / sum(pow(1.0 - $alpha, lag))"
+    val num = (0 until EmaTaps).map { k =>
+      val wt = math.pow(1.0 - alpha, k)
+      s"(CASE WHEN lag(close, $k) OVER w IS NOT NULL THEN lag(close, $k) OVER w * CAST($wt AS DOUBLE) ELSE 0.0 END)"
+    }.mkString(" + ")
+    val den = (0 until EmaTaps).map { k =>
+      val wt = math.pow(1.0 - alpha, k)
+      s"(CASE WHEN lag(close, $k) OVER w IS NOT NULL THEN CAST($wt AS DOUBLE) ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"($num) / ($den)"
   }
 
   def oracles: Map[String, String] = Map(
@@ -126,19 +142,11 @@ object ExtrasPack extends QueryPack {
          |FROM votes ORDER BY symbol, bucket_ms""".stripMargin,
     "q_ema_macd" ->
       s"""WITH ${QueryPack.BarsCte},
-         |rnb AS (SELECT symbol, bucket_ms, close,
-         |               row_number() OVER (PARTITION BY symbol ORDER BY bucket_ms) AS rn
-         |        FROM bars),
-         |joined AS (
-         |  SELECT a.symbol, a.bucket_ms, a.rn, a.rn - b.rn AS lag, b.close AS close2
-         |  FROM rnb a JOIN rnb b
-         |    ON a.symbol = b.symbol AND b.rn <= a.rn AND b.rn > a.rn - 60
-         |),
          |emas AS (
-         |  SELECT symbol, bucket_ms, rn,
-         |         ${emaAggSql(12)} AS ema12,
-         |         ${emaAggSql(26)} AS ema26
-         |  FROM joined GROUP BY symbol, bucket_ms, rn
+         |  SELECT symbol, bucket_ms,
+         |         ${emaSql(12)} AS ema12,
+         |         ${emaSql(26)} AS ema26
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
          |)
          |SELECT symbol, bucket_ms,
          |       floor(ema12 * 1e6 + 0.5) / 1e6 AS ema12,

@@ -1,0 +1,28 @@
+package graft.plans
+
+import graft.functions.NormCdfExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension registering graft's native expressions with the SQL
+  * function registry, so `spark.sql("SELECT norm_cdf(x) ...")` resolves to
+  * the codegen'd Catalyst expression.
+  *
+  * Install with:
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("norm_cdf"),
+      new ExpressionInfo(classOf[NormCdfExpr].getName, "norm_cdf"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "norm_cdf takes exactly one argument")
+        NormCdfExpr(children.head)
+      }))
+  }
+}
