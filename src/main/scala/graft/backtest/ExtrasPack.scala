@@ -70,6 +70,18 @@ object ExtrasPack extends QueryPack {
           Port.r(col("ema12"), 6).as("ema12"),
           Port.r(col("ema26"), 6).as("ema26"), col("macd"))
         .orderBy("symbol", "bucket_ms")),
+    "q_feature_sequences" -> ((s, d) => {
+      // DL input windows (ml_strategy.py:223 create_sequences): last-10
+      // close sequence per bar as fixed feature columns
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val withLags = (0 until 10).foldLeft(Signals.withRn(bars1m(s, d))) { (df, k) =>
+        df.withColumn(s"f$k", lag(col("close"), 9 - k).over(w))
+      }
+      withLags.filter(col("rn") >= 10)
+        .select(Seq(col("symbol"), col("bucket_ms")) ++
+          (0 until 10).map(k => col(s"f$k")): _*)
+        .orderBy("symbol", "bucket_ms")
+    }),
     "q_trailing_stops" -> ((s, d) =>
       // rows-only: the trailing state is path-dependent (typed per-symbol
       // scan); StopLossSpec pins the invariants
@@ -153,6 +165,18 @@ object ExtrasPack extends QueryPack {
          |       floor(ema26 * 1e6 + 0.5) / 1e6 AS ema26,
          |       floor((ema12 - ema26) * 1e6 + 0.5) / 1e6 AS macd
          |FROM emas ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_feature_sequences" -> {
+      val lagCols = (0 until 10).map(k => s"lag(close, ${9 - k}) OVER w AS f$k").mkString(",\n         |       ")
+      s"""WITH ${QueryPack.BarsCte},
+         |seq AS (
+         |  SELECT symbol, bucket_ms,
+         |       row_number() OVER w AS rn,
+         |       $lagCols
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |)
+         |SELECT symbol, bucket_ms, f0, f1, f2, f3, f4, f5, f6, f7, f8, f9
+         |FROM seq WHERE rn >= 10 ORDER BY symbol, bucket_ms""".stripMargin
+    },
     "q_fixed_risk_sizing" ->
       s"""WITH ${QueryPack.BarsCte},
          |rnb AS (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY bucket_ms) AS rn

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feed normalization: raw heterogeneous records → standard trade/quote
@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * scan down to the four needed columns.
   */
 object Normalizer {
+
+  /** Epoch-magnitude timestamp coercion → epoch millis
+    * (normalizer.py:29-36: seconds vs milliseconds sniffing, extended to
+    * µs/ns). Integer `div` keeps ns exact (doubles lose precision past
+    * 2^53). Takes a column name so the generated SQL stays integral.
+    */
+  def coerceTsMs(c: String): Column =
+    expr(s"""CASE WHEN $c > 10000000000000000 THEN $c div 1000000
+            |     WHEN $c > 10000000000000 THEN $c div 1000
+            |     WHEN $c > 10000000000 THEN $c
+            |     ELSE $c * 1000 END""".stripMargin)
 
   /** Normalize the raw event feed to trades: ts_ms, symbol, price, volume,
     * feed_seq (payload key extracted from the raw json props). Rows with

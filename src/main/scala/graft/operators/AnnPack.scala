@@ -79,6 +79,20 @@ object AnnPack extends QueryPack {
         .select("q_id", "probe_label", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     }),
+    "q_dedup_embedding" -> ((s, d) => {
+      // embedding-cosine near-dup pairs within a cell (label-partitioned
+      // blocking keeps the pair space linear in cells at scale)
+      val base = emb(s, d)
+      val a = base.select(col("label"), col("vec_id").as("v1"),
+        col("e").as("e1"), col("nrm").as("n1"))
+      val b = base.select(col("label").as("label2"), col("vec_id").as("v2"),
+        col("e").as("e2"), col("nrm").as("n2"))
+      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+        .withColumn("cosine", Port.r(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+        .filter(col("cosine") >= 0.35)
+        .select("label", "v1", "v2", "cosine")
+        .orderBy("label", "v1", "v2")
+    }),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -155,6 +169,22 @@ object AnnPack extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM cos)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT label, v1, v2,
+        |       floor(dot / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM p JOIN nm x ON v1 = x.vec_id JOIN nm y ON v2 = y.vec_id
+        |WHERE floor(dot / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
+        |ORDER BY label, v1, v2""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS mime, length(text) AS byte_len,
         |       md5(text) AS content_md5,

@@ -131,6 +131,33 @@ object TextPack extends QueryPack {
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_doc_id")),
+    "q_corpus_filter" -> ((s, d) => {
+      // the composed training-corpus filter: near-dup losers out, then
+      // length and quality gates — one decision row per document
+      val docs = Tables.documents(s, d)
+      val quality = docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        size(filter(split(col("text"), " "),
+          t => t === "the" || t === "a")).cast("long").as("n_stop"))
+        .withColumn("quality",
+          least(col("n_chars") / 500.0, lit(1.0)) * 0.4 +
+            (col("n_distinct") / col("n_tokens")) * 0.3 +
+            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3)
+      val losers = queries("q_dedup_ngram_jaccard")(s, d)
+        .select(col("doc2").as("doc_id")).distinct().withColumn("is_dup", lit(1))
+      quality.join(losers, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(col("is_dup") === 1, "near_dup")
+            .when(col("n_chars") < 150, "too_short")
+            .when(col("quality") < 0.7, "low_quality")
+            .otherwise("kept"))
+        .withColumn("kept", (col("reason") === "kept").cast("int"))
+        .select("doc_id", "n_chars", "quality", "reason", "kept")
+        .orderBy("doc_id")
+    }),
     "q_dedup_ngram_jaccard" -> ((s, d) => {
       val shd = shingles(Tables.documents(s, d)).cache()
       // stopword-shingle cut: postings capped (no-op at this corpus,
@@ -223,6 +250,43 @@ object TextPack extends QueryPack {
     "q_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q_corpus_filter" ->
+      s"""WITH $ShinglesCte,
+         |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+         |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |losers AS (
+         |  SELECT DISTINCT doc2 AS doc_id
+         |  FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+         |  WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
+         |),
+         |q AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |         len(list_filter(string_split(text, ' '),
+         |                         t -> t = 'the' OR t = 'a')) AS n_stop
+         |  FROM documents
+         |),
+         |dec AS (
+         |  SELECT q.doc_id, q.n_chars,
+         |         least(q.n_chars / 500.0, 1.0) * 0.4 + (q.n_distinct / q.n_tokens) * 0.3
+         |           + (1.0 - q.n_stop / q.n_tokens) * 0.3 AS quality,
+         |         CASE WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+         |              WHEN q.n_chars < 150 THEN 'too_short'
+         |              WHEN least(q.n_chars / 500.0, 1.0) * 0.4 + (q.n_distinct / q.n_tokens) * 0.3
+         |                   + (1.0 - q.n_stop / q.n_tokens) * 0.3 < 0.7 THEN 'low_quality'
+         |              ELSE 'kept' END AS reason
+         |  FROM q LEFT JOIN losers l ON q.doc_id = l.doc_id
+         |)
+         |SELECT doc_id, n_chars, quality, reason,
+         |       CAST(reason = 'kept' AS INT) AS kept
+         |FROM dec ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,
          |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),

@@ -73,3 +73,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(3).isNullAt(out(3).fieldIndex("v"))) // B: no right row
   }
 }
+
+class NormalizerSpec extends AnyFunSuite {
+  test("coerceTsMs sniffs s/ms/us/ns magnitudes to one ms clock") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = 1704067200L // 2024-01-01 in seconds
+    val df = Seq(t, t * 1000L, t * 1000000L, t * 1000000000L).toDF("raw")
+      .select(graft.etl.Normalizer.coerceTsMs("raw").as("ms")).as[Long].collect()
+    assert(df.toSet == Set(t * 1000L))
+  }
+}
