@@ -60,3 +60,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("traded") == -100.0) // remembered the long position
   }
 }
+
+class WatermarkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("events later than the watermark are dropped from their closed window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val q = StreamingBars.bars(input.toDF().toDF("ts", "symbol", "price", "volume"),
+      barSeconds = 60, watermark = "1 minute").writeStream
+      .format("memory").queryName("wmbars").outputMode("append").start()
+    // window [0,60) gets one tick; then event-time jumps far ahead,
+    // advancing the watermark past that window's close
+    input.addData((new Timestamp(10000L), "A", 10.0, 1.0))
+    q.processAllAvailable()
+    input.addData((new Timestamp(600000L), "A", 20.0, 1.0))
+    q.processAllAvailable()
+    // a late tick for the closed [0,60) window must be ignored
+    input.addData((new Timestamp(20000L), "A", 99.0, 1.0))
+    q.processAllAvailable()
+    input.addData((new Timestamp(900000L), "A", 30.0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("wmbars").filter(col("bucket_ms") === 0L).collect()
+    assert(w0.length == 1)
+    assert(w0(0).getAs[Double]("high") == 10.0) // late 99.0 never entered
+    assert(w0(0).getAs[Long]("n_trades") == 1L)
+  }
+}
