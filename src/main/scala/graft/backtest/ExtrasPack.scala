@@ -24,7 +24,8 @@ object ExtrasPack extends QueryPack {
     * symbol before its range filter). The tap sums are fixed-order `+`
     * chains, so both engines compute bit-identical doubles. This is the
     * set-level form of pandas ewm(span) with adjusted weights truncated at
-    * 60 lags (weight < 1e-6); exact-infinite EWM is streaming state.
+    * 60 lags (residual tail weight ~1% at span 26, ~5e-5 at span 12);
+    * exact-infinite EWM is streaming state.
     */
   private[backtest] val EmaTaps = 60
 
