@@ -32,15 +32,17 @@ object ExtrasPack extends QueryPack {
   private def emaCols(bars: DataFrame, spans: Seq[Int]): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
     val lags = (0 until EmaTaps).map(k => lag(col("close"), k).over(w))
-    val withEmas = spans.foldLeft(bars) { (df, span) =>
+    val rn = Signals.withRn(bars)
+    val withEmas = spans.foldLeft(rn) { (df, span) =>
       val alpha = 2.0 / (span + 1)
-      val weights = (0 until EmaTaps).map(k => math.pow(1.0 - alpha, k))
+      val beta = 1.0 - alpha
+      val weights = (0 until EmaTaps).map(k => math.pow(beta, k))
       val num = lags.zip(weights).map { case (l, wt) =>
-        when(l.isNotNull, l * wt).otherwise(0.0)
+        coalesce(l, lit(0.0)) * wt
       }.reduce(_ + _)
-      val den = lags.zip(weights).map { case (l, wt) =>
-        when(l.isNotNull, lit(wt)).otherwise(0.0)
-      }.reduce(_ + _)
+      // the weight mass of the populated lags in closed form:
+      // Σ_{k<min(rn,taps)} β^k = (1 - β^min(rn,taps)) / (1 - β)
+      val den = (lit(1.0) - pow(lit(beta), least(col("rn"), lit(EmaTaps)).cast("double"))) / (1.0 - beta)
       df.withColumn(s"ema$span", num / den)
     }
     withEmas.select("symbol", "bucket_ms", "ema12", "ema26")
@@ -110,14 +112,12 @@ object ExtrasPack extends QueryPack {
     */
   private def emaSql(span: Int): String = {
     val alpha = 2.0 / (span + 1)
+    val beta = 1.0 - alpha
     val num = (0 until EmaTaps).map { k =>
-      val wt = math.pow(1.0 - alpha, k)
-      s"(CASE WHEN lag(close, $k) OVER w IS NOT NULL THEN lag(close, $k) OVER w * CAST($wt AS DOUBLE) ELSE 0.0 END)"
+      val wt = math.pow(beta, k)
+      s"(coalesce(lag(close, $k) OVER w, 0.0) * CAST($wt AS DOUBLE))"
     }.mkString(" + ")
-    val den = (0 until EmaTaps).map { k =>
-      val wt = math.pow(1.0 - alpha, k)
-      s"(CASE WHEN lag(close, $k) OVER w IS NOT NULL THEN CAST($wt AS DOUBLE) ELSE 0.0 END)"
-    }.mkString(" + ")
+    val den = s"(1.0 - pow(CAST($beta AS DOUBLE), CAST(least(row_number() OVER w, $EmaTaps) AS DOUBLE))) / (1.0 - CAST($beta AS DOUBLE))"
     s"($num) / ($den)"
   }
 
