@@ -142,28 +142,7 @@ object BacktestPack extends QueryPack {
          |FROM bt ORDER BY symbol, bucket_ms""".stripMargin,
     "q_perf_metrics" ->
       s"""WITH ${BtSql.WithPeakCte}
-         |SELECT symbol,
-         |  floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 1e6 + 0.5) / 1e6 AS log_total_return,
-         |  floor((exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) * 1e6 + 0.5) / 1e6 AS cagr,
-         |  floor(stddev_samp(net_returns) * sqrt(252.0) * 1e6 + 0.5) / 1e6 AS volatility,
-         |  floor(coalesce(CASE WHEN stddev_samp(net_returns - 0.02/252) != 0
-         |    THEN avg(net_returns - 0.02/252) / stddev_samp(net_returns - 0.02/252) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sharpe_ratio,
-         |  floor(coalesce(CASE WHEN stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) != 0
-         |    THEN avg(net_returns - 0.02/252) / stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sortino_ratio,
-         |  floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown,
-         |  floor(coalesce(CASE WHEN abs(min(dd)) > 0
-         |    THEN (exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) / abs(min(dd)) END, 0.0) * 1e6 + 0.5) / 1e6 AS calmar_ratio,
-         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) > 0
-         |    THEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) / sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e6 + 0.5) / 1e6 AS win_rate,
-         |  CASE WHEN abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) != 0
-         |    THEN floor(sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 END AS profit_factor,
-         |  CAST(sum(CASE WHEN prev_pos IS NOT NULL AND position != prev_pos THEN 1 ELSE 0 END) AS BIGINT) AS num_trades,
-         |  floor(sum(CASE WHEN position != 0 THEN 1.0 ELSE 0.0 END) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exposure,
-         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
-         |    THEN sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_win,
-         |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
-         |    THEN -abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) / (sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END)) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_loss
-         |FROM wp GROUP BY symbol ORDER BY symbol""".stripMargin,
+         |${BtSql.metricsSelect("symbol")}""".stripMargin,
     "q_consecutive_streaks" ->
       s"""WITH ${BtSql.MaCrossBacktestCte},
          |signed AS (

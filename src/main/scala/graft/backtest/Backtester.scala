@@ -24,8 +24,9 @@ object Backtester {
     * arithmetic (hash-exact); `log_equity` = Σ ln(1+net) is the
     * log-growth since inception (equity = InitialCash · e^log_equity).
     */
-  def run(barsWithSignal: DataFrame, costRate: Double = DefaultCostRate): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+  def run(barsWithSignal: DataFrame, costRate: Double = DefaultCostRate,
+          keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     barsWithSignal
       .withColumn("position", col("signal").cast("double"))

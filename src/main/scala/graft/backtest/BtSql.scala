@@ -51,6 +51,95 @@ object BtSql {
   /** 1-min ma-cross backtest chain. */
   val MaCrossBacktestCte: String = maCrossChain(60)
 
+  /** The full 14-metric SELECT over a `wp` CTE, grouped by `groupCols`
+    * (mirror of graft.backtest.Metrics.compute).
+    */
+  def metricsSelect(groupCols: String): String =
+    s"""SELECT $groupCols,
+       |  floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 1e6 + 0.5) / 1e6 AS log_total_return,
+       |  floor((exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) * 1e6 + 0.5) / 1e6 AS cagr,
+       |  floor(stddev_samp(net_returns) * sqrt(252.0) * 1e6 + 0.5) / 1e6 AS volatility,
+       |  floor(coalesce(CASE WHEN stddev_samp(net_returns - 0.02/252) != 0
+       |    THEN avg(net_returns - 0.02/252) / stddev_samp(net_returns - 0.02/252) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sharpe_ratio,
+       |  floor(coalesce(CASE WHEN stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) != 0
+       |    THEN avg(net_returns - 0.02/252) / stddev_samp(CASE WHEN net_returns - 0.02/252 < 0 THEN net_returns - 0.02/252 END) * sqrt(252.0) END, 0.0) * 1e6 + 0.5) / 1e6 AS sortino_ratio,
+       |  floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown,
+       |  floor(coalesce(CASE WHEN abs(min(dd)) > 0
+       |    THEN (exp(sum(ln(1.0 + greatest(net_returns, -0.9999))) * 252.0 / CAST(count(*) AS DOUBLE)) - 1) / abs(min(dd)) END, 0.0) * 1e6 + 0.5) / 1e6 AS calmar_ratio,
+       |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) > 0
+       |    THEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) / sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e6 + 0.5) / 1e6 AS win_rate,
+       |  CASE WHEN abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) != 0
+       |    THEN floor(sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 END AS profit_factor,
+       |  CAST(sum(CASE WHEN prev_pos IS NOT NULL AND position != prev_pos THEN 1 ELSE 0 END) AS BIGINT) AS num_trades,
+       |  floor(sum(CASE WHEN position != 0 THEN 1.0 ELSE 0.0 END) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exposure,
+       |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+       |    THEN sum(CASE WHEN net_returns > 0 THEN net_returns ELSE 0.0 END) / sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_win,
+       |  floor(coalesce(CASE WHEN sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END) > 0
+       |    THEN -abs(sum(CASE WHEN net_returns < 0 THEN net_returns ELSE 0.0 END)) / (sum(CASE WHEN net_returns != 0 THEN 1.0 ELSE 0.0 END) - sum(CASE WHEN net_returns > 0 THEN 1.0 ELSE 0.0 END)) END, 0.0) * 1e8 + 0.5) / 1e8 AS average_loss
+       |FROM wp GROUP BY $groupCols ORDER BY $groupCols""".stripMargin
+
+  /** Stacked three-strategy chain keyed by (strategy, symbol): signals →
+    * UNION ALL → vectorized backtest → peak/drawdown (final CTE: wp).
+    */
+  val StackedStrategiesWithPeakCte: String =
+    graft.QueryPack.BarsCte + """,
+      |sigall AS (
+      |  SELECT symbol, bucket_ms, close,
+      |         row_number() OVER w AS rn,
+      |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
+      |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma,
+      |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
+      |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+      |         lag(close, 20) OVER w AS lag20
+      |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+      |),
+      |stacked AS (
+      |  SELECT 'ma_cross' AS strategy, symbol, bucket_ms, close,
+      |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS signal
+      |  FROM sigall
+      |  UNION ALL
+      |  SELECT 'mean_reversion', symbol, bucket_ms, close,
+      |         CASE WHEN rn < 20 THEN 0
+      |              WHEN (close - mu20) / sd20 < -2.0 THEN 1
+      |              WHEN (close - mu20) / sd20 > 2.0 THEN -1 ELSE 0 END
+      |  FROM sigall
+      |  UNION ALL
+      |  SELECT 'momentum', symbol, bucket_ms, close,
+      |         CASE WHEN rn <= 20 THEN 0
+      |              WHEN close / lag20 - 1 > 0.02 THEN 1
+      |              WHEN close / lag20 - 1 < -0.02 THEN -1 ELSE 0 END
+      |  FROM sigall
+      |),
+      |bt0 AS (
+      |  SELECT strategy, symbol, bucket_ms, close, signal,
+      |         CAST(signal AS DOUBLE) AS position,
+      |         CAST(signal AS DOUBLE) - coalesce(lag(CAST(signal AS DOUBLE)) OVER w, 0.0) AS trade,
+      |         coalesce(close / lag(close) OVER w - 1, 0.0) AS returns,
+      |         coalesce(lag(CAST(signal AS DOUBLE)) OVER w, 0.0)
+      |           * coalesce(close / lag(close) OVER w - 1, 0.0) AS strategy_returns
+      |  FROM stacked WINDOW w AS (PARTITION BY strategy, symbol ORDER BY bucket_ms)
+      |),
+      |bt1 AS (
+      |  SELECT *, abs(trade) * 0.0015 AS costs,
+      |         strategy_returns - abs(trade) * 0.0015 AS net_returns
+      |  FROM bt0
+      |),
+      |bt AS (
+      |  SELECT *,
+      |         floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) OVER (
+      |           PARTITION BY strategy, symbol ORDER BY bucket_ms
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
+      |  FROM bt1
+      |),
+      |wp AS (
+      |  SELECT *,
+      |         max(log_equity) OVER cum AS log_peak,
+      |         exp(log_equity - max(log_equity) OVER cum) - 1 AS dd,
+      |         lag(position) OVER (PARTITION BY strategy, symbol ORDER BY bucket_ms) AS prev_pos
+      |  FROM bt WINDOW cum AS (PARTITION BY strategy, symbol ORDER BY bucket_ms
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
   /** bt + running equity peak / drawdown / previous position. */
   val WithPeakCte: String =
     MaCrossBacktestCte + """,

@@ -73,6 +73,20 @@ object ExtrasPack extends QueryPack {
           Port.r(col("ema12"), 6).as("ema12"),
           Port.r(col("ema26"), 6).as("ema26"), col("macd"))
         .orderBy("symbol", "bucket_ms")),
+    "q_strategy_comparison" -> ((s, d) => {
+      // the flagship backtesting workflow: every strategy × every metric
+      // in one distributed pass (BacktestEngine.run over each strategy in
+      // the reference, here a stacked union keyed by (strategy, symbol))
+      val base = bars1m(s, d)
+      val stacked =
+        Signals.maCross(base).withColumn("strategy", lit("ma_cross"))
+          .unionByName(Signals.meanReversion(base).withColumn("strategy", lit("mean_reversion")))
+          .unionByName(Signals.momentum(base).withColumn("strategy", lit("momentum")))
+          .select("strategy", "symbol", "bucket_ms", "close", "signal")
+      val keys = Seq("strategy", "symbol")
+      Metrics.compute(Backtester.run(stacked, keys = keys), keys = keys)
+        .orderBy("strategy", "symbol")
+    }),
     "q_feature_sequences" -> ((s, d) => {
       // DL input windows (ml_strategy.py:223 create_sequences): last-10
       // close sequence per bar as fixed feature columns
@@ -126,6 +140,9 @@ object ExtrasPack extends QueryPack {
       s"""WITH ${QueryPack.BarsCte}
          |SELECT symbol, bucket_ms, close, 1 AS signal
          |FROM bars ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_strategy_comparison" ->
+      s"""WITH ${BtSql.StackedStrategiesWithPeakCte}
+         |${BtSql.metricsSelect("strategy, symbol")}""".stripMargin,
     "q_signal_ensemble" ->
       s"""WITH ${QueryPack.BarsCte},
          |sig AS (

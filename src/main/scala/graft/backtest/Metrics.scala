@@ -19,14 +19,14 @@ object Metrics {
   val RiskFree = 0.02
   val RfPerPeriod: Double = RiskFree / PeriodsPerYear
 
-  def compute(backtest: DataFrame): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+  def compute(backtest: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
       .rowsBetween(Window.unboundedPreceding, 0)
     val withPeak = backtest
       .withColumn("log_peak", max(col("log_equity")).over(w))
       .withColumn("dd", exp(col("log_equity") - col("log_peak")) - 1)
       .withColumn("prev_pos", lag(col("position"), 1).over(
-        Window.partitionBy("symbol").orderBy("bucket_ms")))
+        Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")))
 
     val net = col("net_returns")
     val excess = net - RfPerPeriod
@@ -47,7 +47,7 @@ object Metrics {
     def z(c: Column): Column = coalesce(c, lit(0.0))
 
     withPeak
-      .groupBy("symbol")
+      .groupBy(keys.map(col): _*)
       .agg(
         Port.r(logTotal, 6).as("log_total_return"),
         Port.r(cagr, 6).as("cagr"),
