@@ -19,7 +19,6 @@ object BacktestPack extends QueryPack {
   private def btMaCross(s: SparkSession, d: String): DataFrame =
     Backtester.run(Signals.maCross(bars1m(s, d)))
 
-  private val sigCols = Seq("symbol", "bucket_ms", "close", "rn", "signal")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_signal_ma_cross" -> ((s, d) =>

@@ -1,7 +1,6 @@
 package graft.etl
 
 import graft.{QueryPack, Tables}
-import graft.functions.Port
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
