@@ -67,6 +67,22 @@ object EventsPack extends QueryPack {
         .filter(col("level_rank") <= 5)
         .select("symbol", "side", "level_rank", "price_level", "total_qty", "n_orders")
         .orderBy("symbol", "side", "level_rank")),
+    "q_retention_cohorts" -> ((s, d) => {
+      // weekly cohort retention: users grouped by first-seen week, distinct
+      // activity counted per week offset
+      val wk = expr("ts div 604800000000000").as("wk") // ns → week index
+      val activity = Tables.events(s, d).select(col("user_id"), wk).distinct()
+      val cohorts = activity.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select((col("cohort_wk") * 604800000L).as("cohort_week_ms"),
+          col("week_offset"), col("n_active"), col("cohort_size"),
+          (col("n_active") / col("cohort_size")).as("retention"))
+        .orderBy("cohort_week_ms", "week_offset")
+    }),
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),
@@ -156,6 +172,22 @@ object EventsPack extends QueryPack {
          |SELECT t.symbol, t.ts_ms, t.price, b.close AS prev_hour_close
          |FROM t ASOF LEFT JOIN b ON t.symbol = b.symbol AND t.ts_ms >= b.avail_ms
          |ORDER BY t.symbol, t.ts_ms, t.price""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events
+        |),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id),
+        |sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM cohorts GROUP BY cohort_wk),
+        |ret AS (
+        |  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset, count(*) AS n_active
+        |  FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_wk * 604800000 AS cohort_week_ms, r.week_offset,
+        |       r.n_active, s.cohort_size,
+        |       r.n_active / s.cohort_size AS retention
+        |FROM ret r JOIN sizes s ON r.cohort_wk = s.cohort_wk
+        |ORDER BY cohort_week_ms, week_offset""".stripMargin,
     "q_order_book_depth" ->
       s"""WITH $LevelsCte
          |SELECT symbol, side, level_rank, price_level, total_qty, n_orders FROM (
