@@ -206,11 +206,11 @@ object AnnPack extends QueryPack {
         |WHERE floor(dot / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
         |ORDER BY label, v1, v2""".stripMargin,
     "q_media_metadata" ->
-      """SELECT doc_id, 'text/plain' AS mime, length(text) AS byte_len,
+      """SELECT doc_id, 'text/plain' AS mime, octet_length(CAST(text AS BLOB)) AS byte_len,
         |       md5(text) AS content_md5,
-        |       64 + length(text) % 576 AS width,
-        |       64 + (length(text) * 7) % 416 AS height,
-        |       1 + length(text) % 30 AS n_frames
+        |       64 + octet_length(CAST(text AS BLOB)) % 576 AS width,
+        |       64 + (octet_length(CAST(text AS BLOB)) * 7) % 416 AS height,
+        |       1 + octet_length(CAST(text AS BLOB)) % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

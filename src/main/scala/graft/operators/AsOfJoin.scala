@@ -23,6 +23,9 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, partCol: String,
                timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val clash = valueCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"valueCols must be disjoint from left's columns, clash: ${clash.mkString(",")}")
     val leftTagged = valueCols
       .foldLeft(left.withColumn("_tag", lit(1))) { (df, v) =>
         df.withColumn(v, lit(null).cast(right.schema(v).dataType))
@@ -40,7 +43,11 @@ object AsOfJoin {
         extraLeftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
       .unionByName(leftTagged)
 
-    val w = Window.partitionBy(partCol).orderBy(col(timeCol), col("_tag"))
+    // Tiebreaker: among right rows sharing (partCol, timeCol) the
+    // greatest valueCols tuple wins (documented, deterministic) — without
+    // it the last-ignore-nulls pick depends on shuffle arrival order.
+    val w = Window.partitionBy(partCol)
+      .orderBy(col(timeCol) +: col("_tag") +: valueCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = valueCols.foldLeft(unioned) { (df, v) =>
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w))

@@ -20,8 +20,11 @@ object TpchPack extends QueryPack {
   /** 1998-06-01 UTC in epoch millis — the Q1/Q3 date cut. */
   private val CutMs = 896659200000L
 
+  /** Long sums are exact to 2^63 and match the oracle's BIGINT arithmetic;
+    * summing the floor() doubles would silently lose exactness past 2^53.
+    */
   private def e(scale: Long, c: org.apache.spark.sql.Column) =
-    sum(floor(c * scale + lit(0.5)))
+    sum(floor(c * scale + lit(0.5)).cast("long"))
 
   /** The cut as a pushdown-friendly NTZ literal: comparing the raw column
     * beats unix_millis(cast(...)), which blocks parquet predicate pushdown.
