@@ -86,6 +86,9 @@ object EventsPack extends QueryPack {
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),
+    "q_order_lifecycle" -> ((s, d) =>
+      OrderLifecycle.run(OrderLifecycle.eventsFromTicks(Tables.ticks(s, d)))
+        .toDF().orderBy("symbol", "trade_seq")),
     "q_order_book_summary" -> ((s, d) =>
       bookLevels(s, d).groupBy("symbol")
         .agg(

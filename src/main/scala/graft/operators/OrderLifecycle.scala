@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Full order-lifecycle simulation: market orders, limit orders, cancels,
+  * and tick-driven execution against a per-symbol account ledger.
+  *
+  * Reference: order_book.py EventDrivenSimulator —
+  *  - submit_order (:245): orders queue as pending until a tick arrives;
+  *  - process_tick (:391): on each tick, pending market orders execute at
+  *    tick price ± slippage (:268 process_market_order), pending limit
+  *    orders execute at their limit price if marketable else rest in the
+  *    book (:302 process_limit_order), then resting orders whose limit
+  *    crosses the tick fill at their own price (:427 _match_orders);
+  *  - remove_order (:109): cancels are lazy — the order is flagged and
+  *    skipped when popped (the reference's status check at :449);
+  *  - _execute_trade (:333): buys require cash ≥ qty·px·(1+fee), sells
+  *    require position ≥ qty, else the order is REJECTED.
+  *
+  * Deviation for scale (documented): the reference runs ONE simulator with
+  * a global cash account; a distributed engine shards the account per
+  * symbol (one ledger per symbol task), which is the only shape that
+  * parallelizes. Everything else is event-for-event faithful.
+  *
+  * Execution is a SortedScan per symbol: sequential in (ts, event_id)
+  * inside a symbol, parallel across symbols; state is the resting book +
+  * three ledger scalars, never the event history.
+  */
+object OrderLifecycle {
+
+  val InitialCash = 1000000.0
+  val Commission = 0.001
+  val Slippage = 0.0005
+
+  /** kind ∈ {limit, market, cancel, tick}; ref_id targets a prior order's
+    * event_id for cancels; price is the limit/tick price (unused for
+    * market/cancel submits).
+    */
+  case class BookEvent(symbol: String, ts: Long, event_id: Long, kind: String,
+                       side: String, price: Double, qty: Double, ref_id: Long)
+
+  /** One execution: fill_kind ∈ {market, limit_immediate, book_cross}. */
+  case class LifecycleTrade(symbol: String, trade_seq: Long, order_event_id: Long,
+                            side: String, fill_kind: String, qty: Double,
+                            price: Double, commission: Double, ts: Long)
+
+  private case class Open(event_id: Long, ts: Long, side: String,
+                          price: Double, qty: Double)
+
+  /** Scan one symbol's event flow. Input MUST be sorted by (ts, event_id);
+    * trades stream out per tick.
+    */
+  def scanSymbol(symbol: String, events: Iterator[BookEvent]): Iterator[LifecycleTrade] = {
+    // resting books: buy = best price highest / earliest; sell = lowest / earliest
+    val buys = mutable.PriorityQueue.empty[Open](
+      Ordering.by((o: Open) => (o.price, -o.ts, -o.event_id)))
+    val sells = mutable.PriorityQueue.empty[Open](
+      Ordering.by((o: Open) => (-o.price, -o.ts, -o.event_id)))
+    val cancelled = mutable.HashSet.empty[Long] // lazy deletion, as the reference
+    val resting = mutable.HashSet.empty[Long]   // event_ids currently in a book
+    val pending = mutable.ArrayBuffer.empty[BookEvent] // submitted, awaiting a tick
+    var cash = InitialCash
+    var position = 0.0
+    var seq = 0L
+
+    def execute(eventId: Long, side: String, kind: String, qty: Double,
+                px: Double, ts: Long): Option[LifecycleTrade] = {
+      val fee = qty * px * Commission
+      if (side == "buy") {
+        if (cash < qty * px + fee) None // REJECTED
+        else {
+          cash -= qty * px + fee; position += qty; seq += 1
+          Some(LifecycleTrade(symbol, seq, eventId, side, kind, qty, px, fee, ts))
+        }
+      } else {
+        if (position < qty) None // REJECTED
+        else {
+          cash += qty * px - fee; position -= qty; seq += 1
+          Some(LifecycleTrade(symbol, seq, eventId, side, kind, qty, px, fee, ts))
+        }
+      }
+    }
+
+    def onTick(px: Double, ts: Long): Iterator[LifecycleTrade] = {
+      val out = mutable.ArrayBuffer.empty[LifecycleTrade] // bounded by this tick's fills
+      // 1. pending orders, submission order (process_tick :407)
+      pending.foreach { o =>
+        if (o.kind == "market") {
+          val exec = if (o.side == "buy") px * (1 + Slippage) else px * (1 - Slippage)
+          execute(o.event_id, o.side, "market", o.qty, exec, ts).foreach(out += _)
+        } else { // limit
+          val marketable = (o.side == "buy" && px <= o.price) ||
+            (o.side == "sell" && px >= o.price)
+          if (marketable)
+            execute(o.event_id, o.side, "limit_immediate", o.qty, o.price, ts).foreach(out += _)
+          else {
+            resting += o.event_id
+            val open = Open(o.event_id, o.ts, o.side, o.price, o.qty)
+            if (o.side == "buy") buys.enqueue(open) else sells.enqueue(open)
+          }
+        }
+      }
+      pending.clear()
+      // 2. book crossings at the resting order's own price (_match_orders :427)
+      while (buys.nonEmpty && buys.head.price >= px) {
+        val o = buys.dequeue()
+        if (!cancelled.remove(o.event_id)) {
+          resting -= o.event_id
+          execute(o.event_id, "buy", "book_cross", o.qty, o.price, ts).foreach(out += _)
+        }
+      }
+      while (sells.nonEmpty && sells.head.price <= px) {
+        val o = sells.dequeue()
+        if (!cancelled.remove(o.event_id)) {
+          resting -= o.event_id
+          execute(o.event_id, "sell", "book_cross", o.qty, o.price, ts).foreach(out += _)
+        }
+      }
+      out.iterator
+    }
+
+    events.flatMap { e =>
+      e.kind match {
+        case "tick" => onTick(e.price, e.ts)
+        case "cancel" =>
+          // remove_order :109 — only resting orders cancel; pending/filled ids no-op
+          if (resting.remove(e.ref_id)) cancelled += e.ref_id
+          Iterator.empty
+        case _ =>
+          pending += e
+          Iterator.empty
+      }
+    }
+  }
+
+  def run(events: Dataset[BookEvent]): Dataset[LifecycleTrade] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    SortedScan.perKey(events, Seq("symbol"), Seq("ts", "event_id"))(_.symbol)(scanSymbol)
+  }
+
+  /** The tick feed as a deterministic mixed event stream: by user decile —
+    * 0 → market order, 1 → cancel of the latest prior limit-order event
+    * (may target an already-filled/absent order: a no-op, as the
+    * reference), 2-4 → limit order (price snapped around the tick),
+    * 5-9 → market tick.
+    */
+  def eventsFromTicks(ticks: DataFrame): Dataset[BookEvent] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val decile = col("user_id") % 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val kind = when(decile === 0, "market")
+      .when(decile === 1, "cancel")
+      .when(decile <= 4, "limit")
+      .otherwise("tick")
+    ticks
+      .select(col("symbol"), col("ts"), col("event_id"), kind.as("kind"),
+        when(col("user_id") % 2 === 0, "buy").otherwise("sell").as("side"),
+        // limit prices straddle the tick stream: ±0.5% by event parity
+        when(kind === "limit",
+          col("price") * (lit(1.0) + (col("event_id") % 2 * 2 - 1) * 0.005))
+          .otherwise(col("price")).as("price"),
+        col("volume").as("qty"))
+      .withColumn("ref_id", coalesce(
+        last(when(col("kind") === "limit", col("event_id")), ignoreNulls = true).over(w),
+        lit(-1L)))
+      .as[BookEvent]
+  }
+}

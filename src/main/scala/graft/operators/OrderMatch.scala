@@ -8,10 +8,11 @@ import scala.collection.mutable
   *
   * Reference: order_book.py:206 EventDrivenSimulator (submit → match loop,
   * _match_orders :427). Matching is inherently sequential per symbol, so
-  * the Spark shape is `groupByKey(symbol).flatMapGroups`: state lives
-  * inside one task per symbol, symbols parallelize across the cluster,
-  * and nothing is collected to the driver. Output is deterministic given
-  * the (ts, event_id) total order of arrivals.
+  * the Spark shape is a secondary-sort scan (SortedScan.perKey): the
+  * shuffle sorts each symbol's flow by (ts, event_id), state lives inside
+  * one task per symbol, symbols parallelize across the cluster, and both
+  * input and output stream — only the resting book is held in memory.
+  * Output is deterministic given the (ts, event_id) total order.
   */
 object OrderMatch {
 
@@ -21,7 +22,8 @@ object OrderMatch {
                   price: Double, qty: Double)
 
   /** Match one symbol's order flow (price-time priority; trades print at
-    * the resting order's price).
+    * the resting order's price). Input MUST already be sorted by
+    * (ts, event_id); fills are emitted lazily per incoming order.
     */
   def matchSymbol(symbol: String, orders: Iterator[LimitOrder]): Iterator[Fill] = {
     // buy book: best = highest price, then earliest; sell book: lowest price, then earliest
@@ -30,10 +32,10 @@ object OrderMatch {
     val buys = mutable.PriorityQueue.empty[LimitOrder]
     val sells = mutable.PriorityQueue.empty[LimitOrder](
       Ordering.by((o: LimitOrder) => (-o.price, -o.ts, -o.event_id)))
-    val fills = mutable.ArrayBuffer.empty[Fill]
     var seq = 0L
 
-    orders.toSeq.sortBy(o => (o.ts, o.event_id)).foreach { o =>
+    orders.flatMap { o =>
+      val fills = mutable.ArrayBuffer.empty[Fill] // bounded by one order's sweep
       var remaining = o.qty
       if (o.side == "buy") {
         while (remaining > 0 && sells.nonEmpty && sells.head.price <= o.price) {
@@ -56,14 +58,14 @@ object OrderMatch {
         }
         if (remaining > 0) sells.enqueue(o.copy(qty = remaining))
       }
+      fills
     }
-    fills.iterator
   }
 
   def run(orders: Dataset[LimitOrder]): Dataset[Fill] = {
     val spark = orders.sparkSession
     import spark.implicits._
-    orders.groupByKey(_.symbol).flatMapGroups((sym, it) => matchSymbol(sym, it))
+    SortedScan.perKey(orders, Seq("symbol"), Seq("ts", "event_id"))(_.symbol)(matchSymbol)
   }
 
   /** The tick feed as synthetic limit orders (side by user parity). */

@@ -26,6 +26,68 @@ class OrderMatchSpec extends AnyFunSuite {
     assert(fills.map(f => (f.buy_event_id, f.qty)) == Seq((1L, 4.0), (2L, 2.0)))
   }
 
+  test("lifecycle: market orders fill at next tick with slippage; cancels remove resting orders") {
+    import graft.operators.OrderLifecycle
+    import graft.operators.OrderLifecycle.BookEvent
+    val trades = OrderLifecycle.scanSymbol("A", Iterator(
+      BookEvent("A", 1L, 1L, "tick", "buy", 100.0, 0.0, -1L),
+      BookEvent("A", 2L, 2L, "limit", "buy", 99.0, 5.0, -1L),
+      BookEvent("A", 3L, 3L, "tick", "buy", 100.0, 0.0, -1L),  // 100 > 99: rests
+      BookEvent("A", 4L, 4L, "tick", "buy", 98.0, 0.0, -1L),   // crosses: fills at 99
+      BookEvent("A", 5L, 5L, "market", "buy", 0.0, 2.0, -1L),
+      BookEvent("A", 6L, 6L, "tick", "buy", 100.0, 0.0, -1L),  // market fills at 100*(1+slip)
+      BookEvent("A", 7L, 7L, "limit", "sell", 101.0, 3.0, -1L),
+      BookEvent("A", 8L, 8L, "tick", "sell", 100.0, 0.0, -1L), // 100 < 101: rests
+      BookEvent("A", 9L, 9L, "cancel", "sell", 0.0, 0.0, 7L),
+      BookEvent("A", 10L, 10L, "tick", "sell", 102.0, 0.0, -1L) // would cross, but cancelled
+    )).toSeq
+    assert(trades.map(t => (t.order_event_id, t.fill_kind, t.price, t.qty)) == Seq(
+      (2L, "book_cross", 99.0, 5.0),
+      (5L, "market", 100.0 * (1 + OrderLifecycle.Slippage), 2.0)))
+  }
+
+  test("lifecycle: marketable limit fills at its limit price; short sells are rejected") {
+    import graft.operators.OrderLifecycle
+    import graft.operators.OrderLifecycle.BookEvent
+    val trades = OrderLifecycle.scanSymbol("A", Iterator(
+      BookEvent("A", 1L, 1L, "limit", "sell", 90.0, 1.0, -1L),
+      BookEvent("A", 2L, 2L, "tick", "sell", 100.0, 0.0, -1L), // marketable but no position
+      BookEvent("A", 3L, 3L, "limit", "buy", 101.0, 2.0, -1L),
+      BookEvent("A", 4L, 4L, "tick", "buy", 100.0, 0.0, -1L),  // 100 <= 101: fills at 101
+      BookEvent("A", 5L, 5L, "limit", "sell", 90.0, 1.0, -1L),
+      BookEvent("A", 6L, 6L, "tick", "sell", 100.0, 0.0, -1L)  // now position=2: fills
+    )).toSeq
+    assert(trades.map(t => (t.order_event_id, t.side, t.fill_kind, t.price)) == Seq(
+      (3L, "buy", "limit_immediate", 101.0),
+      (5L, "sell", "limit_immediate", 90.0)))
+  }
+
+  test("lifecycle distributed run: trades exist, position and cash ledgers never go negative") {
+    import graft.operators.OrderLifecycle
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val trades = OrderLifecycle.run(
+      OrderLifecycle.eventsFromTicks(Tables.ticks(spark, TestSpark.Sf))).toDF().cache()
+    assert(trades.count() > 0)
+    assert(trades.filter(col("qty") <= 0).count() == 0)
+    // commission is always qty*price*rate
+    assert(trades.filter(
+      abs(col("commission") - col("qty") * col("price") * OrderLifecycle.Commission) > 1e-9)
+      .count() == 0)
+    val w = Window.partitionBy("symbol").orderBy("trade_seq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val signedQty = when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
+    val cashDelta = when(col("side") === "buy",
+      -(col("qty") * col("price") + col("commission")))
+      .otherwise(col("qty") * col("price") - col("commission"))
+    val ledger = trades
+      .withColumn("pos", sum(signedQty).over(w))
+      .withColumn("cash", lit(OrderLifecycle.InitialCash) + sum(cashDelta).over(w))
+    assert(ledger.filter(col("pos") < -1e-9).count() == 0)
+    assert(ledger.filter(col("cash") < -1e-9).count() == 0)
+    trades.unpersist()
+  }
+
   test("distributed run: fills are valid and conserved per symbol") {
     import org.apache.spark.sql.functions._
     val orders = OrderMatch.ordersFromTicks(Tables.ticks(spark, TestSpark.Sf))
