@@ -84,15 +84,9 @@ object Cleaner {
     * running window — no driver-side reindex.
     */
   def fillMissingMinutes(bars: DataFrame): DataFrame = {
-    val spine = bars
-      .groupBy("symbol")
-      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
-      .select(col("symbol"),
-        explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .join(bars.select("symbol", "bucket_ms", "close"), Seq("symbol", "bucket_ms"), "left")
+    spineJoin(bars)
       .select(
         col("symbol"),
         col("bucket_ms"),
@@ -100,4 +94,62 @@ object Cleaner {
         col("close").isNull.cast("int").as("was_missing")
       )
   }
+
+  /** Backward fill (cleaner.py:171, method="bfill"): next known close
+    * looking forward. Implemented as last-ignore-nulls over a DESCENDING
+    * running frame — Spark's unbounded-PRECEDING frame is a running O(n)
+    * accumulator, while an unbounded-FOLLOWING frame rescans the tail per
+    * row (O(n²) per partition; measured hang on the minute spine).
+    */
+  def fillMissingBfill(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("bucket_ms").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spineJoin(bars)
+      .select(
+        col("symbol"),
+        col("bucket_ms"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_bfill"),
+        col("close").isNull.cast("int").as("was_missing")
+      )
+  }
+
+  /** Time-linear interpolation (cleaner.py:171, method="interpolate" →
+    * pandas interpolate(method="time")): gaps take
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev). Bracketing
+    * values come from two running windows (last/first ignore-nulls), so
+    * the fill is one shuffle — no per-gap join.
+    */
+  def fillMissingInterp(bars: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("symbol").orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // "next" bracket via the DESCENDING running frame (see fillMissingBfill)
+    val wf = Window.partitionBy("symbol").orderBy(col("bucket_ms").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spineJoin(bars)
+      .withColumn("pv", last(col("close"), ignoreNulls = true).over(wb))
+      .withColumn("pt", last(when(col("close").isNotNull, col("bucket_ms")), ignoreNulls = true).over(wb))
+      .withColumn("nv", last(col("close"), ignoreNulls = true).over(wf))
+      .withColumn("nt", last(when(col("close").isNotNull, col("bucket_ms")), ignoreNulls = true).over(wf))
+      .select(
+        col("symbol"),
+        col("bucket_ms"),
+        graft.functions.Port.r(
+          when(col("close").isNotNull, col("close")).otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              (col("bucket_ms") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")), 6).as("close_interp"),
+        col("close").isNull.cast("int").as("was_missing")
+      )
+  }
+
+  /** Distributed minute spine (sequence+explode, never collected) left
+    * joined with the known bars.
+    */
+  private def spineJoin(bars: DataFrame): DataFrame =
+    bars
+      .groupBy("symbol")
+      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
+      .select(col("symbol"),
+        explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
+      .join(bars.select("symbol", "bucket_ms", "close"), Seq("symbol", "bucket_ms"), "left")
 }

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.{QueryPack, Tables}
+import graft.functions.Port
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,6 +39,12 @@ object EtlPack extends QueryPack {
       Cleaner.validatePrices(Tables.ticks(s, d), 10.0, 180.0).orderBy("symbol")),
     "q_fill_missing_minutes" -> ((s, d) =>
       Cleaner.fillMissingMinutes(Bars.ohlcv(Tables.ticks(s, d), 60))
+        .orderBy("symbol", "bucket_ms")),
+    "q_fill_missing_bfill" -> ((s, d) =>
+      Cleaner.fillMissingBfill(Bars.ohlcv(Tables.ticks(s, d), 60))
+        .orderBy("symbol", "bucket_ms")),
+    "q_fill_missing_interp" -> ((s, d) =>
+      Cleaner.fillMissingInterp(Bars.ohlcv(Tables.ticks(s, d), 60))
         .orderBy("symbol", "bucket_ms")),
     "q_latest_trades" -> ((s, d) => {
       val w = Window.partitionBy("symbol").orderBy(col("ts").desc, col("event_id").desc)
@@ -116,6 +123,43 @@ object EtlPack extends QueryPack {
          |       CAST(b.close IS NULL AS INT) AS was_missing
          |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.bucket_ms = b.bucket_ms
          |ORDER BY s.symbol, s.bucket_ms""".stripMargin,
+    "q_fill_missing_bfill" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |spine AS (
+         |  SELECT symbol, unnest(generate_series(lo, hi, 60000)) AS bucket_ms
+         |  FROM (SELECT symbol, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+         |        FROM bars GROUP BY symbol)
+         |)
+         |SELECT s.symbol, s.bucket_ms,
+         |       first_value(b.close IGNORE NULLS) OVER (
+         |         PARTITION BY s.symbol ORDER BY s.bucket_ms
+         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS close_bfill,
+         |       CAST(b.close IS NULL AS INT) AS was_missing
+         |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.bucket_ms = b.bucket_ms
+         |ORDER BY s.symbol, s.bucket_ms""".stripMargin,
+    "q_fill_missing_interp" ->
+      s"""WITH ${QueryPack.BarsCte},
+         |spine AS (
+         |  SELECT symbol, unnest(generate_series(lo, hi, 60000)) AS bucket_ms
+         |  FROM (SELECT symbol, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+         |        FROM bars GROUP BY symbol)
+         |),
+         |j AS (
+         |  SELECT s.symbol, s.bucket_ms, b.close,
+         |         last_value(b.close IGNORE NULLS) OVER wb AS pv,
+         |         last_value(CASE WHEN b.close IS NOT NULL THEN s.bucket_ms END IGNORE NULLS) OVER wb AS pt,
+         |         first_value(b.close IGNORE NULLS) OVER wf AS nv,
+         |         first_value(CASE WHEN b.close IS NOT NULL THEN s.bucket_ms END IGNORE NULLS) OVER wf AS nt
+         |  FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.bucket_ms = b.bucket_ms
+         |  WINDOW wb AS (PARTITION BY s.symbol ORDER BY s.bucket_ms
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY s.symbol ORDER BY s.bucket_ms
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT symbol, bucket_ms,
+         |       ${Port.rsql("CASE WHEN close IS NOT NULL THEN close ELSE pv + (nv - pv) * CAST(bucket_ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END", 6)} AS close_interp,
+         |       CAST(close IS NULL AS INT) AS was_missing
+         |FROM j ORDER BY symbol, bucket_ms""".stripMargin,
     "q_latest_trades" ->
       s"""WITH ${QueryPack.TicksCte}
          |SELECT symbol, epoch_ns(ts) // 1000000 AS ts_ms, price, volume, rn FROM (
