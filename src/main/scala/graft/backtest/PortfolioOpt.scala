@@ -61,10 +61,46 @@ object PortfolioOpt {
   /** Efficient frontier by grid search: portfolio return/vol/Sharpe per
     * weight composition (portfolio_optimization.py:182).
     */
-  def frontier(spark: SparkSession, bars: DataFrame, quarters: Int = 4): DataFrame = {
+  /** Weight grids are driver-built (they must be: compositions are a
+    * combinatorial object, not data), so the symbol universe collect is
+    * bounded — a mis-keyed input fails fast instead of OOMing the driver.
+    */
+  val MaxSymbols = 64
+
+  private def symbolUniverse(mu: DataFrame): Seq[String] = {
+    val syms = mu.select("symbol").limit(MaxSymbols + 1).collect().map(_.getString(0))
+    require(syms.length <= MaxSymbols,
+      s"weight-grid optimizer supports <= $MaxSymbols symbols, got more")
+    syms.sorted.toSeq
+  }
+
+  def frontier(spark: SparkSession, bars: DataFrame, quarters: Int = 4): DataFrame =
+    frontierWithGrid(spark, bars, quarters)._2
+
+  /** Argmax/argmin composition over the frontier grid — the number the
+    * reference's users consume (portfolio_optimization.py:87
+    * optimize_max_sharpe, :136 optimize_min_volatility). Returns the
+    * winning weight vector in long form with its metrics.
+    */
+  def selectPortfolio(spark: SparkSession, bars: DataFrame, objective: String,
+                      quarters: Int = 4): DataFrame = {
+    val (grid, f) = frontierWithGrid(spark, bars, quarters)
+    val best = (objective match {
+      case "max_sharpe" => f.orderBy(col("sharpe").desc, col("grid_id"))
+      case "min_vol"    => f.orderBy(col("port_vol"), col("grid_id"))
+      case o            => throw new IllegalArgumentException(s"objective: $o")
+    }).limit(1)
+    grid.join(broadcast(best), "grid_id")
+      .select(col("grid_id"), col("symbol"), col("weight"),
+        col("port_return"), col("port_vol"), col("sharpe"))
+      .orderBy("symbol")
+  }
+
+  private def frontierWithGrid(spark: SparkSession, bars: DataFrame,
+                               quarters: Int): (DataFrame, DataFrame) = {
     val cov = covMatrix(bars)
     val mu = meanReturns(bars)
-    val symbols = mu.select("symbol").collect().map(_.getString(0)).sorted.toSeq
+    val symbols = symbolUniverse(mu)
     val grid = weightGrid(spark, symbols, quarters)
 
     val ret = grid.join(mu, "symbol")
@@ -78,13 +114,14 @@ object PortfolioOpt {
       .groupBy("grid_id")
       .agg(sqrt(sum(col("w1") * col("w2") * col("cov_ann_raw"))).as("port_vol_raw"))
 
-    ret.join(vol, "grid_id")
+    val f = ret.join(vol, "grid_id")
       .select(
         col("grid_id"),
         Port.r(col("port_ret_raw"), 6).as("port_return"),
         Port.r(col("port_vol_raw"), 6).as("port_vol"),
         Port.r(when(col("port_vol_raw") > 0,
           (col("port_ret_raw") - RiskFree) / col("port_vol_raw")).otherwise(0.0), 6).as("sharpe"))
+    (grid, f)
   }
 
   /** Risk contribution per asset at fixed equal weights

@@ -24,6 +24,10 @@ object PortfolioPack extends QueryPack {
         .orderBy("symbol1", "symbol2")),
     "q_efficient_frontier" -> ((s, d) =>
       PortfolioOpt.frontier(s, barsH(s, d)).orderBy("grid_id")),
+    "q_max_sharpe" -> ((s, d) =>
+      PortfolioOpt.selectPortfolio(s, barsH(s, d), "max_sharpe")),
+    "q_min_vol" -> ((s, d) =>
+      PortfolioOpt.selectPortfolio(s, barsH(s, d), "min_vol")),
     "q_risk_parity" -> ((s, d) =>
       PortfolioOpt.riskContributions(barsH(s, d)).orderBy("symbol"))
   )
@@ -44,6 +48,49 @@ object PortfolioPack extends QueryPack {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
+  /** Frontier CTE chain ending in `fr` (grid_id, port_return, port_vol,
+    * sharpe) + `gridw` (grid_id, symbol, weight) — shared by the frontier
+    * and the argmax/argmin selection oracles.
+    */
+  private val FrontierCte: String =
+    s"""$RetsHCte,
+       |mu AS (SELECT symbol, avg(r) * 252 AS mu_ann_raw FROM rets GROUP BY symbol),
+       |digits AS (
+       |  SELECT i1, i2, i3, i4, i5,
+       |         CAST(i1*625 + i2*125 + i3*25 + i4*5 + i5 AS BIGINT) AS grid_id
+       |  FROM (SELECT unnest(generate_series(0, 4)) AS i1) a
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i2) b
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i3) c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i4) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i5) e
+       |  WHERE i1 + i2 + i3 + i4 + i5 = 4
+       |),
+       |gridw AS (
+       |  SELECT grid_id, s.sym AS symbol,
+       |         (CASE s.idx WHEN 1 THEN i1 WHEN 2 THEN i2 WHEN 3 THEN i3
+       |                     WHEN 4 THEN i4 ELSE i5 END) / 4.0 AS weight
+       |  FROM digits CROSS JOIN (VALUES ('click', 1), ('error', 2), ('purchase', 3),
+       |                                 ('signup', 4), ('view', 5)) s(sym, idx)
+       |),
+       |ret AS (
+       |  SELECT grid_id, sum(weight * mu_ann_raw) AS port_ret_raw
+       |  FROM gridw g JOIN mu ON g.symbol = mu.symbol GROUP BY grid_id
+       |),
+       |vol AS (
+       |  SELECT g1.grid_id, sqrt(sum(g1.weight * g2.weight * cov_ann_raw)) AS port_vol_raw
+       |  FROM gridw g1 JOIN gridw g2 ON g1.grid_id = g2.grid_id
+       |  JOIN cov ON cov.symbol1 = g1.symbol AND cov.symbol2 = g2.symbol
+       |  GROUP BY g1.grid_id
+       |),
+       |fr AS (
+       |  SELECT r.grid_id,
+       |         floor(port_ret_raw * 1e6 + 0.5) / 1e6 AS port_return,
+       |         floor(port_vol_raw * 1e6 + 0.5) / 1e6 AS port_vol,
+       |         floor((CASE WHEN port_vol_raw > 0 THEN (port_ret_raw - 0.02) / port_vol_raw
+       |                ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS sharpe
+       |  FROM ret r JOIN vol v ON r.grid_id = v.grid_id
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_asset_stats" ->
       s"""WITH $RetsHCte
@@ -52,41 +99,21 @@ object PortfolioPack extends QueryPack {
          |       floor(corr_raw * 1e6 + 0.5) / 1e6 AS corr, n
          |FROM cov ORDER BY symbol1, symbol2""".stripMargin,
     "q_efficient_frontier" ->
-      s"""WITH $RetsHCte,
-         |mu AS (SELECT symbol, avg(r) * 252 AS mu_ann_raw FROM rets GROUP BY symbol),
-         |digits AS (
-         |  SELECT i1, i2, i3, i4, i5,
-         |         CAST(i1*625 + i2*125 + i3*25 + i4*5 + i5 AS BIGINT) AS grid_id
-         |  FROM (SELECT unnest(generate_series(0, 4)) AS i1) a
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i2) b
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i3) c
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i4) d
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i5) e
-         |  WHERE i1 + i2 + i3 + i4 + i5 = 4
-         |),
-         |gridw AS (
-         |  SELECT grid_id, s.sym AS symbol,
-         |         (CASE s.idx WHEN 1 THEN i1 WHEN 2 THEN i2 WHEN 3 THEN i3
-         |                     WHEN 4 THEN i4 ELSE i5 END) / 4.0 AS weight
-         |  FROM digits CROSS JOIN (VALUES ('click', 1), ('error', 2), ('purchase', 3),
-         |                                 ('signup', 4), ('view', 5)) s(sym, idx)
-         |),
-         |ret AS (
-         |  SELECT grid_id, sum(weight * mu_ann_raw) AS port_ret_raw
-         |  FROM gridw g JOIN mu ON g.symbol = mu.symbol GROUP BY grid_id
-         |),
-         |vol AS (
-         |  SELECT g1.grid_id, sqrt(sum(g1.weight * g2.weight * cov_ann_raw)) AS port_vol_raw
-         |  FROM gridw g1 JOIN gridw g2 ON g1.grid_id = g2.grid_id
-         |  JOIN cov ON cov.symbol1 = g1.symbol AND cov.symbol2 = g2.symbol
-         |  GROUP BY g1.grid_id
-         |)
-         |SELECT r.grid_id,
-         |       floor(port_ret_raw * 1e6 + 0.5) / 1e6 AS port_return,
-         |       floor(port_vol_raw * 1e6 + 0.5) / 1e6 AS port_vol,
-         |       floor((CASE WHEN port_vol_raw > 0 THEN (port_ret_raw - 0.02) / port_vol_raw
-         |              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS sharpe
-         |FROM ret r JOIN vol v ON r.grid_id = v.grid_id ORDER BY r.grid_id""".stripMargin,
+      s"""WITH $FrontierCte
+         |SELECT grid_id, port_return, port_vol, sharpe
+         |FROM fr ORDER BY grid_id""".stripMargin,
+    "q_max_sharpe" ->
+      s"""WITH $FrontierCte,
+         |sel AS (SELECT grid_id FROM fr ORDER BY sharpe DESC, grid_id LIMIT 1)
+         |SELECT f.grid_id, g.symbol, g.weight, f.port_return, f.port_vol, f.sharpe
+         |FROM fr f JOIN sel USING (grid_id) JOIN gridw g USING (grid_id)
+         |ORDER BY g.symbol""".stripMargin,
+    "q_min_vol" ->
+      s"""WITH $FrontierCte,
+         |sel AS (SELECT grid_id FROM fr ORDER BY port_vol, grid_id LIMIT 1)
+         |SELECT f.grid_id, g.symbol, g.weight, f.port_return, f.port_vol, f.sharpe
+         |FROM fr f JOIN sel USING (grid_id) JOIN gridw g USING (grid_id)
+         |ORDER BY g.symbol""".stripMargin,
     "q_risk_parity" ->
       s"""WITH $RetsHCte,
          |marginal AS (
