@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.Port
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest-neighbor search over embedding columns.
+  *
+  * Cells come from a real (if short) k-means: deterministic seeds (the k
+  * lowest vec_ids), two assignment rounds with a centroid update between,
+  * every step a DataFrame aggregate — no driver-side math, centroids
+  * broadcast. Probing takes the query's top-`nprobe` cells, then scores
+  * exact cosine inside those cells only, so the corpus scan prunes to
+  * nprobe/k of the data — the IVF scale shape (at 100 TB: k grows with
+  * corpus size, cells are the partition key, probe fan-out is bounded).
+  *
+  * Determinism/parity: assignments rank Port.r-snapped cosines with the
+  * cell id as tiebreaker, so the DuckDB oracle unrolls to the same cells.
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** (vec_id, e) → + nrm. */
+  def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+
+  /** Nearest centroid per vector by snapped cosine (ties → lowest cell). */
+  private def assign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", Port.r(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+
+  /** Per-cell mean vector rebuilt into an array column + its norm. */
+  private def centroids(emb: DataFrame, assigned: DataFrame): DataFrame =
+    emb.join(assigned, "vec_id")
+      .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg((sum(col("v")) / count(lit(1))).as("cv"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+      .withColumn("cn", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
+
+  /** Two-round k-means from deterministic seeds: returns
+    * (assignments (vec_id, cell), centroids (cell, ce, cn)).
+    */
+  def kmeansCells(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("e").as("ce"), col("nrm").as("cn"))
+    val a1 = assign(emb, seeds)
+    val c1 = centroids(emb, a1)
+    val a2 = assign(emb, c1)
+    val c2 = centroids(emb, a2)
+    (a2, c2)
+  }
+
+  /** Brute-force cosine top-k: one pass over the corpus with the query
+    * set broadcast — the exact baseline (and ground truth for the IVF
+    * recall spec).
+    */
+  def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "cosine", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes as a small relational table
+    * (band, bit, h: array<double>): components from a two-round LCG over
+    * the flat index, exact integer arithmetic in both engines so the
+    * DuckDB oracle reproduces identical planes.
+    */
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession, bands: Int, bits: Int,
+                  dim: Int): DataFrame = {
+    val (a, cAdd, m) = (1103515245L, 12345L, 2147483648L)
+    spark.range(bands.toLong * bits)
+      .select(expr(s"id div $bits").cast("int").as("band"),
+        (col("id") % bits).cast("int").as("bit"),
+        transform(sequence(lit(0), lit(dim - 1)), i => {
+          val idx = col("id") * dim + i
+          val r1 = (idx * a + cAdd) % m
+          ((r1 * a + cAdd) % m).cast("double") / m - 0.5
+        }).as("h"))
+  }
+
+  /** Embedding near-duplicate pairs via random-hyperplane LSH blocking:
+    * each vector gets one `bits`-bit bucket per band (sign of the dot with
+    * each plane), candidates are same-(band, bucket) pairs in any band,
+    * verification is exact snapped cosine >= threshold on candidates only.
+    *
+    * Buckets larger than `cap` are dropped from pair generation (mirrored
+    * in the oracle) — the linearity guard: a degenerate direction can't
+    * go quadratic at 100 TB. Unlike label blocking, cells are bounded by
+    * construction (2^bits per band) and data-independent.
+    */
+  def hyperplaneNearDup(emb: DataFrame, bands: Int, bits: Int,
+                        threshold: Double, cap: Long): DataFrame = {
+    val spark = emb.sparkSession
+    val hp = hyperplanes(spark, bands, bits, 64)
+    val buckets = emb.select(col("vec_id"), col("e"))
+      .crossJoin(broadcast(hp))
+      .withColumn("on", (dot(col("e"), col("h")) >= 0).cast("long"))
+      .groupBy("vec_id", "band")
+      .agg(sum(col("on") * expr("cast(pow(2, bit) as bigint)")).as("bucket"))
+    val sized = buckets.join(
+      buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz")),
+      Seq("band", "bucket"))
+      .filter(col("bsz") <= cap)
+    val cand = sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val e1 = emb.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+    cand.join(e1, "v1").join(e2, "v2")
+      .withColumn("cosine", Port.r(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("v1", "v2", "cosine")
+      .orderBy("v1", "v2")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells, exact cosine
+    * inside them. `emb` needs (vec_id, e, nrm); queries are the rows with
+    * vec_id < nQueries (broadcast-size by contract).
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, cells: Int, nprobe: Int): DataFrame = {
+    val (assigned, cent) = kmeansCells(emb, cells)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", Port.r(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("cell"), col("qe"), col("qn"))
+    emb.join(assigned, "vec_id")
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "cosine", "rank")
+      .orderBy("q_id", "rank")
+  }
+}

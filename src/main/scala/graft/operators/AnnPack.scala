@@ -39,80 +39,17 @@ object AnnPack extends QueryPack {
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_cosine_topk" -> ((s, d) => {
-      val base = emb(s, d)
-      val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      base.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 10)
-        .select("q_id", "vec_id", "cosine", "rank")
-        .orderBy("q_id", "rank")
-    }),
-    "q_ann_ivf_topk" -> ((s, d) => {
-      val base = emb(s, d).cache()
-      // coarse quantizer: per-label centroid rebuilt into an array column
-      val cent = base.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg((sum(col("v")) / count(lit(1))).as("cv"))
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("ce"))
-        .withColumn("cn", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
-      val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      // probe: nearest centroid by snapped cosine (nprobe = 1)
-      val probe = q.crossJoin(broadcast(cent))
-        .withColumn("ccos", Port.r(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))))
-        .filter(col("crk") === 1)
-        .select(col("q_id"), col("label").as("probe_label"), col("qe"), col("qn"))
-      // exact cosine inside the probed cell only
-      base.join(broadcast(probe),
-        col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("q_id", "probe_label", "vec_id", "cosine", "rank")
-        .orderBy("q_id", "rank")
-    }),
-    "q_dedup_embedding" -> ((s, d) => {
-      // embedding-cosine near-dup pairs within a cell (label-partitioned
-      // blocking keeps the pair space linear in cells at scale). The
-      // pairwise loop runs typed per cell — measured ~5× faster than the
-      // zip_with join (interpreted lambda per element) and fold-order
-      // identical, so the oracle still matches.
-      import s.implicits._
-      val rows = Tables.embeddings(s, d)
-        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .as[(Int, Long, Array[Double])]
-      rows.groupByKey(_._1)
-        .flatMapGroups { (label, it) =>
-          val vs = it.toArray.sortBy(_._2)
-          val norms = vs.map { case (_, _, e) =>
-            var acc = 0.0; var i = 0
-            while (i < e.length) { acc = acc + e(i) * e(i); i += 1 }
-            math.sqrt(acc)
-          }
-          for {
-            i <- vs.indices.iterator
-            j <- (i + 1) until vs.length
-            dotv = {
-              var acc = 0.0; var k = 0
-              val a = vs(i)._3; val b = vs(j)._3
-              while (k < a.length) { acc = acc + a(k) * b(k); k += 1 }
-              acc
-            }
-            cosine = math.floor(dotv / (norms(i) * norms(j)) * 1e6 + 0.5) / 1e6
-            if cosine >= 0.35
-          } yield (label, vs(i)._2, vs(j)._2, cosine)
-        }
-        .toDF("label", "v1", "v2", "cosine")
-        .orderBy("label", "v1", "v2")
-    }),
+    "q_ann_cosine_topk" -> ((s, d) => Ann.bruteTopK(emb(s, d), nQueries = 10, k = 10)),
+    "q_ann_ivf_topk" -> ((s, d) =>
+      // real IVF: 8 k-means cells (2 assignment rounds, deterministic
+      // seeds), nprobe=2 — see graft.operators.Ann
+      Ann.ivfTopK(emb(s, d).cache(), nQueries = 10, k = 5, cells = 8, nprobe = 2)),
+    "q_dedup_embedding" -> ((s, d) =>
+      // random-hyperplane LSH blocking (12 bands x 3 bits, bucket cap
+      // 2000) — data-independent bounded cells, unlike the old label
+      // blocking whose cell size was unbounded at scale
+      Ann.hyperplaneNearDup(emb(s, d).cache(), bands = 12, bits = 3,
+        threshold = 0.35, cap = 2000)),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -154,38 +91,50 @@ object AnnPack extends QueryPack {
         |  FROM embeddings, range(1, 65) t(i)
         |),
         |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
-        |cent AS (SELECT label, pos, sum(v) / count(*) AS cv FROM c GROUP BY 1, 2),
-        |cn AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY label),
+        |seedc AS (SELECT vec_id AS cell, pos, v AS cv FROM c WHERE vec_id < 8),
+        |seedn AS (SELECT vec_id AS cell, nrm AS cn FROM nm WHERE vec_id < 8),
+        |a1d AS (SELECT c.vec_id, s.cell, sum(c.v * s.cv) AS d
+        |        FROM c JOIN seedc s ON c.pos = s.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT a.vec_id, a.cell, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY floor(a.d / (n.nrm * s.cn) * 1e6 + 0.5) / 1e6 DESC, a.cell) AS rk
+        |  FROM a1d a JOIN nm n ON a.vec_id = n.vec_id JOIN seedn s ON a.cell = s.cell)
+        |  WHERE rk = 1),
+        |cent1 AS (SELECT a1.cell, c.pos, sum(c.v) / count(*) AS cv
+        |          FROM c JOIN a1 ON c.vec_id = a1.vec_id GROUP BY 1, 2),
+        |cn1 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent1 GROUP BY 1),
+        |a2d AS (SELECT c.vec_id, t.cell, sum(c.v * t.cv) AS d
+        |        FROM c JOIN cent1 t ON c.pos = t.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT a.vec_id, a.cell, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY floor(a.d / (n.nrm * x.cn) * 1e6 + 0.5) / 1e6 DESC, a.cell) AS rk
+        |  FROM a2d a JOIN nm n ON a.vec_id = n.vec_id JOIN cn1 x ON a.cell = x.cell)
+        |  WHERE rk = 1),
+        |cent2 AS (SELECT a2.cell, c.pos, sum(c.v) / count(*) AS cv
+        |          FROM c JOIN a2 ON c.vec_id = a2.vec_id GROUP BY 1, 2),
+        |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent2 GROUP BY 1),
         |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
         |qn AS (SELECT vec_id AS q_id, nrm AS qnorm FROM nm WHERE vec_id < 10),
-        |probe0 AS (
-        |  SELECT q.q_id, cent.label, sum(q.qv * cent.cv) AS cdot
-        |  FROM q JOIN cent ON q.pos = cent.pos GROUP BY 1, 2
-        |),
-        |probe1 AS (
-        |  SELECT p.q_id, p.label,
-        |         floor(p.cdot / (qn.qnorm * cn.cn) * 1e6 + 0.5) / 1e6 AS ccos
-        |  FROM probe0 p JOIN cn ON p.label = cn.label JOIN qn ON p.q_id = qn.q_id
-        |),
-        |probe AS (
-        |  SELECT q_id, label AS probe_label FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS rk
-        |    FROM probe1)
-        |  WHERE rk = 1
-        |),
+        |pd AS (SELECT q.q_id, t.cell, sum(q.qv * t.cv) AS d
+        |       FROM q JOIN cent2 t ON q.pos = t.pos GROUP BY 1, 2),
+        |probe AS (SELECT q_id, cell FROM (
+        |  SELECT p.q_id, p.cell, row_number() OVER (PARTITION BY p.q_id
+        |    ORDER BY floor(p.d / (qn.qnorm * x.cn) * 1e6 + 0.5) / 1e6 DESC, p.cell) AS crk
+        |  FROM pd p JOIN qn ON p.q_id = qn.q_id JOIN cn2 x ON p.cell = x.cell)
+        |  WHERE crk <= 2),
         |dots AS (
-        |  SELECT p.q_id, p.probe_label, c.vec_id, sum(c.v * q.qv) AS dot
-        |  FROM probe p
-        |  JOIN c ON c.label = p.probe_label AND c.vec_id != p.q_id
-        |  JOIN q ON q.q_id = p.q_id AND q.pos = c.pos
-        |  GROUP BY 1, 2, 3
+        |  SELECT pr.q_id, c.vec_id, sum(c.v * q.qv) AS d
+        |  FROM probe pr JOIN a2 ON a2.cell = pr.cell
+        |  JOIN c ON c.vec_id = a2.vec_id AND c.vec_id != pr.q_id
+        |  JOIN q ON q.q_id = pr.q_id AND q.pos = c.pos
+        |  GROUP BY 1, 2
         |),
         |cos AS (
-        |  SELECT d.q_id, d.probe_label, d.vec_id,
-        |         floor(d.dot / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  SELECT d.q_id, d.vec_id,
+        |         floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
         |  FROM dots d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id
         |)
-        |SELECT q_id, probe_label, vec_id, cosine, rank FROM (
+        |SELECT q_id, vec_id, cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM cos)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
@@ -195,16 +144,41 @@ object AnnPack extends QueryPack {
         |  FROM embeddings, range(1, 65) t(i)
         |),
         |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
-        |p AS (
-        |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
-        |  FROM c a JOIN c b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+        |hp AS (
+        |  SELECT band, bit, pos,
+        |         CAST((1103515245 * ((1103515245 * (((band*3 + bit) * 64) + pos) + 12345) % 2147483648)
+        |               + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5 AS h
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS band) b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS bit) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+        |),
+        |bdots AS (
+        |  SELECT c.vec_id, hp.band, hp.bit, sum(c.v * hp.h) AS d
+        |  FROM c JOIN hp ON c.pos = hp.pos + 1
         |  GROUP BY 1, 2, 3
+        |),
+        |buckets AS (
+        |  SELECT vec_id, band,
+        |         CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bdots GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT band, bucket, count(*) AS bsz FROM buckets GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN sizes s ON s.band = a.band AND s.bucket = a.bucket
+        |  WHERE s.bsz <= 2000
+        |),
+        |pd AS (
+        |  SELECT v1, v2, sum(x.v * y.v) AS d
+        |  FROM cand JOIN c x ON x.vec_id = v1 JOIN c y ON y.vec_id = v2 AND x.pos = y.pos
+        |  GROUP BY 1, 2
         |)
-        |SELECT label, v1, v2,
-        |       floor(dot / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 AS cosine
-        |FROM p JOIN nm x ON v1 = x.vec_id JOIN nm y ON v2 = y.vec_id
-        |WHERE floor(dot / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
-        |ORDER BY label, v1, v2""".stripMargin,
+        |SELECT v1, v2, floor(pd.d / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM pd JOIN nm a ON v1 = a.vec_id JOIN nm b ON v2 = b.vec_id
+        |WHERE floor(pd.d / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS mime, octet_length(CAST(text AS BLOB)) AS byte_len,
         |       md5(text) AS content_md5,
