@@ -71,13 +71,27 @@ object BacktestPack extends QueryPack {
         .orderBy("symbol", "bucket_ms")
     }),
     "q_portfolio_multi_asset" -> ((s, d) => {
+      // Two-level prefix sum for the global equity curve: the full
+      // bucket stream cumulates INSIDE day chunks (partitioned window),
+      // and only the per-chunk totals — one row per day — flow through
+      // an unpartitioned window before being broadcast back. No
+      // row-scale data ever crosses a single-partition window; the
+      // sum order differs from a flat scan only in association, which
+      // the 1e-8 snap absorbs (error ~ n·ulp ≪ snap).
       val bt = Backtester.run(Signals.maCross(Bars.ohlcv(Tables.ticks(s, d), 3600)))
       val port = bt.groupBy("bucket_ms")
         .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
-      val cum = Window.orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
-      port
-        .withColumn("log_equity",
-          Port.r(sum(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999)))).over(cum), 8))
+        .withColumn("term", log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))))
+        .withColumn("chunk", expr("bucket_ms div 86400000"))
+      val intra = Window.partitionBy("chunk").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))
+        .withColumn("offset", coalesce(sum(col("chunk_sum")).over(
+          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        .select("chunk", "offset")
+      port.join(broadcast(offsets), "chunk")
+        .withColumn("log_equity", Port.r(col("offset") + sum(col("term")).over(intra), 8))
+        .select("bucket_ms", "port_net", "log_equity")
         .orderBy("bucket_ms")
     }),
     "q_ml_features" -> ((s, d) =>

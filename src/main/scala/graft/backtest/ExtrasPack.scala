@@ -99,6 +99,29 @@ object ExtrasPack extends QueryPack {
           (0 until 10).map(k => col(s"f$k")): _*)
         .orderBy("symbol", "bucket_ms")
     }),
+    "q_rl_state" -> ((s, d) => {
+      // RL strategy state construction (ml_strategy.py:275 get_state):
+      // the state at bar i is the previous 10 returns (zeros through the
+      // warmup, NaN return filled with 0). The agent itself is an
+      // external model — the policy stand-in is a documented
+      // deterministic threshold on the state mean (the same boundary
+      // treatment as Multimodal.decodeStub).
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val rets = Signals.withRn(bars1m(s, d))
+        .withColumn("ret",
+          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
+      val withState = (1 to 10).foldLeft(rets) { (df, j) =>
+        df.withColumn(s"s$j", when(col("rn") <= 10, 0.0)
+          .otherwise(Port.r(coalesce(lag(col("ret"), j).over(w), lit(0.0)), 8)))
+      }
+      val mean = (1 to 10).map(j => col(s"s$j")).reduce(_ + _) / 10
+      withState
+        .withColumn("action", when(col("rn") <= 10, 0)
+          .when(mean > 0.0005, 1).when(mean < -0.0005, -1).otherwise(0))
+        .select(Seq(col("symbol"), col("bucket_ms")) ++
+          (1 to 10).map(j => col(s"s$j")) :+ col("action"): _*)
+        .orderBy("symbol", "bucket_ms")
+    }),
     "q_trailing_stops" -> ((s, d) =>
       // rows-only: the trailing state is path-dependent (typed per-symbol
       // scan); StopLossSpec pins the invariants
@@ -135,7 +158,32 @@ object ExtrasPack extends QueryPack {
     s"($num) / ($den)"
   }
 
+  private val RlStateSql: String = {
+    val sCols = (1 to 10).map(j =>
+      s"CASE WHEN rn <= 10 THEN 0.0 ELSE ${Port.rsql(s"coalesce(lag(ret, $j) OVER w, 0.0)", 8)} END AS s$j")
+      .mkString(",\n       ")
+    val mean = "(" + (1 to 10).map(j => s"s$j").mkString(" + ") + ") / 10"
+    s"""WITH ${QueryPack.BarsCte},
+       |r AS (
+       |  SELECT symbol, bucket_ms,
+       |         row_number() OVER w AS rn,
+       |         coalesce(close / lag(close) OVER w - 1, 0.0) AS ret
+       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |),
+       |st AS (
+       |  SELECT symbol, bucket_ms, rn,
+       |       $sCols
+       |  FROM r WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |)
+       |SELECT symbol, bucket_ms, ${(1 to 10).map(j => s"s$j").mkString(", ")},
+       |       CASE WHEN rn <= 10 THEN 0
+       |            WHEN $mean > 0.0005 THEN 1
+       |            WHEN $mean < -0.0005 THEN -1 ELSE 0 END AS action
+       |FROM st ORDER BY symbol, bucket_ms""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_rl_state" -> RlStateSql,
     "q_signal_buy_hold" ->
       s"""WITH ${QueryPack.BarsCte}
          |SELECT symbol, bucket_ms, close, 1 AS signal

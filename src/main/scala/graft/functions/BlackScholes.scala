@@ -44,22 +44,28 @@ object BlackScholes {
   /** The matching DuckDB CTE chain over a `grid(id, s, k, t, sigma)` CTE.
     * Final CTE: `priced`.
     */
-  def pricedSql: String = {
+  def pricedSql: String = pricedSqlFrom("grid", "")
+
+  /** Same chain reading from `src`, intermediate/final CTE names prefixed
+    * with `p` — lets one oracle price twice (entry vs current state).
+    * Final CTE: `${p}priced`.
+    */
+  def pricedSqlFrom(src: String, p: String): String = {
     import NormCdf.{ncdfSql, npdfSql}
-    s"""d AS (
+    s"""${p}d AS (
        |  SELECT *,
        |         (ln(s / k) + (0.02 + sigma * sigma * 0.5) * t) / (sigma * sqrt(t)) AS d1
-       |  FROM grid
+       |  FROM $src
        |),
-       |dd AS (SELECT *, d1 - sigma * sqrt(t) AS d2 FROM d),
-       |cdfs AS (
+       |${p}dd AS (SELECT *, d1 - sigma * sqrt(t) AS d2 FROM ${p}d),
+       |${p}cdfs AS (
        |  SELECT *,
        |         ${ncdfSql("d1")} AS nd1, ${ncdfSql("d2")} AS nd2,
        |         ${ncdfSql("-d1")} AS ndm1, ${ncdfSql("-d2")} AS ndm2,
        |         ${npdfSql("d1")} AS pdf1, exp(t * -0.02) AS disc
-       |  FROM dd
+       |  FROM ${p}dd
        |),
-       |priced AS (
+       |${p}priced AS (
        |  SELECT *,
        |         s * nd1 - k * disc * nd2 AS call,
        |         k * disc * ndm2 - s * ndm1 AS put,
@@ -70,7 +76,7 @@ object BlackScholes {
        |         (-s * pdf1 * sigma / (sqrt(t) * 2) + 0.02 * k * disc * ndm2) / 365 AS theta_put,
        |         k * t * disc * nd2 / 100 AS rho_call,
        |         -k * t * disc * ndm2 / 100 AS rho_put
-       |  FROM cdfs
+       |  FROM ${p}cdfs
        |)""".stripMargin
   }
 }

@@ -89,6 +89,58 @@ object DerivativesPack extends QueryPack {
           Port.r(col("k_lc") + col("net_credit_raw") / 100, 4).as("upper_breakeven"))
         .orderBy("id")
     }),
+    "q_derivatives_portfolio" -> ((s, d) => {
+      // DerivativesPortfolio valuation (derivatives.py:451-523): option
+      // positions from the part-derived grid (entry premium = BS price at
+      // inception), revalued at a moved spot and rolled-down expiry;
+      // futures positions from orders; one book per (id % 10). PnLs are
+      // snapped per position and summed as longs — exact aggregation.
+      val base = grid(s, d)
+        .withColumn("book", col("id") % 10)
+        .withColumn("qty",
+          (when(col("id") % 3 === 0, -1).otherwise(1) * (lit(1) + col("id") % 5)).cast("double"))
+        .withColumn("is_call", col("id") % 2 === 0)
+      val entry = BlackScholes.withPricing(base)
+        .select(col("id"), col("book"), col("qty"), col("is_call"),
+          when(col("is_call"), col("call")).otherwise(col("put")).as("entry_premium"),
+          col("s"), col("k"), col("t"), col("sigma"))
+      val curGrid = entry.select(col("id"), col("book"), col("qty"), col("is_call"),
+          col("entry_premium"),
+          (col("s") * (lit(0.95) + (col("id") % 11).cast("double") * 0.01)).as("s"),
+          col("k"), (col("t") - lit(1.0) / 12).as("t"), col("sigma"))
+        .filter(col("t") > 0) // expired options drop out (reference :545)
+      val cur = BlackScholes.withPricing(curGrid)
+      def e4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + lit(0.5)).cast("long")
+      def e6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)).cast("long")
+      val optBook = cur
+        .select(col("book"),
+          e4((when(col("is_call"), col("call")).otherwise(col("put")) - col("entry_premium"))
+            * col("qty") * 100).as("pnl_e4"),
+          e6(when(col("is_call"), col("delta_call")).otherwise(col("delta_put"))
+            * col("qty") * 100).as("delta_e6"),
+          e6(col("gamma") * col("qty") * 100).as("gamma_e6"),
+          e6(col("vega") * col("qty") * 100).as("vega_e6"))
+        .groupBy("book")
+        .agg(count(lit(1)).as("n_options"), sum(col("pnl_e4")).as("opt_pnl_e4"),
+          sum(col("delta_e6")).as("delta_e6"), sum(col("gamma_e6")).as("gamma_e6"),
+          sum(col("vega_e6")).as("vega_e6"))
+      val futBook = Tables.orders(s, d).select(
+          (col("o_orderkey") % 10).as("book"),
+          e4((col("o_totalprice") / 100 * (lit(0.9) + (col("o_orderkey") % 21).cast("double") * 0.01)
+            - col("o_totalprice") / 100) * 50
+            * (lit(1) + col("o_orderkey") % 10).cast("double")).as("pnl_e4"))
+        .groupBy("book")
+        .agg(count(lit(1)).as("n_futures"), sum(col("pnl_e4")).as("fut_pnl_e4"))
+      optBook.join(futBook, "book")
+        .select(col("book"), col("n_options"), col("n_futures"),
+          (col("opt_pnl_e4") / 1e4).as("opt_pnl"),
+          (col("fut_pnl_e4") / 1e4).as("fut_pnl"),
+          (lit(1000000.0) + (col("opt_pnl_e4") + col("fut_pnl_e4")) / 1e4).as("portfolio_value"),
+          (col("delta_e6") / 1e6).as("net_delta"),
+          (col("gamma_e6") / 1e6).as("net_gamma"),
+          (col("vega_e6") / 1e6).as("net_vega"))
+        .orderBy("book")
+    }),
     "q_futures_calc" -> ((s, d) =>
       // contracts derive from orders: entry := totalprice/100 at order date,
       // current := entry*(1±drift by priority), size 50, qty 1+key%10.
@@ -171,6 +223,56 @@ object DerivativesPack extends QueryPack {
          |       floor((k_up - net_credit_raw / 100) * 1e4 + 0.5) / 1e4 AS lower_breakeven,
          |       floor((k_lc + net_credit_raw / 100) * 1e4 + 0.5) / 1e4 AS upper_breakeven
          |FROM cr ORDER BY id""".stripMargin,
+    "q_derivatives_portfolio" ->
+      s"""WITH grid AS (
+         |  SELECT p_partkey AS id, p_retailprice AS s,
+         |         p_retailprice * (0.8 + CAST(p_partkey % 5 AS DOUBLE) * 0.1) AS k,
+         |         CAST(1 + p_partkey % 24 AS DOUBLE) / 12.0 AS t,
+         |         0.15 + CAST(p_partkey % 20 AS DOUBLE) * 0.01 AS sigma,
+         |         p_partkey % 10 AS book,
+         |         CAST((CASE WHEN p_partkey % 3 = 0 THEN -1 ELSE 1 END) * (1 + p_partkey % 5) AS DOUBLE) AS qty,
+         |         p_partkey % 2 = 0 AS is_call
+         |  FROM part
+         |),
+         |${BlackScholes.pricedSql},
+         |entry AS (
+         |  SELECT id, book, qty, is_call,
+         |         CASE WHEN is_call THEN call ELSE put END AS entry_premium,
+         |         s, k, t, sigma
+         |  FROM priced
+         |),
+         |grid2 AS (
+         |  SELECT id, book, qty, is_call, entry_premium,
+         |         s * (0.95 + CAST(id % 11 AS DOUBLE) * 0.01) AS s,
+         |         k, t - 1.0 / 12 AS t, sigma
+         |  FROM entry
+         |  WHERE t - 1.0 / 12 > 0
+         |),
+         |${BlackScholes.pricedSqlFrom("grid2", "c")},
+         |optbook AS (
+         |  SELECT book, count(*) AS n_options,
+         |         CAST(sum(CAST(floor((CASE WHEN is_call THEN call ELSE put END - entry_premium)
+         |               * qty * 100 * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS opt_pnl_e4,
+         |         CAST(sum(CAST(floor((CASE WHEN is_call THEN delta_call ELSE delta_put END)
+         |               * qty * 100 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS delta_e6,
+         |         CAST(sum(CAST(floor(gamma * qty * 100 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS gamma_e6,
+         |         CAST(sum(CAST(floor(vega * qty * 100 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS vega_e6
+         |  FROM cpriced GROUP BY book
+         |),
+         |futbook AS (
+         |  SELECT o_orderkey % 10 AS book, count(*) AS n_futures,
+         |         CAST(sum(CAST(floor((o_totalprice / 100 * (0.9 + CAST(o_orderkey % 21 AS DOUBLE) * 0.01)
+         |               - o_totalprice / 100) * 50 * CAST(1 + o_orderkey % 10 AS DOUBLE) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS fut_pnl_e4
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT o.book, o.n_options, f.n_futures,
+         |       o.opt_pnl_e4 / 1e4 AS opt_pnl,
+         |       f.fut_pnl_e4 / 1e4 AS fut_pnl,
+         |       1000000.0 + (o.opt_pnl_e4 + f.fut_pnl_e4) / 1e4 AS portfolio_value,
+         |       o.delta_e6 / 1e6 AS net_delta,
+         |       o.gamma_e6 / 1e6 AS net_gamma,
+         |       o.vega_e6 / 1e6 AS net_vega
+         |FROM optbook o JOIN futbook f ON o.book = f.book ORDER BY o.book""".stripMargin,
     "q_futures_calc" ->
       """WITH f AS (
         |  SELECT o_orderkey AS id,

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-driven position/equity tracking as streaming state.
@@ -52,4 +53,22 @@ object StatefulPositions {
           out.iterator
         })
   }
+
+  /** Account-level roll-up over the position-update stream
+    * (paper_trading.py:214 get_account_summary): latest state per symbol
+    * → one account row with cash, position value, portfolio value, PnL
+    * and return. Runs on the tracked sink table (or any batch of
+    * updates); each symbol's ledger started from InitialCash.
+    */
+  def accountSummary(updates: DataFrame): DataFrame =
+    updates.groupBy("symbol")
+      .agg(max_by(struct(col("cash"), col("equity")), col("tsMs")).as("last"))
+      .select(col("symbol"), col("last.cash").as("cash"), col("last.equity").as("equity"))
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(col("cash")).as("cash"),
+        sum(col("equity") - col("cash")).as("position_value"),
+        sum(col("equity")).as("portfolio_value"))
+      .withColumn("pnl", col("portfolio_value") - col("n_symbols") * InitialCash)
+      .withColumn("return_pct",
+        (col("portfolio_value") / (col("n_symbols") * InitialCash) - 1) * 100)
 }

@@ -27,6 +27,23 @@ class BacktestSpec extends AnyFunSuite {
     assert(math.abs(bt(3).getAs[Double]("log_equity") - expected) < 1e-6)
   }
 
+  test("portfolio equity curve: no row-scale data through a single-partition window") {
+    val df = SparkEntry.queries("q_portfolio_multi_asset")(spark, TestSpark.Sf)
+    df.collect() // execute so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // every unpartitioned window spec must operate on the chunk-level
+    // aggregate (chunk_sum), never on the per-bucket stream
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      val partitioned = l.contains("windowspecdefinition(chunk#") ||
+        l.contains("windowspecdefinition(symbol#")
+      if (!partitioned)
+        assert(l.contains("chunk_sum"),
+          s"single-partition window over row-scale data:\n$l")
+    }
+  }
+
   test("signals warmup: no signal before lookback completes") {
     val bars = graft.operators.Bars.ohlcv(Tables.ticks(spark, TestSpark.Sf), 3600)
     val sig = Signals.maCross(bars, fast = 3, slow = 5)

@@ -59,6 +59,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(1).getAs[Double]("traded") == -100.0) // remembered the long position
   }
+
+  test("paper-account roll-up aggregates the latest per-symbol ledger state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SignalEvent]
+    val q = StatefulPositions.track(input.toDS()).writeStream
+      .format("memory").queryName("sacct").outputMode("append").start()
+    input.addData(SignalEvent("A", 1L, 100.0, 1), SignalEvent("B", 1L, 50.0, 1))
+    q.processAllAvailable()
+    input.addData(SignalEvent("A", 2L, 110.0, 1)) // A marks up, stays long
+    q.processAllAvailable()
+    q.stop()
+    val acct = StatefulPositions.accountSummary(spark.table("sacct")).collect()
+    assert(acct.length == 1)
+    val r = acct.head
+    assert(r.getAs[Long]("n_symbols") == 2)
+    // A: bought 100 @ 100 (cost 15), equity at 110 = cash + 11000
+    val cashA = 1000000.0 - 10000.0 - 15.0
+    val cashB = 1000000.0 - 5000.0 - 7.5
+    assert(math.abs(r.getAs[Double]("cash") - (cashA + cashB)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("position_value") - (11000.0 + 5000.0)) < 1e-6)
+    val pv = cashA + 11000.0 + cashB + 5000.0
+    assert(math.abs(r.getAs[Double]("portfolio_value") - pv) < 1e-6)
+    assert(math.abs(r.getAs[Double]("pnl") - (pv - 2000000.0)) < 1e-6)
+  }
 }
 
 class WatermarkSpec extends AnyFunSuite {
