@@ -79,10 +79,13 @@ object BacktestPack extends QueryPack {
       // sum order differs from a flat scan only in association, which
       // the 1e-8 snap absorbs (error ~ n·ulp ≪ snap).
       val bt = Backtester.run(Signals.maCross(Bars.ohlcv(Tables.ticks(s, d), 3600)))
+      // cache barrier: port feeds both the offsets aggregate and the
+      // final join — uncached, the whole backtest chain runs twice
       val port = bt.groupBy("bucket_ms")
         .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
         .withColumn("term", log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))))
         .withColumn("chunk", expr("bucket_ms div 86400000"))
+        .cache()
       val intra = Window.partitionBy("chunk").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
       val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))

@@ -21,8 +21,10 @@ object PortfolioOpt {
     * returns, joined on time bucket (full N×N, both directions).
     * portfolio_optimization.py:22 (returns_df.cov() * 252).
     */
-  def covMatrix(bars: DataFrame): DataFrame = {
-    val rets = Risk.barReturns(bars)
+  def covMatrix(bars: DataFrame): DataFrame =
+    covFromRets(Risk.barReturns(bars))
+
+  private def covFromRets(rets: DataFrame): DataFrame = {
     val a = rets.select(col("symbol").as("symbol1"), col("bucket_ms"), col("r").as("r1"))
     val b = rets.select(col("symbol").as("symbol2"), col("bucket_ms"), col("r").as("r2"))
     a.join(b, "bucket_ms")
@@ -35,8 +37,10 @@ object PortfolioOpt {
 
   /** Mean annualized return per symbol. */
   def meanReturns(bars: DataFrame): DataFrame =
-    Risk.barReturns(bars).groupBy("symbol")
-      .agg((avg(col("r")) * 252).as("mu_ann_raw"))
+    muFromRets(Risk.barReturns(bars))
+
+  private def muFromRets(rets: DataFrame): DataFrame =
+    rets.groupBy("symbol").agg((avg(col("r")) * 252).as("mu_ann_raw"))
 
   /** All weight compositions of `quarters` steps over the symbol set,
     * long format: (grid_id, symbol, weight).
@@ -98,8 +102,11 @@ object PortfolioOpt {
 
   private def frontierWithGrid(spark: SparkSession, bars: DataFrame,
                                quarters: Int): (DataFrame, DataFrame) = {
-    val cov = covMatrix(bars)
-    val mu = meanReturns(bars)
+    // cache barrier: the bar-returns scan feeds cov, mu AND the symbol
+    // collect — one tick->bars pass instead of three
+    val rets = Risk.barReturns(bars).cache()
+    val cov = covFromRets(rets)
+    val mu = muFromRets(rets)
     val symbols = symbolUniverse(mu)
     val grid = weightGrid(spark, symbols, quarters)
 

