@@ -143,13 +143,22 @@ object Cleaner {
   }
 
   /** Distributed minute spine (sequence+explode, never collected) left
-    * joined with the known bars.
+    * joined with the known bars. Generated in two levels — days, then
+    * minutes within each day — so no task ever materializes more than a
+    * 1440-element array: a flat sequence(lo, hi) builds one array per
+    * symbol, which for a multi-year symbol is millions of elements in a
+    * single task's heap.
     */
   private def spineJoin(bars: DataFrame): DataFrame =
     bars
       .groupBy("symbol")
       .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
+      .select(col("symbol"), col("lo"), col("hi"),
+        explode(sequence(expr("lo div 86400000"), expr("hi div 86400000"))).as("day"))
       .select(col("symbol"),
-        explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
+        explode(sequence(
+          greatest(col("lo"), col("day") * 86400000L),
+          least(col("hi"), col("day") * 86400000L + 86340000L),
+          lit(60000L))).as("bucket_ms"))
       .join(bars.select("symbol", "bucket_ms", "close"), Seq("symbol", "bucket_ms"), "left")
 }
