@@ -131,6 +131,41 @@ object PortfolioOpt {
     (grid, f)
   }
 
+  /** Risk-parity weight search (portfolio_optimization.py:282
+    * RiskParityOptimizer.optimize): the SLSQP loop re-expressed as the
+    * same distributed grid search as the frontier — for every weight
+    * composition, risk contributions rc_i = w_i·(Σ_j cov_ij·w_j)/σ_p and
+    * the reference's objective Σ(rc_i − 1/n)², argmin by snapped
+    * objective (ties → lowest grid_id). Returns the winning composition
+    * in long form with its contributions.
+    */
+  def riskParityOptimize(spark: SparkSession, bars: DataFrame,
+                         quarters: Int = 4): DataFrame = {
+    val rets = Risk.barReturns(bars).cache()
+    val cov = covFromRets(rets)
+    val symbols = symbolUniverse(muFromRets(rets))
+    val grid = weightGrid(spark, symbols, quarters)
+    val g2 = grid.select(col("grid_id"), col("symbol").as("symbol2"), col("weight").as("w2"))
+    val marginal = g2.join(broadcast(cov), "symbol2")
+      .groupBy(col("grid_id"), col("symbol1"))
+      .agg(sum(col("w2") * col("cov_ann_raw")).as("marg"))
+    val withW = marginal.join(
+      grid.select(col("grid_id"), col("symbol").as("symbol1"), col("weight")),
+      Seq("grid_id", "symbol1"))
+    val pv = withW.groupBy("grid_id").agg(sqrt(sum(col("weight") * col("marg"))).as("pv"))
+    val rc = withW.join(pv, "grid_id")
+      .withColumn("rc", col("weight") * col("marg") / col("pv"))
+      .cache()
+    val target = 1.0 / symbols.length
+    val best = rc.groupBy("grid_id")
+      .agg(Port.r(sum((col("rc") - target) * (col("rc") - target)), 2).as("objective"))
+      .orderBy(col("objective"), col("grid_id")).limit(1)
+    rc.join(broadcast(best), "grid_id")
+      .select(col("grid_id"), col("symbol1").as("symbol"), col("weight"),
+        Port.r(col("rc"), 6).as("risk_contrib"), col("objective"))
+      .orderBy("symbol")
+  }
+
   /** Risk contribution per asset at fixed equal weights
     * (portfolio_optimization.py:245 calculate_risk_contributions).
     */

@@ -29,7 +29,9 @@ object PortfolioPack extends QueryPack {
     "q_min_vol" -> ((s, d) =>
       PortfolioOpt.selectPortfolio(s, barsH(s, d), "min_vol")),
     "q_risk_parity" -> ((s, d) =>
-      PortfolioOpt.riskContributions(barsH(s, d)).orderBy("symbol"))
+      PortfolioOpt.riskContributions(barsH(s, d)).orderBy("symbol")),
+    "q_risk_parity_opt" -> ((s, d) =>
+      PortfolioOpt.riskParityOptimize(s, barsH(s, d)))
   )
 
   private val RetsHCte: String =
@@ -114,6 +116,31 @@ object PortfolioPack extends QueryPack {
          |SELECT f.grid_id, g.symbol, g.weight, f.port_return, f.port_vol, f.sharpe
          |FROM fr f JOIN sel USING (grid_id) JOIN gridw g USING (grid_id)
          |ORDER BY g.symbol""".stripMargin,
+    "q_risk_parity_opt" ->
+      s"""WITH $FrontierCte,
+         |marginal AS (
+         |  SELECT g.grid_id, c.symbol1, sum(g.weight * c.cov_ann_raw) AS marg
+         |  FROM gridw g JOIN cov c ON c.symbol2 = g.symbol
+         |  GROUP BY 1, 2
+         |),
+         |withw AS (
+         |  SELECT m.grid_id, m.symbol1, m.marg, g.weight
+         |  FROM marginal m JOIN gridw g ON g.grid_id = m.grid_id AND g.symbol = m.symbol1
+         |),
+         |pv AS (SELECT grid_id, sqrt(sum(weight * marg)) AS pv FROM withw GROUP BY 1),
+         |rc AS (
+         |  SELECT w.grid_id, w.symbol1, w.weight, w.weight * w.marg / p.pv AS rc
+         |  FROM withw w JOIN pv p ON w.grid_id = p.grid_id
+         |),
+         |obj AS (
+         |  SELECT grid_id, floor(sum((rc - 0.2) * (rc - 0.2)) * 1e2 + 0.5) / 1e2 AS objective
+         |  FROM rc GROUP BY 1
+         |),
+         |sel AS (SELECT grid_id, objective FROM obj ORDER BY objective, grid_id LIMIT 1)
+         |SELECT r.grid_id, r.symbol1 AS symbol, r.weight,
+         |       floor(r.rc * 1e6 + 0.5) / 1e6 AS risk_contrib, s.objective
+         |FROM rc r JOIN sel s ON r.grid_id = s.grid_id
+         |ORDER BY symbol""".stripMargin,
     "q_risk_parity" ->
       s"""WITH $RetsHCte,
          |marginal AS (

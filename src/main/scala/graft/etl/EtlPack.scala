@@ -46,6 +46,26 @@ object EtlPack extends QueryPack {
     "q_fill_missing_interp" -> ((s, d) =>
       Cleaner.fillMissingInterp(Bars.ohlcv(Tables.ticks(s, d), 60))
         .orderBy("symbol", "bucket_ms")),
+    "q_clean_pipeline" -> ((s, d) => {
+      // composed cleaning chain (cleaner.py:230 clean_pipeline_pandas,
+      // reference order: dedup → validate → IQR outliers) as a
+      // per-symbol funnel with stage row counts + surviving price range
+      val ticks = Tables.ticks(s, d)
+      val raw = ticks.groupBy("symbol").agg(count(lit(1)).as("n_raw"))
+      val dedup = Cleaner.dedupKeepFirst(ticks)
+        .select(col("symbol"), col("first_price").as("price"))
+      val nDedup = dedup.groupBy("symbol").agg(count(lit(1)).as("n_dedup"))
+      val valid = dedup.filter(col("price") >= 10.0 && col("price") <= 180.0).cache()
+      val nValid = valid.groupBy("symbol").agg(count(lit(1)).as("n_valid"))
+      val bounds = Cleaner.iqrBounds(valid)
+      val clean = valid.join(broadcast(bounds), "symbol")
+        .filter(col("price") >= col("lo") && col("price") <= col("hi"))
+      val nClean = clean.groupBy("symbol")
+        .agg(count(lit(1)).as("n_clean"),
+          min("price").as("clean_min"), max("price").as("clean_max"))
+      raw.join(nDedup, "symbol").join(nValid, "symbol").join(nClean, "symbol")
+        .orderBy("symbol")
+    }),
     "q_latest_trades" -> ((s, d) => {
       val w = Window.partitionBy("symbol").orderBy(col("ts").desc, col("event_id").desc)
       Tables.ticks(s, d)
@@ -160,6 +180,31 @@ object EtlPack extends QueryPack {
          |       ${Port.rsql("CASE WHEN close IS NOT NULL THEN close ELSE pv + (nv - pv) * CAST(bucket_ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END", 6)} AS close_interp,
          |       CAST(close IS NULL AS INT) AS was_missing
          |FROM j ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_clean_pipeline" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |dedup AS (
+         |  SELECT symbol AS dsym, arg_min(price, ts) AS price
+         |  FROM ticks GROUP BY user_id, symbol
+         |),
+         |raw AS (SELECT symbol, count(*) AS n_raw FROM ticks GROUP BY symbol),
+         |nd AS (SELECT dsym AS symbol, count(*) AS n_dedup FROM dedup GROUP BY 1),
+         |valid AS (SELECT dsym AS symbol, price FROM dedup WHERE price >= 10.0 AND price <= 180.0),
+         |nv AS (SELECT symbol, count(*) AS n_valid FROM valid GROUP BY symbol),
+         |bounds AS (
+         |  SELECT symbol,
+         |         quantile_cont(price, 0.25) - (quantile_cont(price, 0.75) - quantile_cont(price, 0.25)) * 3.0 AS lo,
+         |         quantile_cont(price, 0.75) + (quantile_cont(price, 0.75) - quantile_cont(price, 0.25)) * 3.0 AS hi
+         |  FROM valid GROUP BY symbol
+         |),
+         |clean AS (
+         |  SELECT v.symbol, v.price FROM valid v JOIN bounds b ON v.symbol = b.symbol
+         |  WHERE v.price >= b.lo AND v.price <= b.hi
+         |),
+         |nc AS (SELECT symbol, count(*) AS n_clean, min(price) AS clean_min,
+         |              max(price) AS clean_max FROM clean GROUP BY symbol)
+         |SELECT r.symbol, n_raw, n_dedup, n_valid, n_clean, clean_min, clean_max
+         |FROM raw r JOIN nd USING (symbol) JOIN nv USING (symbol) JOIN nc USING (symbol)
+         |ORDER BY r.symbol""".stripMargin,
     "q_latest_trades" ->
       s"""WITH ${QueryPack.TicksCte}
          |SELECT symbol, epoch_ns(ts) // 1000000 AS ts_ms, price, volume, rn FROM (
