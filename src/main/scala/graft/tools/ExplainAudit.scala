@@ -11,7 +11,11 @@ object ExplainAudit {
   val Headliners = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_ohlcv_1min", "q_backtest_ma_cross", "q_asof_join",
-    "q_dedup_ngram_jaccard", "q_ann_cosine_topk")
+    "q_dedup_ngram_jaccard", "q_ann_cosine_topk",
+    // round-2 surfaces
+    "q_order_lifecycle", "q_fill_missing_interp", "q_max_sharpe",
+    "q_derivatives_portfolio", "q_ann_ivf_topk", "q_dedup_embedding",
+    "q_portfolio_multi_asset", "q_risk_parity_opt")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
