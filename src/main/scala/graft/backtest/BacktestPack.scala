@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object BacktestPack extends QueryPack {
 
   private def bars1m(s: SparkSession, d: String): DataFrame =
-    Bars.ohlcv(Tables.ticks(s, d), 60)
+    Bars.ohlcvCached(s, d, 60)
 
   private def btMaCross(s: SparkSession, d: String): DataFrame =
     Backtester.run(Signals.maCross(bars1m(s, d)))
@@ -78,7 +78,7 @@ object BacktestPack extends QueryPack {
       // row-scale data ever crosses a single-partition window; the
       // sum order differs from a flat scan only in association, which
       // the 1e-8 snap absorbs (error ~ n·ulp ≪ snap).
-      val bt = Backtester.run(Signals.maCross(Bars.ohlcv(Tables.ticks(s, d), 3600)))
+      val bt = Backtester.run(Signals.maCross(Bars.ohlcvCached(s, d, 3600)))
       // cache barrier: port feeds both the offsets aggregate and the
       // final join — uncached, the whole backtest chain runs twice
       val port = bt.groupBy("bucket_ms")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object ExtrasPack extends QueryPack {
 
   private def bars1m(s: SparkSession, d: String): DataFrame =
-    Bars.ohlcv(Tables.ticks(s, d), 60)
+    Bars.ohlcvCached(s, d, 60)
 
   /** EMA via a bounded 60-tap weighted sum of window lags — one sort per
     * symbol, no join (a rank-range self-join explodes to |bars|² per

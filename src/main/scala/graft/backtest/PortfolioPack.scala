@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object PortfolioPack extends QueryPack {
 
   private def barsH(s: SparkSession, d: String): DataFrame =
-    Bars.ohlcv(Tables.ticks(s, d), 3600)
+    Bars.ohlcvCached(s, d, 3600)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asset_stats" -> ((s, d) =>

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RiskPack extends QueryPack {
 
   private def bars1m(s: SparkSession, d: String): DataFrame =
-    Bars.ohlcv(Tables.ticks(s, d), 60)
+    Bars.ohlcvCached(s, d, 60)
 
   private def btMaCross(s: SparkSession, d: String): DataFrame =
     Backtester.run(Signals.maCross(bars1m(s, d)))

@@ -38,13 +38,13 @@ object EtlPack extends QueryPack {
     "q_validate_prices" -> ((s, d) =>
       Cleaner.validatePrices(Tables.ticks(s, d), 10.0, 180.0).orderBy("symbol")),
     "q_fill_missing_minutes" -> ((s, d) =>
-      Cleaner.fillMissingMinutes(Bars.ohlcv(Tables.ticks(s, d), 60))
+      Cleaner.fillMissingMinutes(Bars.ohlcvCached(s, d, 60))
         .orderBy("symbol", "bucket_ms")),
     "q_fill_missing_bfill" -> ((s, d) =>
-      Cleaner.fillMissingBfill(Bars.ohlcv(Tables.ticks(s, d), 60))
+      Cleaner.fillMissingBfill(Bars.ohlcvCached(s, d, 60))
         .orderBy("symbol", "bucket_ms")),
     "q_fill_missing_interp" -> ((s, d) =>
-      Cleaner.fillMissingInterp(Bars.ohlcv(Tables.ticks(s, d), 60))
+      Cleaner.fillMissingInterp(Bars.ohlcvCached(s, d, 60))
         .orderBy("symbol", "bucket_ms")),
     "q_clean_pipeline" -> ((s, d) => {
       // composed cleaning chain (cleaner.py:230 clean_pipeline_pandas,

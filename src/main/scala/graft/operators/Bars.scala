@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Port
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tick → OHLCV bars and resampling.
@@ -39,6 +39,19 @@ object Bars {
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_trades")
       )
+
+  /** Session-memoized cached bars: ~20 queries derive from the same
+    * tick→bars aggregate, so one materialization per (session, dataset,
+    * granularity) — the engine's shared-materialized-view behavior, same
+    * pattern as the memoized jaccard pairs. Cache is bars-sized
+    * (symbols × buckets), never tick-sized.
+    */
+  private val barsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+
+  def ohlcvCached(s: SparkSession, d: String, seconds: Long): DataFrame =
+    barsCache.getOrElseUpdate((s, d, seconds),
+      ohlcv(graft.Tables.ticks(s, d), seconds).cache())
 
   /** Downsample OHLCV bars to a coarser granularity (bars must carry
     * bucket_ms/open/high/low/close/volume).

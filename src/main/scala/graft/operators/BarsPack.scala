@@ -10,9 +10,9 @@ object BarsPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ohlcv_1min" -> ((s, d) =>
-      Bars.ohlcv(Tables.ticks(s, d), 60).orderBy("symbol", "bucket_ms")),
+      Bars.ohlcvCached(s, d, 60).orderBy("symbol", "bucket_ms")),
     "q_ohlcv_downsample_5min" -> ((s, d) =>
-      Bars.downsample(Bars.ohlcv(Tables.ticks(s, d), 60), 300)
+      Bars.downsample(Bars.ohlcvCached(s, d, 60), 300)
         .orderBy("symbol", "bucket_ms")),
     "q_vwap_hourly" -> ((s, d) =>
       Bars.vwapHourly(Tables.ticks(s, d)).orderBy("symbol", "bucket_ms"))

@@ -52,7 +52,7 @@ object EventsPack extends QueryPack {
     "q_asof_join" -> ((s, d) => {
       val left = Tables.ticks(s, d)
         .select(col("symbol"), expr("ts div 1000000").as("ts_ms"), col("price"))
-      val right = Bars.ohlcv(Tables.ticks(s, d), 3600)
+      val right = Bars.ohlcvCached(s, d, 3600)
         .select(col("symbol"), (col("bucket_ms") + 3600000L).as("ts_ms"),
           col("close").as("prev_hour_close"))
       AsOfJoin.backward(left, right, "symbol", "ts_ms", Seq("prev_hour_close"))
