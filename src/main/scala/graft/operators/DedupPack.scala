@@ -78,9 +78,9 @@ object DedupPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val shd = TextPack.shingles(docs).select("doc_id", "shingle").cache()
-      // the cached shingle table feeds signatures, verification, and sizes
+      // the session-cached shingle table feeds signatures, verification,
+      // and sizes (shared with the jaccard pipeline)
+      val shd = TextPack.shinglesCached(s, d)
       val sig = bandSignatures(minhashFromShingles(shd))
       val a = sig.select(col("doc_id").as("doc1"), col("band"), col("sig"))
       val b = sig.select(col("doc_id").as("doc2"), col("band"), col("sig"))
@@ -88,10 +88,13 @@ object DedupPack extends QueryPack {
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
         .cache()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = shd.select(col("doc_id").as("doc1"), col("shingle"))
-        .join(shd.select(col("doc_id").as("doc2"), col("shingle")), "shingle")
-        .filter(col("doc1") < col("doc2"))
-        .join(cand.select("doc1", "doc2"), Seq("doc1", "doc2"), "leftsemi")
+      // candidate-only verification: expand the (small, broadcast)
+      // candidate pair set with doc1's shingles, then probe doc2's —
+      // the full shingle self-join never runs, only |cand| × shingle
+      // intersections do
+      val inter = cand.select("doc1", "doc2")
+        .join(shd.select(col("doc_id").as("doc1"), col("shingle")), "doc1")
+        .join(shd.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
       cand.join(inter, Seq("doc1", "doc2"), "left")
         .withColumn("inter", coalesce(col("inter"), lit(0L)))

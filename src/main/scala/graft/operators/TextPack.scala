@@ -44,6 +44,16 @@ object TextPack extends QueryPack {
       .distinct()
   }
 
+  /** Session-memoized cached shingle table — feeds the jaccard pipeline
+    * and DedupPack's MinHash signatures/verification.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def shinglesCached(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d),
+      shingles(graft.Tables.documents(s, d)).select("doc_id", "shingle").cache())
+
   /** DuckDB mirror of [[shingles]] (final CTE: shd). */
   val ShinglesCte: String =
     """toks AS (
@@ -174,7 +184,7 @@ object TextPack extends QueryPack {
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d), {
-      val shd = shingles(Tables.documents(s, d)).cache()
+      val shd = shinglesCached(s, d)
       // stopword-shingle cut: postings capped (no-op at this corpus,
       // linearity guard at scale)
       val ok = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
