@@ -72,6 +72,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("v") == 200.0)
     assert(out(3).isNullAt(out(3).fieldIndex("v"))) // B: no right row
   }
+
+  test("valueCols clashing with left's columns are rejected") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq(("A", 5L, 1.0)).toDF("symbol", "t", "v")
+    val right = Seq(("A", 4L, 100.0)).toDF("symbol", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(left, right, "symbol", "t", Seq("v")))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("duplicate right timestamps resolve deterministically to the greatest value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq(("A", 10L, 1)).toDF("symbol", "t", "k")
+    val right = Seq(("A", 10L, 100.0), ("A", 10L, 300.0), ("A", 10L, 200.0))
+      .toDF("symbol", "t", "v")
+    val out = AsOfJoin.backward(left, right, "symbol", "t", Seq("v")).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("v") == 300.0)
+  }
 }
 
 class NormalizerSpec extends AnyFunSuite {
