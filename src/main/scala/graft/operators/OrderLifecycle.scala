@@ -26,7 +26,9 @@ import scala.collection.mutable
   *
   * Execution is a SortedScan per symbol: sequential in (ts, event_id)
   * inside a symbol, parallel across symbols; state is the resting book +
-  * three ledger scalars, never the event history.
+  * three ledger scalars, never the event history. The same transition
+  * machine ([[LifecycleSim]]) backs graft.streaming.StreamingLifecycle,
+  * which snapshots/restores it across micro-batches.
   */
 object OrderLifecycle {
 
@@ -46,27 +48,32 @@ object OrderLifecycle {
                             side: String, fill_kind: String, qty: Double,
                             price: Double, commission: Double, ts: Long)
 
-  private case class Open(event_id: Long, ts: Long, side: String,
-                          price: Double, qty: Double)
+  case class Open(event_id: Long, ts: Long, side: String,
+                  price: Double, qty: Double)
 
-  /** Scan one symbol's event flow. Input MUST be sorted by (ts, event_id);
-    * trades stream out per tick.
+  /** Encoder-friendly snapshot of a simulator's full state. */
+  case class LifecycleState(book: Seq[Open], cancelled: Seq[Long],
+                            pending: Seq[BookEvent], cash: Double,
+                            position: Double, seq: Long)
+
+  /** The sequential per-symbol transition machine. Mutable by design —
+    * one instance lives inside one task (batch scan) or one group-state
+    * slot (streaming); events MUST arrive in (ts, event_id) order.
     */
-  def scanSymbol(symbol: String, events: Iterator[BookEvent]): Iterator[LifecycleTrade] = {
-    // resting books: buy = best price highest / earliest; sell = lowest / earliest
-    val buys = mutable.PriorityQueue.empty[Open](
+  final class LifecycleSim(symbol: String) {
+    private val buys = mutable.PriorityQueue.empty[Open](
       Ordering.by((o: Open) => (o.price, -o.ts, -o.event_id)))
-    val sells = mutable.PriorityQueue.empty[Open](
+    private val sells = mutable.PriorityQueue.empty[Open](
       Ordering.by((o: Open) => (-o.price, -o.ts, -o.event_id)))
-    val cancelled = mutable.HashSet.empty[Long] // lazy deletion, as the reference
-    val resting = mutable.HashSet.empty[Long]   // event_ids currently in a book
-    val pending = mutable.ArrayBuffer.empty[BookEvent] // submitted, awaiting a tick
-    var cash = InitialCash
-    var position = 0.0
-    var seq = 0L
+    private val cancelled = mutable.HashSet.empty[Long] // lazy deletion
+    private val resting = mutable.HashSet.empty[Long]
+    private val pending = mutable.ArrayBuffer.empty[BookEvent]
+    private var cash = InitialCash
+    private var position = 0.0
+    private var seq = 0L
 
-    def execute(eventId: Long, side: String, kind: String, qty: Double,
-                px: Double, ts: Long): Option[LifecycleTrade] = {
+    private def execute(eventId: Long, side: String, kind: String, qty: Double,
+                        px: Double, ts: Long): Option[LifecycleTrade] = {
       val fee = qty * px * Commission
       if (side == "buy") {
         if (cash < qty * px + fee) None // REJECTED
@@ -83,8 +90,8 @@ object OrderLifecycle {
       }
     }
 
-    def onTick(px: Double, ts: Long): Iterator[LifecycleTrade] = {
-      val out = mutable.ArrayBuffer.empty[LifecycleTrade] // bounded by this tick's fills
+    private def onTick(px: Double, ts: Long): Iterator[LifecycleTrade] = {
+      val out = mutable.ArrayBuffer.empty[LifecycleTrade] // bounded per tick
       // 1. pending orders, submission order (process_tick :407)
       pending.foreach { o =>
         if (o.kind == "market") {
@@ -121,18 +128,48 @@ object OrderLifecycle {
       out.iterator
     }
 
-    events.flatMap { e =>
-      e.kind match {
-        case "tick" => onTick(e.price, e.ts)
-        case "cancel" =>
-          // remove_order :109 — only resting orders cancel; pending/filled ids no-op
-          if (resting.remove(e.ref_id)) cancelled += e.ref_id
-          Iterator.empty
-        case _ =>
-          pending += e
-          Iterator.empty
-      }
+    def onEvent(e: BookEvent): Iterator[LifecycleTrade] = e.kind match {
+      case "tick" => onTick(e.price, e.ts)
+      case "cancel" =>
+        // remove_order :109 — only resting orders cancel; pending/filled no-op
+        if (resting.remove(e.ref_id)) cancelled += e.ref_id
+        Iterator.empty
+      case _ =>
+        pending += e
+        Iterator.empty
     }
+
+    def snapshot: LifecycleState =
+      LifecycleState((buys.toSeq ++ sells.toSeq).sortBy(_.event_id),
+        cancelled.toSeq.sorted, pending.toSeq, cash, position, seq)
+  }
+
+  object LifecycleSim {
+    def fresh(symbol: String): LifecycleSim = new LifecycleSim(symbol)
+
+    def restore(symbol: String, st: LifecycleState): LifecycleSim = {
+      val sim = new LifecycleSim(symbol)
+      val dead = st.cancelled.toSet
+      st.book.foreach { o =>
+        // cancelled orders stay in the heap (lazy deletion) but are not resting
+        if (!dead(o.event_id)) sim.resting += o.event_id
+        if (o.side == "buy") sim.buys.enqueue(o) else sim.sells.enqueue(o)
+      }
+      sim.cancelled ++= st.cancelled
+      sim.pending ++= st.pending
+      sim.cash = st.cash
+      sim.position = st.position
+      sim.seq = st.seq
+      sim
+    }
+  }
+
+  /** Scan one symbol's event flow. Input MUST be sorted by (ts, event_id);
+    * trades stream out per tick.
+    */
+  def scanSymbol(symbol: String, events: Iterator[BookEvent]): Iterator[LifecycleTrade] = {
+    val sim = LifecycleSim.fresh(symbol)
+    events.flatMap(sim.onEvent)
   }
 
   def run(events: Dataset[BookEvent]): Dataset[LifecycleTrade] = {

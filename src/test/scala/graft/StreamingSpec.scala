@@ -60,6 +60,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("traded") == -100.0) // remembered the long position
   }
 
+  test("streaming order lifecycle matches the batch replay trade-for-trade") {
+    import graft.operators.OrderLifecycle
+    import graft.operators.OrderLifecycle.BookEvent
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // resting limit from batch 1 crosses in batch 2; a batch-2 cancel
+    // kills a batch-1 order; a market order submitted at a batch boundary
+    // fills on the next batch's tick
+    val batches = Seq(
+      Seq(BookEvent("A", 1L, 1L, "tick", "buy", 100.0, 0.0, -1L),
+        BookEvent("A", 2L, 2L, "limit", "buy", 99.0, 5.0, -1L),
+        BookEvent("A", 3L, 3L, "limit", "sell", 104.0, 2.0, -1L),
+        BookEvent("A", 4L, 4L, "tick", "buy", 101.0, 0.0, -1L)), // both rest
+      Seq(BookEvent("A", 5L, 5L, "cancel", "sell", 0.0, 0.0, 3L), // kill the sell
+        BookEvent("A", 6L, 6L, "tick", "buy", 98.0, 0.0, -1L),    // buy@99 crosses
+        BookEvent("A", 7L, 7L, "market", "buy", 0.0, 1.0, -1L)),  // pends
+      Seq(BookEvent("A", 8L, 8L, "tick", "buy", 105.0, 0.0, -1L)) // market fills; sell@104 cancelled
+    )
+    val input = MemoryStream[BookEvent]
+    val q = graft.streaming.StreamingLifecycle.track(input.toDS()).writeStream
+      .format("memory").queryName("slife").outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("slife").orderBy("trade_seq").collect()
+      .map(r => (r.getAs[Long]("trade_seq"), r.getAs[Long]("order_event_id"),
+        r.getAs[String]("fill_kind"), r.getAs[Double]("price"), r.getAs[Double]("qty")))
+    val batch = OrderLifecycle.scanSymbol("A", batches.flatten.iterator).toSeq
+      .map(t => (t.trade_seq, t.order_event_id, t.fill_kind, t.price, t.qty))
+    assert(streamed.toSeq == batch)
+    assert(batch.map(x => (x._2, x._3)) ==
+      Seq((2L, "book_cross"), (7L, "market"))) // cancelled sell never trades
+  }
+
   test("paper-account roll-up aggregates the latest per-symbol ledger state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
