@@ -31,15 +31,19 @@ object ExtrasPack extends QueryPack {
 
   private def emaCols(bars: DataFrame, spans: Seq[Int]): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    val lags = (0 until EmaTaps).map(k => lag(col("close"), k).over(w))
     val rn = Signals.withRn(bars)
-    val withEmas = spans.foldLeft(rn) { (df, span) =>
+    // materialize the 60 lags ONCE as columns (one window pass, 60 frame
+    // readers), then every span's weighted sum is a plain codegen'd
+    // projection — embedding the lag expressions per span doubles the
+    // window function count
+    val withLags = rn.select(
+      col("symbol") +: col("bucket_ms") +: col("rn") +:
+        (0 until EmaTaps).map(k =>
+          coalesce(lag(col("close"), k).over(w), lit(0.0)).as(s"l$k")): _*)
+    val withEmas = spans.foldLeft(withLags) { (df, span) =>
       val alpha = 2.0 / (span + 1)
       val beta = 1.0 - alpha
-      val weights = (0 until EmaTaps).map(k => math.pow(beta, k))
-      val num = lags.zip(weights).map { case (l, wt) =>
-        coalesce(l, lit(0.0)) * wt
-      }.reduce(_ + _)
+      val num = (0 until EmaTaps).map(k => col(s"l$k") * math.pow(beta, k)).reduce(_ + _)
       // the weight mass of the populated lags in closed form:
       // Σ_{k<min(rn,taps)} β^k = (1 - β^min(rn,taps)) / (1 - β)
       val den = (lit(1.0) - pow(lit(beta), least(col("rn"), lit(EmaTaps)).cast("double"))) / (1.0 - beta)
