@@ -29,6 +29,52 @@ object Multimodal {
         length(col("text")).cast("long").as("byte_len"),
         md5(col("text")).as("content_md5")).as("meta"))
 
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                   pixels: Array[Byte])
+
+  /** Frame sampling: every `nth` frame of each media item. Frame count
+    * follows the q_media_metadata arithmetic (1 + len % 30); the decoded
+    * "pixels" are a deterministic stride over the source bytes — the real
+    * contract is the shape: one item fans out to a bounded frame set
+    * inside its partition (no shuffle), each frame a fixed-size payload.
+    */
+  def frameSample(media: Dataset[MediaRow], nth: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: open demuxer/codec once per partition here
+      it.flatMap { row =>
+        val n = row.media.length
+        val nFrames = 1 + n % 30
+        val w = 64 + n % 576
+        val h = 64 + (n * 7) % 416
+        (0 until nFrames by nth).iterator.map { k =>
+          val px = new Array[Byte](64)
+          var i = 0
+          while (i < 64) { px(i) = if (n > 0) row.media((k + i * 31) % n) else 0; i += 1 }
+          Frame(row.doc_id, k, w, h, px)
+        }
+      }
+    }
+  }
+
+  /** Resize: deterministic re-stride of the stub pixels to `w`×`h`-coded
+    * payload size (capped stub payload of 64 bytes keeps the fixture
+    * small; a real impl swaps in an image op per partition session).
+    */
+  def resizeStub(frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val out = new Array[Byte](math.min(64, math.max(1, w * h / 64)))
+        var i = 0
+        while (i < out.length) { out(i) = f.pixels(i * f.pixels.length / out.length); i += 1 }
+        f.copy(width = w, height = h, pixels = out)
+      }
+    }
+  }
+
   /** The stubbed decoder: one codec "session" per partition, batch
     * iteration, fixed 8-wide feature vector per item.
     */

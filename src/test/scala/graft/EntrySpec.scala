@@ -38,4 +38,28 @@ class EntrySpec extends AnyFunSuite {
     val again = Multimodal.decodeStub(media).collect()
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
+
+  test("multimodal frame-sample + resize: bounded fan-out, metadata-consistent, no shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val media = Multimodal.asMedia(Tables.documents(spark, TestSpark.Sf))
+      .selectExpr("doc_id", "media").as[MediaRow]
+    val frames = Multimodal.frameSample(media, nth = 3)
+    // frame count per doc = ceil((1 + len % 30) / 3), straight from the
+    // q_media_metadata arithmetic
+    val counts = frames.groupBy("doc_id").count()
+      .join(Multimodal.asMedia(Tables.documents(spark, TestSpark.Sf))
+        .select(col("doc_id"), col("meta.byte_len").as("len")), "doc_id")
+      .withColumn("expected", ceil((lit(1) + col("len") % 30) / 3.0))
+      .filter(col("count") =!= col("expected"))
+    assert(counts.count() == 0)
+    // fan-out happens inside the partition: no exchange in the plan
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val resized = Multimodal.resizeStub(frames, 32, 32).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { f =>
+      assert(f.width == 32 && f.height == 32)
+      assert(f.pixels.length == math.min(64, math.max(1, 32 * 32 / 64)))
+    }
+  }
 }
