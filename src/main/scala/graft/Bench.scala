@@ -28,17 +28,25 @@ object Bench {
       }
     // Fixed (sorted) query order: Scala Map iteration order is arbitrary,
     // which made per-round timings incomparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd materializes every output row — count() would let Catalyst
-      // prune projection-only work and understate the timings
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // toRdd materializes every output row — count() would let Catalyst
+        // prune projection-only work and understate the timings
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // Two passes: the BASELINE.md DuckDB methodology times a warm second
+    // pass, so the comparable headline is the warm pass — cold carries
+    // ~0.3-0.5s/query of one-time plan+codegen compile that the in-process
+    // baseline never pays. Both are reported.
+    val cold = pass()
+    val warm = pass()
+    val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = warm.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
