@@ -38,6 +38,33 @@ object MicroBench {
     val docs = Tables.documents(spark, d)
     docs.count() // warm
 
+    if (sys.env.contains("MICRO_HOT_KEY")) {
+      // hot-key posture check: ONE symbol's entire order flow (1M mixed
+      // lifecycle events) through the SortedScan streaming scan — the
+      // whole stream lands on a single task and must stream through
+      // bounded state (resting book), not buffer the event history
+      import spark.implicits._
+      import graft.operators.OrderLifecycle
+      import graft.operators.OrderLifecycle.BookEvent
+      val n = 1000000
+      val events = spark.range(n).select(
+        lit("HOT").as("symbol"),
+        col("id").as("ts"),
+        col("id").as("event_id"),
+        when(col("id") % 10 === 0, "market")
+          .when(col("id") % 10 === 1, "cancel")
+          .when(col("id") % 10 <= 4, "limit").otherwise("tick").as("kind"),
+        when(col("id") % 2 === 0, "buy").otherwise("sell").as("side"),
+        (lit(100.0) + (col("id") % 1000).cast("double") / 100 *
+          when(col("id") % 10 <= 4 && col("id") % 10 >= 2,
+            (col("id") % 2 * 2 - 1).cast("double") * 0.5).otherwise(0.0)).as("price"),
+        (lit(1.0) + (col("id") % 7).cast("double")).as("qty"),
+        (col("id") - col("id") % 97).as("ref_id"))
+        .as[BookEvent]
+      time(s"order_lifecycle_hot_${n / 1000}k")(OrderLifecycle.run(events).count())
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_COLD_PROBE")) {
       val tiny = Tables.documents(spark, "/root/testdata/sf0.001")
       time("cold_shingles_tiny")(TextPack.shingles(tiny).count())
