@@ -44,6 +44,8 @@ object StatefulPositions {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (symbol: String, evs: Iterator[SignalEvent], gs: GroupState[PositionState]) => {
           var st = gs.getOption.getOrElse(PositionState(0.0, InitialCash, 0.0))
+          // in-batch sort is bounded by the trigger interval's event count
+          // (unlike a batch groupByKey, which would buffer all history)
           val out = evs.toSeq.sortBy(_.tsMs).map { ev =>
             val (next, upd) = step(st, ev)
             st = next

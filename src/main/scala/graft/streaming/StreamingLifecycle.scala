@@ -31,7 +31,8 @@ object StreamingLifecycle {
           val sim = gs.getOption
             .map(st => LifecycleSim.restore(symbol, st))
             .getOrElse(LifecycleSim.fresh(symbol))
-          // micro-batch-bounded sort: groups arrive unsorted inside a batch
+          // micro-batch-bounded sort (trigger-interval event count, not
+          // history): groups arrive unsorted inside a batch
           val out = evs.toSeq.sortBy(e => (e.ts, e.event_id))
             .flatMap(e => sim.onEvent(e).toSeq)
           gs.update(sim.snapshot)
