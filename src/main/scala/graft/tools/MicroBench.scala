@@ -73,6 +73,35 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_EMA")) {
+      // 60 lag frame processors vs one sliding collect_list frame + get()
+      import graft.operators.Bars
+      val bars = Bars.ohlcvCached(spark, d, 60)
+      bars.count()
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      def lagForm: DataFrame = {
+        val withLags = bars.select(
+          col("symbol") +: col("bucket_ms") +:
+            (0 until 60).map(k => coalesce(lag(col("close"), k).over(w), lit(0.0)).as(s"l$k")): _*)
+        val num12 = (0 until 60).map(k => col(s"l$k") * math.pow(1 - 2.0 / 13, k)).reduce(_ + _)
+        val num26 = (0 until 60).map(k => col(s"l$k") * math.pow(1 - 2.0 / 27, k)).reduce(_ + _)
+        withLags.select(col("symbol"), col("bucket_ms"), num12.as("n12"), num26.as("n26"))
+      }
+      def arrForm: DataFrame = {
+        val arr = collect_list(col("close")).over(w.rowsBetween(-59, 0))
+        val withArr = bars.select(col("symbol"), col("bucket_ms"), arr.as("a"))
+        def tap(k: Int) = coalesce(get(col("a"), size(col("a")) - k - 1), lit(0.0))
+        val num12 = (0 until 60).map(k => tap(k) * math.pow(1 - 2.0 / 13, k)).reduce(_ + _)
+        val num26 = (0 until 60).map(k => tap(k) * math.pow(1 - 2.0 / 27, k)).reduce(_ + _)
+        withArr.select(col("symbol"), col("bucket_ms"), num12.as("n12"), num26.as("n26"))
+      }
+      for (r <- 1 to 3) {
+        time(s"ema_60lags_r$r")(lagForm.queryExecution.toRdd.count())
+        time(s"ema_array_r$r")(arrForm.queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
+
     for (round <- 1 to 3) {
       println(s"[micro] --- round $round ---")
       time("shingles_array")(TextPack.shingles(docs).count())
