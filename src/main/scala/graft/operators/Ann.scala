@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Native codegen'd dot product (graft.functions.DotProductExpr) — the
+    * fold order matches the old zip_with/aggregate HOF exactly, so every
+    * snapped cosine and oracle is unchanged.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** (vec_id, e) → + nrm. */
   def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+    df.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
   /** Nearest centroid per vector by snapped cosine (ties → lowest cell).
     * One hash aggregate (max_by on the (ccos, -cell) tuple) instead of a

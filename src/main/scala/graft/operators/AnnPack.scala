@@ -27,16 +27,12 @@ import org.apache.spark.sql.functions._
 object AnnPack extends QueryPack {
 
   /** (vec_id, label, e: array<double>, nrm): vectors as arrays — dot
-    * products stay inside whole-stage codegen via zip_with/aggregate, no
-    * per-component explode.
+    * products run through the native codegen'd DotProductExpr (one fused
+    * loop per row), no per-component explode.
     */
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    Ann.withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> ((s, d) => Ann.bruteTopK(emb(s, d), nQueries = 10, k = 10)),

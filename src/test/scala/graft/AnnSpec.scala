@@ -18,6 +18,24 @@ class AnnSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("native dot product equals the zip_with fold bit-for-bit (codegen + interpreted)") {
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.125)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.7, 0.8, 0.9))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.DotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // interpreted path (no codegen): direct expression eval
+    val e = graft.functions.DotProductExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(5.0, 7.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 31.0)
+  }
+
   test("k-means IVF nprobe=2 reaches >=0.9 recall@5 vs brute force on clustered data") {
     val rnd = new scala.util.Random(42)
     val dim = 16; val clusters = 8; val n = 400
