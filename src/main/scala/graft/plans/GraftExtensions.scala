@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.NormCdfExpr
+import graft.functions.{DotProductExpr, NormCdfExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "norm_cdf takes exactly one argument")
         NormCdfExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product takes exactly two arguments")
+        DotProductExpr(children.head, children(1))
       }))
   }
 }

@@ -20,6 +20,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val sym = s.sql("SELECT norm_cdf(CAST(1.5 AS DOUBLE)) + norm_cdf(CAST(-1.5 AS DOUBLE)) AS one")
         .collect()(0).getDouble(0)
       assert(math.abs(sym - 1.0) < 1e-7)
+      val d = s.sql(
+        "SELECT dot_product(array(2.0D, 3.0D), array(5.0D, 7.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d == 31.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
