@@ -54,6 +54,26 @@ object TextPack extends QueryPack {
     shingleCache.getOrElseUpdate((s, d),
       shingles(graft.Tables.documents(s, d)).select("doc_id", "shingle").cache())
 
+  /** Jaccard pair chain over the shingle CTE (final CTE: jp) — shared by
+    * the pair and cluster oracles.
+    */
+  private lazy val JaccardCte: String =
+    s"""$ShinglesCte,
+       |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+       |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+       |prs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jp AS (
+       |  SELECT doc1, doc2, inter, s1.sz AS sz1, s2.sz AS sz2,
+       |         inter / (s1.sz + s2.sz - inter) AS jaccard
+       |  FROM prs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+       |  WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
+       |)""".stripMargin
+
   /** DuckDB mirror of [[shingles]] (final CTE: shd). */
   val ShinglesCte: String =
     """toks AS (
@@ -171,7 +191,41 @@ object TextPack extends QueryPack {
         .select("doc_id", "n_chars", "quality", "reason", "kept")
         .orderBy("doc_id")
     }),
-    "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d))
+    "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_dedup_clusters" -> ((s, d) => {
+      // near-dup canonicalization: connected components over the dup
+      // pairs (training-data dedup must pick ONE survivor per transitive
+      // cluster, not drop arbitrary pair losers). Min-label propagation:
+      // each iteration is a distributed join+aggregate, converging in
+      // diameter steps (dup clusters are shallow; path doubling is the
+      // upgrade if clusters ever grow deep). cluster_id = min doc_id of
+      // the component — deterministic, and the canonical survivor.
+      val pairs = jaccardPairs(s, d).select("doc1", "doc2")
+      val edges = pairs
+        .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .cache()
+      var labels = edges.select(col("doc1").as("doc_id")).distinct()
+        .withColumn("root", col("doc_id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, col("doc2") === col("doc_id"))
+          .groupBy(col("doc1")).agg(min(col("root")).as("nbr_root"))
+        val next = labels.select(col("doc_id"), col("root").as("old"))
+          .join(nbrMin, col("doc_id") === col("doc1"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("old"), coalesce(col("nbr_root"), col("old"))).as("root"))
+          .cache()
+        changed = next.filter(col("root") =!= col("old")).count()
+        labels = next.select("doc_id", "root")
+        iter += 1
+      }
+      val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      labels.join(broadcast(sizes), "root")
+        .select(col("doc_id"), col("root").as("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("root")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Session-memoized near-dup pairs: the shingle inverted-index self-join
@@ -313,19 +367,28 @@ object TextPack extends QueryPack {
          |       CAST(reason = 'kept' AS INT) AS kept
          |FROM dec ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      s"""WITH $ShinglesCte,
-         |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
-         |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT doc1, doc2, inter, s1.sz AS sz1, s2.sz AS sz2,
-         |       inter / (s1.sz + s2.sz - inter) AS jaccard
-         |FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
-         |WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
-         |ORDER BY doc1, doc2""".stripMargin
+      s"""WITH $JaccardCte
+         |SELECT doc1, doc2, inter, sz1, sz2, jaccard
+         |FROM jp ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jp
+         |          UNION ALL SELECT doc2, doc1 FROM jp),
+         |r(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+         |),
+         |roots AS (
+         |  SELECT n.doc_id, least(n.doc_id, min(r.dst)) AS cluster_id
+         |  FROM (SELECT DISTINCT a AS doc_id FROM edges) n
+         |  LEFT JOIN r ON r.src = n.doc_id
+         |  GROUP BY n.doc_id
+         |),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM roots GROUP BY 1)
+         |SELECT ro.doc_id, ro.cluster_id, c.cluster_size,
+         |       CAST(ro.doc_id = ro.cluster_id AS INT) AS is_canonical
+         |FROM roots ro JOIN csz c ON ro.cluster_id = c.cluster_id
+         |ORDER BY ro.doc_id""".stripMargin
   )
 }
