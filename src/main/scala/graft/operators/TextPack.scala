@@ -192,6 +192,17 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary: top-10 tokens per source — one hash aggregate
+      // with map-side combine, rank only over the (small) per-source
+      // aggregate
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("n").desc, col("tok"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("source", "rk")),
     "q_dedup_clusters" -> ((s, d) => {
       // near-dup canonicalization: connected components over the dup
       // pairs (training-data dedup must pick ONE survivor per transitive
@@ -370,6 +381,15 @@ object TextPack extends QueryPack {
       s"""WITH $JaccardCte
          |SELECT doc1, doc2, inter, sz1, sz2, jaccard
          |FROM jp ORDER BY doc1, doc2""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT source, tok, n, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+        |  FROM cnt)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $JaccardCte,
          |edges AS (SELECT doc1 AS a, doc2 AS b FROM jp
