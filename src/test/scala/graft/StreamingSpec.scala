@@ -93,6 +93,32 @@ class StreamingSpec extends AnyFunSuite {
       Seq((2L, "book_cross"), (7L, "market"))) // cancelled sell never trades
   }
 
+  test("streaming exact-infinite EWM matches the pandas adjusted-weights definition") {
+    import graft.streaming.StreamingEma
+    import graft.streaming.StreamingEma.Bar
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val closes = Seq(100.0, 102.0, 99.0, 101.5, 103.0, 98.0, 104.0)
+    val bars = closes.zipWithIndex.map { case (c, i) => Bar("A", i.toLong, c) }
+    val input = MemoryStream[Bar]
+    val q = StreamingEma.track(input.toDS()).writeStream
+      .format("memory").queryName("sema").outputMode("append").start()
+    // split across micro-batches: state must carry the infinite tail
+    input.addData(bars.take(3): _*); q.processAllAvailable()
+    input.addData(bars.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sema").orderBy("bucket_ms").collect()
+      .map(r => r.getAs[Double]("ema12"))
+    // brute-force adjusted EWM: ema_t = Σ β^k x_{t-k} / Σ β^k over ALL history
+    val beta = 1.0 - 2.0 / 13
+    val want = closes.indices.map { t =>
+      val num = (0 to t).map(k => math.pow(beta, k) * closes(t - k)).sum
+      val den = (0 to t).map(k => math.pow(beta, k)).sum
+      num / den
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
   test("paper-account roll-up aggregates the latest per-symbol ledger state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
