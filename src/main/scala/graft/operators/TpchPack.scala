@@ -91,6 +91,26 @@ object TpchPack extends QueryPack {
         .select(col("n_name"), (col("rev_e4") / 10000.0).as("revenue"), col("n_items"))
         .orderBy(col("n_name"))
     }),
+    "q10_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: customers ranked by revenue lost to returns —
+      // fact-to-fact join shuffles on orderkey, dims broadcast, exact
+      // long-summed revenue
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+          (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
+        .orderBy(col("rev_e4").desc, col("c_custkey")).limit(20)
+        .drop("rev_e4")
+    }),
     "q_top_customers_per_nation" -> ((s, d) => {
       val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)
@@ -139,6 +159,17 @@ object TpchPack extends QueryPack {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, rev_e4 / 10000.0 AS revenue FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3, 4)
+        |ORDER BY rev_e4 DESC, c_custkey LIMIT 20""".stripMargin,
     "q_top_customers_per_nation" ->
       """SELECT n_name, rank, c_custkey, c_name, c_acctbal FROM (
         |  SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
