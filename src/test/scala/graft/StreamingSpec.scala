@@ -145,6 +145,27 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StreamingDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("replayed events are dropped across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "price")
+    val q = graft.streaming.StreamingDedup.dedup(events, "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    input.addData((new Timestamp(1000L), 1L, 10.0), (new Timestamp(2000L), 2L, 11.0))
+    q.processAllAvailable()
+    // replay of event 1 in a later micro-batch (same watermark window)
+    input.addData((new Timestamp(3000L), 1L, 10.0), (new Timestamp(4000L), 3L, 12.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // the replayed 1 appears once
+  }
+}
+
 class WatermarkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
