@@ -96,6 +96,24 @@ object EventsPack extends QueryPack {
           min(when(col("side") === "sell", col("price_level"))).as("best_ask"))
         .withColumn("spread", col("best_ask") - col("best_bid"))
         .withColumn("mid", (col("best_bid") + col("best_ask")) / 2.0)
+        .orderBy("symbol")),
+    "q_order_book_imbalance" -> ((s, d) =>
+      // order-flow imbalance + volume-weighted side prices per symbol
+      // (the standard consumer of the depth view). Every sum here is an
+      // exact integer in a double (levels ≤ 200 × qty ≤ 100), so the
+      // divisions are bit-identical across engines with no rounding.
+      bookLevels(s, d).groupBy("symbol")
+        .agg(
+          sum(when(col("side") === "buy", col("total_qty")).otherwise(0.0)).as("bid_qty"),
+          sum(when(col("side") === "sell", col("total_qty")).otherwise(0.0)).as("ask_qty"),
+          sum(when(col("side") === "buy", col("price_level") * col("total_qty"))
+            .otherwise(0.0)).as("bid_notional"),
+          sum(when(col("side") === "sell", col("price_level") * col("total_qty"))
+            .otherwise(0.0)).as("ask_notional"))
+        .select(col("symbol"), col("bid_qty"), col("ask_qty"),
+          ((col("bid_qty") - col("ask_qty")) / (col("bid_qty") + col("ask_qty"))).as("imbalance"),
+          (col("bid_notional") / col("bid_qty")).as("vw_bid"),
+          (col("ask_notional") / col("ask_qty")).as("vw_ask"))
         .orderBy("symbol"))
   )
 
@@ -199,6 +217,21 @@ object EventsPack extends QueryPack {
          |    ORDER BY CASE WHEN side = 'buy' THEN -price_level ELSE price_level END) AS level_rank
          |  FROM lvls)
          |WHERE level_rank <= 5 ORDER BY symbol, side, level_rank""".stripMargin,
+    "q_order_book_imbalance" ->
+      s"""WITH $LevelsCte,
+         |agg AS (
+         |  SELECT symbol,
+         |         sum(CASE WHEN side = 'buy' THEN total_qty ELSE 0.0 END) AS bid_qty,
+         |         sum(CASE WHEN side = 'sell' THEN total_qty ELSE 0.0 END) AS ask_qty,
+         |         sum(CASE WHEN side = 'buy' THEN price_level * total_qty ELSE 0.0 END) AS bid_notional,
+         |         sum(CASE WHEN side = 'sell' THEN price_level * total_qty ELSE 0.0 END) AS ask_notional
+         |  FROM lvls GROUP BY symbol
+         |)
+         |SELECT symbol, bid_qty, ask_qty,
+         |       (bid_qty - ask_qty) / (bid_qty + ask_qty) AS imbalance,
+         |       bid_notional / bid_qty AS vw_bid,
+         |       ask_notional / ask_qty AS vw_ask
+         |FROM agg ORDER BY symbol""".stripMargin,
     "q_order_book_summary" ->
       s"""WITH $LevelsCte
          |SELECT symbol,
