@@ -83,6 +83,23 @@ object EventsPack extends QueryPack {
           (col("n_active") / col("cohort_size")).as("retention"))
         .orderBy("cohort_week_ms", "week_offset")
     }),
+    "q_dau_wau" -> ((s, d) => {
+      // daily/weekly active users: distinct (user, day) once, then WAU by
+      // joining each day against its trailing 7-day window — the day
+      // dimension is tiny and broadcast, so the expansion is 7× the
+      // per-day distinct set, linear in users
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
+      val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+      val days = dau.select(col("day").as("d"))
+      val wau = userDays.join(broadcast(days),
+          col("day") >= col("d") - 6 && col("day") <= col("d"))
+        .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("d")).drop("d")
+        .select((col("day") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+          (col("dau") / col("wau")).as("stickiness"))
+        .orderBy("day_ms")
+    }),
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),
@@ -217,6 +234,21 @@ object EventsPack extends QueryPack {
          |    ORDER BY CASE WHEN side = 'buy' THEN -price_level ELSE price_level END) AS level_rank
          |  FROM lvls)
          |WHERE level_rank <= 5 ORDER BY symbol, side, level_rank""".stripMargin,
+    "q_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day AS d, count(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT day FROM dau) d
+        |  JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT dau.day * 86400000 AS day_ms, dau.dau, wau.wau,
+        |       dau.dau / wau.wau AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.d
+        |ORDER BY day_ms""".stripMargin,
     "q_order_book_imbalance" ->
       s"""WITH $LevelsCte,
          |agg AS (
