@@ -66,6 +66,32 @@ object EtlPack extends QueryPack {
       raw.join(nDedup, "symbol").join(nValid, "symbol").join(nClean, "symbol")
         .orderBy("symbol")
     }),
+    "q_spread_stats" -> ((s, d) =>
+      // per-symbol quote quality: average/max spread and relative spread
+      // in basis points (normalizer.py:69 spread/mid consumers). Exact
+      // integer-scaled sums make the averages bit-identical.
+      Normalizer.quotes(Tables.quotes(s, d))
+        .groupBy("symbol")
+        .agg(
+          count(lit(1)).as("n_quotes"),
+          (sum(floor(col("spread") * 1e6 + lit(0.5)).cast("long")) / 1e6 /
+            count(lit(1))).as("avg_spread"),
+          max(col("spread")).as("max_spread"),
+          (sum(floor(col("spread") / col("mid") * 1e4 * 1e6 + lit(0.5)).cast("long")) / 1e6 /
+            count(lit(1))).as("avg_spread_bps"))
+        .orderBy("symbol")),
+    "q_volume_profile" -> ((s, d) =>
+      // intraday volume seasonality: volume share by hour-of-day per
+      // symbol — one hash aggregate, ratio of exact integer sums
+      Tables.ticks(s, d)
+        .select(col("symbol"), expr("(ts div 3600000000000) % 24").as("hour_of_day"),
+          col("volume"))
+        .groupBy("symbol", "hour_of_day")
+        .agg(sum(col("volume")).as("volume"), count(lit(1)).as("n_trades"))
+        .withColumn("share",
+          col("volume") / sum(col("volume")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("symbol")))
+        .orderBy("symbol", "hour_of_day")),
     "q_latest_trades" -> ((s, d) => {
       val w = Window.partitionBy("symbol").orderBy(col("ts").desc, col("event_id").desc)
       Tables.ticks(s, d)
@@ -205,6 +231,29 @@ object EtlPack extends QueryPack {
          |SELECT r.symbol, n_raw, n_dedup, n_valid, n_clean, clean_min, clean_max
          |FROM raw r JOIN nd USING (symbol) JOIN nv USING (symbol) JOIN nc USING (symbol)
          |ORDER BY r.symbol""".stripMargin,
+    "q_spread_stats" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |q AS (
+         |  SELECT symbol,
+         |         price * 1.001 - price * 0.999 AS spread,
+         |         (price * 0.999 + price * 1.001) / 2 AS mid
+         |  FROM ticks
+         |)
+         |SELECT symbol, count(*) AS n_quotes,
+         |       CAST(sum(CAST(floor(spread * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 / count(*) AS avg_spread,
+         |       max(spread) AS max_spread,
+         |       CAST(sum(CAST(floor(spread / mid * 1e4 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 / count(*) AS avg_spread_bps
+         |FROM q GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_volume_profile" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |vp AS (
+         |  SELECT symbol, (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+         |         sum(volume) AS volume, count(*) AS n_trades
+         |  FROM ticks GROUP BY 1, 2
+         |)
+         |SELECT symbol, hour_of_day, volume, n_trades,
+         |       volume / sum(volume) OVER (PARTITION BY symbol) AS share
+         |FROM vp ORDER BY symbol, hour_of_day""".stripMargin,
     "q_latest_trades" ->
       s"""WITH ${QueryPack.TicksCte}
          |SELECT symbol, epoch_ns(ts) // 1000000 AS ts_ms, price, volume, rn FROM (
