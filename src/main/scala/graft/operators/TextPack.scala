@@ -222,10 +222,17 @@ object TextPack extends QueryPack {
       while (changed > 0 && iter < 20) {
         val nbrMin = edges.join(labels, col("doc2") === col("doc_id"))
           .groupBy(col("doc1")).agg(min(col("root")).as("nbr_root"))
-        val next = labels.select(col("doc_id"), col("root").as("old"))
+        val prop = labels.select(col("doc_id"), col("root").as("old"))
           .join(nbrMin, col("doc_id") === col("doc1"), "left")
           .select(col("doc_id"), col("old"),
-            least(col("old"), coalesce(col("nbr_root"), col("old"))).as("root"))
+            least(col("old"), coalesce(col("nbr_root"), col("old"))).as("p_root"))
+        // pointer jumping: root := root's root — halves label-chain depth
+        // per iteration, so convergence is O(log diameter), not O(diameter)
+        val next = prop.as("x")
+          .join(prop.select(col("doc_id").as("r_id"), col("p_root").as("r_root")).as("y"),
+            col("x.p_root") === col("y.r_id"), "left")
+          .select(col("x.doc_id"), col("x.old"),
+            coalesce(col("y.r_root"), col("x.p_root")).as("root"))
           .cache()
         changed = next.filter(col("root") =!= col("old")).count()
         labels = next.select("doc_id", "root")
