@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores: the driver invokes this without
+    // SPARK_GRAFT_CPUS, and a literal "4" default made BENCH_r02's cold
+    // pass run local[4] (217.5s) while the pinned methodology is
+    // local[32] (66.9s) — the whole r02 cold discrepancy.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,11 +47,13 @@ object Bench {
     // baseline never pays. Both are reported.
     val cold = pass()
     val warm = pass()
-    val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def j(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    // queries_cold makes cold-pass anomalies diagnosable per query
+    // (r02's 217.5s cold total had no per-query breakdown to pin it).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
