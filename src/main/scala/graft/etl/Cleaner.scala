@@ -79,86 +79,69 @@ object Cleaner {
       )
 
   /** Minute spine per symbol with forward-filled close (cleaner.py:171,
-    * method="ffill"). The spine generates distributed via
-    * sequence+explode; the fill is a per-symbol `last(ignoreNulls)`
-    * running window — no driver-side reindex.
+    * method="ffill"): the previous bracket of each spine row's gap run.
     */
-  def fillMissingMinutes(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spineJoin(bars)
-      .select(
-        col("symbol"),
-        col("bucket_ms"),
-        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
-        col("close").isNull.cast("int").as("was_missing")
-      )
-  }
+  def fillMissingMinutes(bars: DataFrame): DataFrame =
+    gapRuns(bars).select(
+      col("symbol"),
+      col("bucket_ms"),
+      col("pv").as("close_ffill"),
+      (col("bucket_ms") =!= col("pt")).cast("int").as("was_missing")
+    )
 
   /** Backward fill (cleaner.py:171, method="bfill"): next known close
-    * looking forward. Implemented as last-ignore-nulls over a DESCENDING
-    * running frame — Spark's unbounded-PRECEDING frame is a running O(n)
-    * accumulator, while an unbounded-FOLLOWING frame rescans the tail per
-    * row (O(n²) per partition; measured hang on the minute spine).
+    * looking forward — the gap run's next bracket; the known row itself
+    * for on-spine bars. Gap rows always have a next bar (the spine ends
+    * at the last known bar), so no null case.
     */
-  def fillMissingBfill(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy(col("bucket_ms").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spineJoin(bars)
-      .select(
-        col("symbol"),
-        col("bucket_ms"),
-        last(col("close"), ignoreNulls = true).over(w).as("close_bfill"),
-        col("close").isNull.cast("int").as("was_missing")
-      )
-  }
+  def fillMissingBfill(bars: DataFrame): DataFrame =
+    gapRuns(bars).select(
+      col("symbol"),
+      col("bucket_ms"),
+      when(col("bucket_ms") === col("pt"), col("pv")).otherwise(col("nv")).as("close_bfill"),
+      (col("bucket_ms") =!= col("pt")).cast("int").as("was_missing")
+    )
 
   /** Time-linear interpolation (cleaner.py:171, method="interpolate" →
     * pandas interpolate(method="time")): gaps take
-    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev). Bracketing
-    * values come from two running windows (last/first ignore-nulls), so
-    * the fill is one shuffle — no per-gap join.
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev); both brackets
+    * ride along on the gap-run row, so there is no window over the spine.
     */
-  def fillMissingInterp(bars: DataFrame): DataFrame = {
-    val wb = Window.partitionBy("symbol").orderBy("bucket_ms")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // "next" bracket via the DESCENDING running frame (see fillMissingBfill)
-    val wf = Window.partitionBy("symbol").orderBy(col("bucket_ms").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spineJoin(bars)
-      .withColumn("pv", last(col("close"), ignoreNulls = true).over(wb))
-      .withColumn("pt", last(when(col("close").isNotNull, col("bucket_ms")), ignoreNulls = true).over(wb))
-      .withColumn("nv", last(col("close"), ignoreNulls = true).over(wf))
-      .withColumn("nt", last(when(col("close").isNotNull, col("bucket_ms")), ignoreNulls = true).over(wf))
-      .select(
-        col("symbol"),
-        col("bucket_ms"),
-        graft.functions.Port.r(
-          when(col("close").isNotNull, col("close")).otherwise(
-            col("pv") + (col("nv") - col("pv")) *
-              (col("bucket_ms") - col("pt")).cast("double") /
-              (col("nt") - col("pt")).cast("double")), 6).as("close_interp"),
-        col("close").isNull.cast("int").as("was_missing")
-      )
-  }
+  def fillMissingInterp(bars: DataFrame): DataFrame =
+    gapRuns(bars).select(
+      col("symbol"),
+      col("bucket_ms"),
+      graft.functions.Port.r(
+        when(col("bucket_ms") === col("pt"), col("pv")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            (col("bucket_ms") - col("pt")).cast("double") /
+            (col("nt") - col("pt")).cast("double")), 6).as("close_interp"),
+      (col("bucket_ms") =!= col("pt")).cast("int").as("was_missing")
+    )
 
-  /** Distributed minute spine (sequence+explode, never collected) left
-    * joined with the known bars. Generated in two levels — days, then
-    * minutes within each day — so no task ever materializes more than a
-    * 1440-element array: a flat sequence(lo, hi) builds one array per
-    * symbol, which for a multi-year symbol is millions of elements in a
-    * single task's heap.
+  /** The minute spine as per-bar gap runs: `lead()` over the KNOWN bars
+    * (a window orders of magnitude smaller than the spine) attaches each
+    * bar's next bracket, then each bar explodes into its own run of
+    * minutes [pt, nt). Every spine row is generated already carrying both
+    * interpolation brackets, so none of the fills needs a window sort or
+    * a join over the spine — the round-2 shape (spine left-join bars +
+    * ascending/descending running windows) sorted the full spine up to
+    * twice per query. The explode is two-level (days, then minutes within
+    * the day ∩ run) so a pathological multi-year gap stays a bounded
+    * 1440-element array per task, and run rows re-derive cheaply however
+    * long the gap.
     */
-  private def spineJoin(bars: DataFrame): DataFrame =
+  private def gapRuns(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("pt")
     bars
-      .groupBy("symbol")
-      .agg(min("bucket_ms").as("lo"), max("bucket_ms").as("hi"))
-      .select(col("symbol"), col("lo"), col("hi"),
-        explode(sequence(expr("lo div 86400000"), expr("hi div 86400000"))).as("day"))
-      .select(col("symbol"),
-        explode(sequence(
-          greatest(col("lo"), col("day") * 86400000L),
-          least(col("hi"), col("day") * 86400000L + 86340000L),
-          lit(60000L))).as("bucket_ms"))
-      .join(bars.select("symbol", "bucket_ms", "close"), Seq("symbol", "bucket_ms"), "left")
+      .select(col("symbol"), col("bucket_ms").as("pt"), col("close").as("pv"))
+      .withColumn("nt", lead(col("pt"), 1).over(w))
+      .withColumn("nv", lead(col("pv"), 1).over(w))
+      .withColumn("run_end", coalesce(col("nt") - 60000L, col("pt")))
+      .withColumn("day", explode(sequence(expr("pt div 86400000"), expr("run_end div 86400000"))))
+      .withColumn("bucket_ms", explode(sequence(
+        greatest(col("pt"), col("day") * 86400000L),
+        least(col("run_end"), col("day") * 86400000L + 86340000L),
+        lit(60000L))))
+  }
 }

@@ -65,6 +65,17 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_FILL")) {
+      // gap-run explode vs the r02 spine-join + window-sort fills
+      import graft.etl.EtlPack
+      for (r <- 1 to 3) {
+        time(s"fill_minutes_r$r")(EtlPack.queries("q_fill_missing_minutes")(spark, d).queryExecution.toRdd.count())
+        time(s"fill_bfill_r$r")(EtlPack.queries("q_fill_missing_bfill")(spark, d).queryExecution.toRdd.count())
+        time(s"fill_interp_r$r")(EtlPack.queries("q_fill_missing_interp")(spark, d).queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_COLD_PROBE")) {
       val tiny = Tables.documents(spark, "/root/testdata/sf0.001")
       time("cold_shingles_tiny")(TextPack.shingles(tiny).count())
