@@ -29,27 +29,55 @@ object ExtrasPack extends QueryPack {
     */
   private[backtest] val EmaTaps = 60
 
+  private[backtest] case class EmaBar(symbol: String, bucket_ms: Long, close: Double)
+  private[backtest] case class EmaOut(symbol: String, bucket_ms: Long, ema12: Double, ema26: Double)
+
+  /** Ring-buffer secondary-sort scan: each row costs O(taps) flops over
+    * the last 60 closes held in a fixed 60-slot ring — no 60-element
+    * array materialized per row (the r02 collect_list sliding frame
+    * built 80k of them at sf0.1 and evaluated a 120-term projection).
+    * The tap sum runs in the SAME k-order, left-associated, with the
+    * same Scala-computed weight constants as the oracle's explicit
+    * lag-chain — bit-identical doubles (skipping the unpopulated taps is
+    * exact: acc + 0.0·w == acc for the positive sums here). Sequential
+    * per symbol, parallel across symbols; at scale the scan streams —
+    * state is 60 doubles however long the history.
+    */
   private def emaCols(bars: DataFrame, spans: Seq[Int]): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    // ONE sliding-frame window function (the 60-bar close array); the
-    // taps are codegen'd get() projections off it. Measured 2× faster
-    // than 60 lag frame processors (each maintains its own partition
-    // reader). get(a, size-k-1) ≡ coalesce(lag(close, k), 0) inside the
-    // frame — out-of-range returns null→0 exactly where lag is null —
-    // and size(a) ≡ least(rn, taps), so the numerics are bit-identical.
-    val withArr = bars.select(col("symbol"), col("bucket_ms"),
-      collect_list(col("close")).over(w.rowsBetween(-(EmaTaps - 1), 0)).as("a"))
-    def tap(k: Int) = coalesce(get(col("a"), size(col("a")) - k - 1), lit(0.0))
-    val withEmas = spans.foldLeft(withArr) { (df, span) =>
-      val alpha = 2.0 / (span + 1)
-      val beta = 1.0 - alpha
-      val num = (0 until EmaTaps).map(k => tap(k) * math.pow(beta, k)).reduce(_ + _)
-      // the weight mass of the populated lags in closed form:
-      // Σ_{k<min(rn,taps)} β^k = (1 - β^min(rn,taps)) / (1 - β)
-      val den = (lit(1.0) - pow(lit(beta), size(col("a")).cast("double"))) / (1.0 - beta)
-      df.withColumn(s"ema$span", num / den)
-    }
-    withEmas.select("symbol", "bucket_ms", "ema12", "ema26")
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val weights = spans.map { span =>
+      val beta = 1.0 - 2.0 / (span + 1)
+      (beta, Array.tabulate(EmaTaps)(k => math.pow(beta, k)))
+    }.toArray
+    val ds = bars.select(col("symbol"), col("bucket_ms"), col("close")).as[EmaBar]
+    graft.operators.SortedScan.perKey(ds, Seq("symbol"), Seq("bucket_ms"))(_.symbol) {
+      (sym, it) =>
+        val buf = new Array[Double](EmaTaps)
+        var n = 0L
+        val out = new Array[Double](weights.length)
+        it.map { b =>
+          buf((n % EmaTaps).toInt) = b.close
+          n += 1
+          val m = math.min(n, EmaTaps.toLong).toInt
+          val newest = ((n - 1) % EmaTaps).toInt
+          var s = 0
+          while (s < weights.length) {
+            val (beta, w) = weights(s)
+            var acc = 0.0
+            var k = 0
+            while (k < m) {
+              acc = acc + buf((newest - k + EmaTaps) % EmaTaps) * w(k)
+              k += 1
+            }
+            // weight mass of the populated lags in closed form:
+            // Σ_{k<min(rn,taps)} β^k = (1 − β^min(rn,taps)) / (1 − β)
+            out(s) = acc / ((1.0 - math.pow(beta, m.toDouble)) / (1.0 - beta))
+            s += 1
+          }
+          EmaOut(sym, b.bucket_ms, out(0), out(1))
+        }
+    }.toDF()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -109,6 +109,8 @@ object MicroBench {
       for (r <- 1 to 3) {
         time(s"ema_60lags_r$r")(lagForm.queryExecution.toRdd.count())
         time(s"ema_array_r$r")(arrForm.queryExecution.toRdd.count())
+        time(s"ema_full_query_r$r")(
+          graft.backtest.ExtrasPack.queries("q_ema_macd")(spark, d).queryExecution.toRdd.count())
       }
       spark.stop(); return
     }
