@@ -17,12 +17,33 @@ import org.apache.spark.sql.functions._
 object PortfolioOpt {
   val RiskFree = 0.02
 
+  /** Session-memoized shared subplans, keyed by the bars DataFrame
+    * INSTANCE — sound because Bars.ohlcvCached returns one instance per
+    * (session, dataset, granularity), the same pattern as the memoized
+    * bars/shingles. Six queries (asset stats, frontier, max-sharpe,
+    * min-vol, risk parity ×2) otherwise each rebuild the returns scan,
+    * the N² covariance join, and — for the three frontier consumers —
+    * the whole grid-scoring pipeline.
+    */
+  private val retsCache =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private def retsCached(bars: DataFrame): DataFrame =
+    retsCache.getOrElseUpdate(bars, Risk.barReturns(bars).cache())
+
+  private val covCache =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private def covCached(bars: DataFrame): DataFrame =
+    covCache.getOrElseUpdate(bars, covFromRets(retsCached(bars)).cache())
+
+  private val frontierCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, DataFrame, Int), (DataFrame, DataFrame)]
+
   /** Pairwise annualized covariance/correlation matrix of per-symbol bar
     * returns, joined on time bucket (full N×N, both directions).
     * portfolio_optimization.py:22 (returns_df.cov() * 252).
     */
   def covMatrix(bars: DataFrame): DataFrame =
-    covFromRets(Risk.barReturns(bars))
+    covCached(bars)
 
   private def covFromRets(rets: DataFrame): DataFrame = {
     val a = rets.select(col("symbol").as("symbol1"), col("bucket_ms"), col("r").as("r1"))
@@ -101,11 +122,16 @@ object PortfolioOpt {
   }
 
   private def frontierWithGrid(spark: SparkSession, bars: DataFrame,
-                               quarters: Int): (DataFrame, DataFrame) = {
+                               quarters: Int): (DataFrame, DataFrame) =
+    frontierCache.getOrElseUpdate((spark, bars, quarters),
+      buildFrontier(spark, bars, quarters))
+
+  private def buildFrontier(spark: SparkSession, bars: DataFrame,
+                            quarters: Int): (DataFrame, DataFrame) = {
     // cache barrier: the bar-returns scan feeds cov, mu AND the symbol
     // collect — one tick->bars pass instead of three
-    val rets = Risk.barReturns(bars).cache()
-    val cov = covFromRets(rets)
+    val rets = retsCached(bars)
+    val cov = covCached(bars)
     val mu = muFromRets(rets)
     val symbols = symbolUniverse(mu)
     val grid = weightGrid(spark, symbols, quarters)
@@ -128,7 +154,9 @@ object PortfolioOpt {
         Port.r(col("port_vol_raw"), 6).as("port_vol"),
         Port.r(when(col("port_vol_raw") > 0,
           (col("port_ret_raw") - RiskFree) / col("port_vol_raw")).otherwise(0.0), 6).as("sharpe"))
-    (grid, f)
+    // the scored frontier is tiny (one row per composition); cache it so
+    // max-sharpe / min-vol / frontier share one scoring pass
+    (grid, f.cache())
   }
 
   /** Risk-parity weight search (portfolio_optimization.py:282
@@ -141,8 +169,8 @@ object PortfolioOpt {
     */
   def riskParityOptimize(spark: SparkSession, bars: DataFrame,
                          quarters: Int = 4): DataFrame = {
-    val rets = Risk.barReturns(bars).cache()
-    val cov = covFromRets(rets)
+    val rets = retsCached(bars)
+    val cov = covCached(bars)
     val symbols = symbolUniverse(muFromRets(rets))
     val grid = weightGrid(spark, symbols, quarters)
     val g2 = grid.select(col("grid_id"), col("symbol").as("symbol2"), col("weight").as("w2"))

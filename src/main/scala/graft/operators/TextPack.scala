@@ -228,14 +228,24 @@ object TextPack extends QueryPack {
             least(col("old"), coalesce(col("nbr_root"), col("old"))).as("p_root"))
         // pointer jumping: root := root's root — halves label-chain depth
         // per iteration, so convergence is O(log diameter), not O(diameter)
-        val next = prop.as("x")
+        val nextBase = prop.as("x")
           .join(prop.select(col("doc_id").as("r_id"), col("p_root").as("r_root")).as("y"),
             col("x.p_root") === col("y.r_id"), "left")
           .select(col("x.doc_id"), col("x.old"),
             coalesce(col("y.r_root"), col("x.p_root")).as("root"))
-          .cache()
+        // Flat memory and plan depth across rounds: every 4th round
+        // localCheckpoint (truncates the two-joins-per-round lineage that
+        // would otherwise deepen unboundedly — a real leak on a 100 TB
+        // corpus with deep chains); other rounds cache, and the
+        // superseded frame unpersists as soon as its successor is
+        // materialized by the convergence count.
+        val next =
+          if ((iter + 1) % 4 == 0) nextBase.localCheckpoint()
+          else nextBase.cache()
         changed = next.filter(col("root") =!= col("old")).count()
+        val prev = labels
         labels = next.select("doc_id", "root")
+        prev.unpersist()
         iter += 1
       }
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))

@@ -23,6 +23,16 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
+  test("cluster label propagation keeps plan depth flat across iterations") {
+    // the loop caches/localCheckpoints each round and unpersists the
+    // superseded frame — the final plan must hang off a materialized
+    // leaf, not the full two-joins-per-round lineage
+    val df = TextPack.queries("q_dedup_clusters")(spark, TestSpark.Sf)
+    val n = df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(n < 30, s"cluster plan should be truncated at a cached leaf, got $n nodes")
+    assert(df.count() > 0)
+  }
+
   test("fnv64 is stable") {
     assert(DedupPack.fnv64("spark") == DedupPack.fnv64("spark"))
     assert(DedupPack.fnv64("spark") != DedupPack.fnv64("sparl"))
