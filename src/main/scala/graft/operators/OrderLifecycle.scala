@@ -19,14 +19,21 @@ import scala.collection.mutable
   *  - _execute_trade (:333): buys require cash ≥ qty·px·(1+fee), sells
   *    require position ≥ qty, else the order is REJECTED.
   *
-  * Deviation for scale (documented): the reference runs ONE simulator with
-  * a global cash account; a distributed engine shards the account per
-  * symbol (one ledger per symbol task), which is the only shape that
-  * parallelizes. Everything else is event-for-event faithful.
+  * Two account modes:
+  *  - [[run]] shards the cash account per symbol (one ledger per symbol
+  *    task) — the shape that parallelizes within one account, at a
+  *    documented deviation from the reference's global account.
+  *  - [[runSharedAccount]] is the reference's exact model
+  *    (order_book.py:333: ONE cash account across symbols, per-symbol
+  *    positions): a shared ledger is inherently sequential across its
+  *    symbols, so the distributed unit becomes the ACCOUNT — events
+  *    partition by account key, one task replays that account's symbols
+  *    interleaved in global (ts, event_id) order, accounts parallelize
+  *    across the cluster.
   *
-  * Execution is a SortedScan per symbol: sequential in (ts, event_id)
-  * inside a symbol, parallel across symbols; state is the resting book +
-  * three ledger scalars, never the event history. The same transition
+  * Execution is a SortedScan per key: sequential in (ts, event_id)
+  * inside a key, parallel across keys; state is the resting book +
+  * ledger scalars, never the event history. The same transition
   * machine ([[LifecycleSim]]) backs graft.streaming.StreamingLifecycle,
   * which snapshots/restores it across micro-batches.
   */
@@ -56,11 +63,22 @@ object OrderLifecycle {
                             pending: Seq[BookEvent], cash: Double,
                             position: Double, seq: Long)
 
+  /** A cash account: one global cash pool + per-symbol positions — the
+    * reference's exact account state (order_book.py:227-228). Owned by
+    * one task; shared across that account's [[LifecycleSim]]s in
+    * shared-account mode, private to one sim in per-symbol mode.
+    */
+  final class Ledger(var cash: Double) {
+    val positions: mutable.Map[String, Double] =
+      mutable.HashMap.empty[String, Double].withDefaultValue(0.0)
+  }
+
   /** The sequential per-symbol transition machine. Mutable by design —
     * one instance lives inside one task (batch scan) or one group-state
     * slot (streaming); events MUST arrive in (ts, event_id) order.
     */
-  final class LifecycleSim(symbol: String) {
+  final class LifecycleSim(symbol: String,
+                           private val ledger: Ledger = new Ledger(InitialCash)) {
     private val buys = mutable.PriorityQueue.empty[Open](
       Ordering.by((o: Open) => (o.price, -o.ts, -o.event_id)))
     private val sells = mutable.PriorityQueue.empty[Open](
@@ -68,8 +86,8 @@ object OrderLifecycle {
     private val cancelled = mutable.HashSet.empty[Long] // lazy deletion
     private val resting = mutable.HashSet.empty[Long]
     private val pending = mutable.ArrayBuffer.empty[BookEvent]
-    private var cash = InitialCash
-    private var position = 0.0
+    private def cash = ledger.cash
+    private def position = ledger.positions(symbol)
     private var seq = 0L
 
     private def execute(eventId: Long, side: String, kind: String, qty: Double,
@@ -78,13 +96,17 @@ object OrderLifecycle {
       if (side == "buy") {
         if (cash < qty * px + fee) None // REJECTED
         else {
-          cash -= qty * px + fee; position += qty; seq += 1
+          ledger.cash -= qty * px + fee
+          ledger.positions(symbol) = position + qty
+          seq += 1
           Some(LifecycleTrade(symbol, seq, eventId, side, kind, qty, px, fee, ts))
         }
       } else {
         if (position < qty) None // REJECTED
         else {
-          cash += qty * px - fee; position -= qty; seq += 1
+          ledger.cash += qty * px - fee
+          ledger.positions(symbol) = position - qty
+          seq += 1
           Some(LifecycleTrade(symbol, seq, eventId, side, kind, qty, px, fee, ts))
         }
       }
@@ -157,8 +179,8 @@ object OrderLifecycle {
       }
       sim.cancelled ++= st.cancelled
       sim.pending ++= st.pending
-      sim.cash = st.cash
-      sim.position = st.position
+      sim.ledger.cash = st.cash
+      sim.ledger.positions(symbol) = st.position
       sim.seq = st.seq
       sim
     }
@@ -176,6 +198,39 @@ object OrderLifecycle {
     val spark = events.sparkSession
     import spark.implicits._
     SortedScan.perKey(events, Seq("symbol"), Seq("ts", "event_id"))(_.symbol)(scanSymbol)
+  }
+
+  /** A [[BookEvent]] keyed by the cash account it trades against. */
+  case class AccountEvent(account: String, symbol: String, ts: Long,
+                          event_id: Long, kind: String, side: String,
+                          price: Double, qty: Double, ref_id: Long) {
+    def event: BookEvent =
+      BookEvent(symbol, ts, event_id, kind, side, price, qty, ref_id)
+  }
+
+  /** Replay one account's whole event flow — all symbols interleaved in
+    * (ts, event_id) order — against ONE shared ledger, one sim per
+    * symbol. Exactly order_book.py's account model: a buy in one symbol
+    * can starve a later buy in another.
+    */
+  def scanAccount(account: String,
+                  events: Iterator[AccountEvent]): Iterator[LifecycleTrade] = {
+    val ledger = new Ledger(InitialCash)
+    val sims = mutable.HashMap.empty[String, LifecycleSim]
+    events.flatMap { ae =>
+      sims.getOrElseUpdate(ae.symbol, new LifecycleSim(ae.symbol, ledger))
+        .onEvent(ae.event)
+    }
+  }
+
+  /** Shared-account mode: partition by account, replay symbols
+    * sequentially inside each account task. State per task is the open
+    * books + one ledger — bounded regardless of history length.
+    */
+  def runSharedAccount(events: Dataset[AccountEvent]): Dataset[LifecycleTrade] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    SortedScan.perKey(events, Seq("account"), Seq("ts", "event_id"))(_.account)(scanAccount)
   }
 
   /** The tick feed as a deterministic mixed event stream: by user decile —
@@ -207,5 +262,13 @@ object OrderLifecycle {
         last(when(col("kind") === "limit", col("event_id")), ignoreNulls = true).over(w),
         lit(-1L)))
       .as[BookEvent]
+  }
+
+  /** The same synthetic event stream keyed to one shared account. */
+  def accountEventsFromTicks(ticks: DataFrame,
+                             account: String = "primary"): Dataset[AccountEvent] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    eventsFromTicks(ticks).withColumn("account", lit(account)).as[AccountEvent]
   }
 }

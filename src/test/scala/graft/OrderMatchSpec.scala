@@ -88,6 +88,27 @@ class OrderMatchSpec extends AnyFunSuite {
     trades.unpersist()
   }
 
+  test("shared-account lifecycle: distributed replay == single-task replay; one cash pool") {
+    import graft.operators.OrderLifecycle
+    val events = OrderLifecycle.accountEventsFromTicks(Tables.ticks(spark, TestSpark.Sf))
+    def key(t: OrderLifecycle.LifecycleTrade) =
+      (t.symbol, t.trade_seq, t.order_event_id, t.side, t.fill_kind, t.qty, t.price, t.ts)
+    val dist = OrderLifecycle.runSharedAccount(events).collect().map(key).sortBy(_.toString)
+    // ground truth: the same account replayed sequentially in one iterator,
+    // global (ts, event_id) order across symbols — the reference's loop
+    val seqTruth = OrderLifecycle.scanAccount("primary",
+      events.collect().sortBy(e => (e.ts, e.event_id)).iterator)
+      .map(key).toArray.sortBy(_.toString)
+    assert(dist.nonEmpty)
+    assert(dist.toSeq == seqTruth.toSeq)
+    // cash coupling is real: one shared pool funds strictly fewer (or
+    // equal) buys than five per-symbol accounts of the same size
+    val perSymbolBuys = OrderLifecycle.run(
+      OrderLifecycle.eventsFromTicks(Tables.ticks(spark, TestSpark.Sf)))
+      .collect().count(_.side == "buy")
+    assert(dist.count(_._4 == "buy") <= perSymbolBuys)
+  }
+
   test("distributed run: fills are valid and conserved per symbol") {
     import org.apache.spark.sql.functions._
     val orders = OrderMatch.ordersFromTicks(Tables.ticks(spark, TestSpark.Sf))

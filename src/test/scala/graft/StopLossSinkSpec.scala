@@ -36,6 +36,32 @@ class StopLossSpec extends AnyFunSuite {
   }
 }
 
+class BatchResampleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("archive -> bars -> partitioned layout roundtrip, pruned reads, downsample parity") {
+    import graft.operators.Bars
+    import graft.sources.BatchResample
+    val dir = Files.createTempDirectory("graft-resample").toString
+    BatchResample.resampleTicks(spark, TestSpark.Sf, s"$dir/bars1m", 60)
+    val back = BatchResample.readBars(spark, s"$dir/bars1m")
+    val direct = Bars.ohlcv(Tables.ticks(spark, TestSpark.Sf), 60)
+    assert(back.count() == direct.count())
+    def closeSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("close")).collect()(0).getDouble(0)
+    assert(math.abs(closeSum(back) - closeSum(direct)) < 1e-6)
+    // symbol filter must prune partition directories before IO
+    val plan = back.filter(col("symbol") === "click").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(symbol"), plan.take(500))
+    // batch downsample job matches the in-memory operator
+    BatchResample.downsampleBars(spark, s"$dir/bars1m", s"$dir/bars5m", 300)
+    val b5 = BatchResample.readBars(spark, s"$dir/bars5m")
+    val d5 = Bars.downsample(direct, 300)
+    assert(b5.count() == d5.count())
+    assert(math.abs(closeSum(b5) - closeSum(d5)) < 1e-6)
+  }
+}
+
 class ParquetSinkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
