@@ -1,8 +1,11 @@
 package graft.backtest
 
 import graft.{QueryPack, Tables}
+import graft.functions.Port
 import graft.operators.Bars
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Risk queries. Reference: backtesting/risk_monitor.py. */
 object RiskPack extends QueryPack {
@@ -17,7 +20,27 @@ object RiskPack extends QueryPack {
     "q_var_cvar" -> ((s, d) => Risk.varCvar(bars1m(s, d)).orderBy("symbol")),
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
     "q_vol_position_sizing" -> ((s, d) => Risk.volSizing(bars1m(s, d)).orderBy("symbol")),
-    "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol"))
+    "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol")),
+    "q_risk_snapshot" -> ((s, d) => {
+      // composed monitoring snapshot (risk_monitor.py:224 monitor, :299
+      // get_metrics_df: one frame with VaR+CVaR+vol+drawdown+limit state
+      // per check) — the consumer-facing roll-up of the pieces above,
+      // one row per symbol, all joins on the tiny per-symbol aggregates
+      val bars = bars1m(s, d)
+      val bt = btMaCross(s, d)
+      val vc = Risk.varCvar(bars).select("symbol", "var_95", "var_99", "cvar_95")
+      val vol = Risk.volSizing(bars).select("symbol", "volatility_ann")
+      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dd = bt
+        .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
+        .groupBy("symbol").agg(
+          Port.r(abs(min(col("dd"))), 6).as("max_drawdown"),
+          Port.r(exp(max_by(col("log_equity"), col("bucket_ms"))), 6).as("equity_final"))
+      val al = Risk.limitAlerts(bt)
+        .select("symbol", "n_daily_loss_alerts", "n_drawdown_alert_days")
+      vc.join(vol, "symbol").join(dd, "symbol").join(al, "symbol").orderBy("symbol")
+    })
   )
 
   private val RetsCte: String =
@@ -88,6 +111,51 @@ object RiskPack extends QueryPack {
          |       CAST(sum(CASE WHEN day_min_dd < -0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawdown_alert_days,
          |       floor(min(day_net) * 1e8 + 0.5) / 1e8 AS worst_daily_net,
          |       floor(min(day_min_dd) * 1e6 + 0.5) / 1e6 AS worst_drawdown
-         |FROM daily GROUP BY symbol ORDER BY symbol""".stripMargin
+         |FROM daily GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_risk_snapshot" ->
+      s"""WITH ${BtSql.WithPeakCte},
+         |rets0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms) - 1 AS r
+         |  FROM bars
+         |),
+         |rets AS (SELECT * FROM rets0 WHERE r IS NOT NULL),
+         |v AS (
+         |  SELECT symbol, quantile_cont(r, 0.05) AS var95, quantile_cont(r, 0.01) AS var99
+         |  FROM rets GROUP BY symbol
+         |),
+         |vc AS (
+         |  SELECT r.symbol,
+         |         floor(max(v.var95) * 1e8 + 0.5) / 1e8 AS var_95,
+         |         floor(max(v.var99) * 1e8 + 0.5) / 1e8 AS var_99,
+         |         floor(avg(CASE WHEN r.r <= v.var95 THEN r.r END) * 1e8 + 0.5) / 1e8 AS cvar_95
+         |  FROM rets r JOIN v ON r.symbol = v.symbol GROUP BY r.symbol
+         |),
+         |vol AS (
+         |  SELECT symbol, floor(stddev_samp(r) * sqrt(252.0) * 1e8 + 0.5) / 1e8 AS volatility_ann
+         |  FROM rets GROUP BY symbol
+         |),
+         |ddq AS (
+         |  SELECT symbol,
+         |         floor(abs(min(dd)) * 1e6 + 0.5) / 1e6 AS max_drawdown,
+         |         floor(exp(arg_max(log_equity, bucket_ms)) * 1e6 + 0.5) / 1e6 AS equity_final
+         |  FROM wp GROUP BY symbol
+         |),
+         |daily AS (
+         |  SELECT symbol, bucket_ms // 86400000 * 86400000 AS day_ms,
+         |         sum(net_returns) AS day_net, min(dd) AS day_min_dd
+         |  FROM wp GROUP BY symbol, 2
+         |),
+         |al AS (
+         |  SELECT symbol,
+         |         CAST(sum(CASE WHEN day_net < -0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_daily_loss_alerts,
+         |         CAST(sum(CASE WHEN day_min_dd < -0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_drawdown_alert_days
+         |  FROM daily GROUP BY symbol
+         |)
+         |SELECT vc.symbol, vc.var_95, vc.var_99, vc.cvar_95, vol.volatility_ann,
+         |       ddq.max_drawdown, ddq.equity_final,
+         |       al.n_daily_loss_alerts, al.n_drawdown_alert_days
+         |FROM vc JOIN vol USING (symbol) JOIN ddq USING (symbol) JOIN al USING (symbol)
+         |ORDER BY vc.symbol""".stripMargin
   )
 }

@@ -142,6 +142,19 @@ object Ann {
       .orderBy("v1", "v2")
   }
 
+  /** The standard IVF cell-count scaling: cells ≈ sqrt(n) balances the
+    * probe cost (score k centroids) against the cell-scan cost
+    * (nprobe·n/k vectors) — both grow as sqrt(n). The oracle-pinned
+    * q_ann_ivf_topk keeps cells=8 (its SQL mirror unrolls that k);
+    * [[ivfTopKAuto]] is the library default for arbitrary corpora.
+    */
+  def defaultCells(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** IVF top-k with cells scaled ~sqrt(corpus size). */
+  def ivfTopKAuto(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    ivfTopK(emb, nQueries, k, defaultCells(emb.count()), nprobe)
+
   /** IVF top-k: probe the query's `nprobe` nearest cells, exact cosine
     * inside them. `emb` needs (vec_id, e, nrm); queries are the rows with
     * vec_id < nQueries (broadcast-size by contract).

@@ -53,6 +53,28 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("IVF recall curve at k ~ sqrt(n): recall rises with nprobe in {1,2,4}") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val clusters = 20; val n = 400
+    val centers = Array.fill(clusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      (i.toLong, centers(i % clusters).map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }
+    val emb = Ann.withNorm(rows.toDF("vec_id", "e")).cache()
+    assert(Ann.defaultCells(n) == 20) // sqrt(400)
+    val brute = Ann.bruteTopK(emb, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recalls = Seq(1, 2, 4).map { np =>
+      val ivf = Ann.ivfTopKAuto(emb, nQueries = 10, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(ivf.contains).toDouble / brute.length
+    }
+    assert(recalls(0) <= recalls(1) + 1e-9 && recalls(1) <= recalls(2) + 1e-9,
+      s"recall curve should be nondecreasing in nprobe: $recalls")
+    assert(recalls(2) >= 0.9, s"recall@5 with nprobe=4: ${recalls(2)}")
+    assert(recalls(1) >= 0.8, s"recall@5 with nprobe=2: ${recalls(1)}")
+  }
+
   test("IVF on the isotropic test corpus: shape, planted near-dups retrieved, cosines exact") {
     val emb = Ann.withNorm(Tables.embeddings(spark, TestSpark.Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))).cache()
