@@ -89,4 +89,56 @@ object Signals {
           .when(mom < -threshold, -1)
           .otherwise(0))
   }
+
+  // ---- two-level (chunked) variants: identical semantics, but no task
+  // ever sorts a full symbol history (graft.operators.ChunkedWindows) —
+  // the scale form for histories that exceed one task's sort budget.
+  // Lag values are exact copies (ghost rows); prefix sums differ from the
+  // flat scan only by offset re-association (~n·ulp), so the integer
+  // signals match the plain variants except on exact comparison ties.
+
+  import graft.operators.ChunkedWindows
+
+  def maCrossChunked(bars: DataFrame, fast: Int = 10, slow: Int = 50): DataFrame = {
+    val b = ChunkedWindows.withRnAndPrefixSums(bars, Seq(("_ps1", col("close"))))
+    val t = ChunkedWindows.withBoundedLags(b,
+      Seq(("_ps1", fast, "_lf"), ("_ps1", slow, "_ls")))
+    val fastMa = (col("_ps1") - coalesce(col("_lf"), lit(0.0))) / fast
+    val slowMa = (col("_ps1") - coalesce(col("_ls"), lit(0.0))) / slow
+    t.withColumn("signal",
+        when(col("rn") >= slow && fastMa > slowMa, 1).otherwise(0))
+      .drop("_ps1", "_lf", "_ls")
+  }
+
+  def meanReversionChunked(bars: DataFrame, window: Int = 20,
+                           numStd: Double = 2.0): DataFrame = {
+    val b = ChunkedWindows.withRnAndPrefixSums(bars,
+      Seq(("_ps1", col("close")), ("_ps2", col("close") * col("close"))))
+    val t = ChunkedWindows.withBoundedLags(b,
+      Seq(("_ps1", window, "_l1"), ("_ps2", window, "_l2")))
+    val s1 = col("_ps1") - coalesce(col("_l1"), lit(0.0))
+    val s2 = col("_ps2") - coalesce(col("_l2"), lit(0.0))
+    val mu = s1 / window
+    val sd = sqrt((s2 - s1 * s1 / window) / (window - 1))
+    val z = (col("close") - mu) / sd
+    t.withColumn("signal",
+        when(col("rn") < window, 0)
+          .when(z < -numStd, 1)
+          .when(z > numStd, -1)
+          .otherwise(0))
+      .drop("_ps1", "_ps2", "_l1", "_l2")
+  }
+
+  def momentumChunked(bars: DataFrame, lookback: Int = 20,
+                      threshold: Double = 0.02): DataFrame = {
+    val b = ChunkedWindows.withRnAndPrefixSums(bars, Seq.empty)
+    val t = ChunkedWindows.withBoundedLags(b, Seq(("close", lookback, "_lc")))
+    val mom = col("close") / col("_lc") - 1
+    t.withColumn("signal",
+        when(col("rn") <= lookback, 0)
+          .when(mom > threshold, 1)
+          .when(mom < -threshold, -1)
+          .otherwise(0))
+      .drop("_lc")
+  }
 }

@@ -132,11 +132,29 @@ object Cleaner {
     * long the gap.
     */
   private def gapRuns(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("pt")
-    bars
+    // Two-level next-bracket: lead(1) inside (symbol, day) chunk windows,
+    // stitched at chunk boundaries with the first bar of the next
+    // non-empty chunk (a chunk-level lead over one row per (symbol, day)
+    // — #chunks-scale, not row-scale). No task ever sorts a full symbol
+    // history; the stitched values are exact copies of the plain lead's,
+    // so fill outputs are bit-identical.
+    val w2 = Window.partitionBy("symbol", "ck").orderBy("pt")
+    val wc = Window.partitionBy("symbol").orderBy("ck")
+    val base = bars
       .select(col("symbol"), col("bucket_ms").as("pt"), col("close").as("pv"))
-      .withColumn("nt", lead(col("pt"), 1).over(w))
-      .withColumn("nv", lead(col("pv"), 1).over(w))
+      .withColumn("ck", expr("pt div 86400000"))
+    val nexts = base.groupBy("symbol", "ck")
+      .agg(min_by(struct(col("pt"), col("pv")), col("pt")).as("f"))
+      .withColumn("nf", lead(col("f"), 1).over(wc))
+      .select(col("symbol"), col("ck"),
+        col("nf.pt").as("b_nt"), col("nf.pv").as("b_nv"))
+    base
+      .withColumn("nt", lead(col("pt"), 1).over(w2))
+      .withColumn("nv", lead(col("pv"), 1).over(w2))
+      .join(nexts, Seq("symbol", "ck"))
+      .withColumn("nt", coalesce(col("nt"), col("b_nt")))
+      .withColumn("nv", coalesce(col("nv"), col("b_nv")))
+      .drop("ck", "b_nt", "b_nv")
       .withColumn("run_end", coalesce(col("nt") - 60000L, col("pt")))
       .withColumn("day", explode(sequence(expr("pt div 86400000"), expr("run_end div 86400000"))))
       .withColumn("bucket_ms", explode(sequence(

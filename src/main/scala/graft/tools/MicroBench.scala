@@ -76,6 +76,20 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_SIG")) {
+      import graft.backtest.Signals
+      import graft.operators.Bars
+      val bars = Bars.ohlcvCached(spark, d, 60)
+      bars.count()
+      for (r <- 1 to 3) {
+        time(s"ma_cross_plain_r$r")(Signals.maCross(bars).queryExecution.toRdd.count())
+        time(s"ma_cross_chunked_r$r")(Signals.maCrossChunked(bars).queryExecution.toRdd.count())
+        time(s"mean_rev_plain_r$r")(Signals.meanReversion(bars).queryExecution.toRdd.count())
+        time(s"mean_rev_chunked_r$r")(Signals.meanReversionChunked(bars).queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_COLD_PROBE")) {
       val tiny = Tables.documents(spark, "/root/testdata/sf0.001")
       time("cold_shingles_tiny")(TextPack.shingles(tiny).count())

@@ -1,0 +1,84 @@
+package graft
+
+import graft.backtest.Signals
+import graft.operators.{Bars, ChunkedWindows}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB hot-spot fix (SURVEY §6): fills/signals via (symbol, chunk)
+  * two-level windows — parity with the plain single-window forms, and a
+  * plan assertion that no row-scale window partitions by symbol alone
+  * (which would sort one symbol's entire history in a single task).
+  */
+class ChunkedWindowsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def bars = Bars.ohlcvCached(spark, TestSpark.Sf, 60)
+
+  private def sigKey(df: DataFrame) =
+    df.select("symbol", "bucket_ms", "rn", "signal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("chunked signals match the plain single-window signals row-for-row") {
+    assert(sigKey(Signals.maCrossChunked(bars)) == sigKey(Signals.maCross(bars)))
+    assert(sigKey(Signals.meanReversionChunked(bars)) == sigKey(Signals.meanReversion(bars)))
+    assert(sigKey(Signals.momentumChunked(bars)) == sigKey(Signals.momentum(bars)))
+  }
+
+  test("no row-scale window partitions by symbol alone") {
+    // chunked signals AND the production fill queries (gap runs are
+    // two-level by default): every window ordered by a row-scale column
+    // must carry a chunk column in its partitioning; the chunk-level
+    // stitch windows (ordered by ck/_ck, #chunks rows) are exempt
+    def check(df: DataFrame): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        val orderCols = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name))
+        if (orderCols.exists(Set("bucket_ms", "rn", "pt")))
+          assert(w.partitionSpec.size >= 2,
+            s"row-scale window must be chunk-partitioned: ${w.partitionSpec}")
+      }
+    }
+    check(Signals.maCrossChunked(bars))
+    check(graft.etl.Cleaner.fillMissingMinutes(bars))
+    check(graft.etl.Cleaner.fillMissingInterp(bars))
+  }
+
+  test("tiny chunks: rn, prefix sums and lags stitch across many boundaries") {
+    // hour chunks + 64-row chunks force the boundary machinery to fire
+    // hundreds of times on the test stream
+    val b = ChunkedWindows.withRnAndPrefixSums(
+      bars, Seq(("ps", col("close"))), chunkMs = 3600000L)
+    val t = ChunkedWindows.withBoundedLags(
+      b, Seq(("ps", 7, "lp"), ("close", 3, "lc")), c = 64)
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val plain = bars
+      .withColumn("rn_p", row_number().over(w))
+      .withColumn("ps_p", sum(col("close")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lp_p", lag(col("ps_p"), 7).over(w))
+      .withColumn("lc_p", lag(col("close"), 3).over(w))
+      .select("symbol", "bucket_ms", "rn_p", "ps_p", "lp_p", "lc_p")
+    val both = t.join(plain, Seq("symbol", "bucket_ms")).collect()
+    assert(both.length == bars.count())
+    both.foreach { r =>
+      assert(r.getAs[Int]("rn") == r.getAs[Int]("rn_p"))
+      val ps = r.getAs[Double]("ps"); val psP = r.getAs[Double]("ps_p")
+      assert(math.abs(ps - psP) <= 1e-9 * math.max(1.0, math.abs(psP)),
+        s"prefix sum drift: $ps vs $psP")
+      // lags are exact copies (ghost rows), same null pattern
+      assert(r.isNullAt(r.fieldIndex("lc")) == r.isNullAt(r.fieldIndex("lc_p")))
+      if (!r.isNullAt(r.fieldIndex("lc")))
+        assert(r.getAs[Double]("lc") == r.getAs[Double]("lc_p"))
+      assert(r.isNullAt(r.fieldIndex("lp")) == r.isNullAt(r.fieldIndex("lp_p")))
+      if (!r.isNullAt(r.fieldIndex("lp"))) {
+        val lp = r.getAs[Double]("lp"); val lpP = r.getAs[Double]("lp_p")
+        assert(math.abs(lp - lpP) <= 1e-9 * math.max(1.0, math.abs(lpP)))
+      }
+    }
+  }
+}
