@@ -26,17 +26,17 @@ object PortfolioOpt {
     * the whole grid-scoring pipeline.
     */
   private val retsCache =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+    graft.Memo.map[DataFrame, DataFrame](_.unpersist())
   private def retsCached(bars: DataFrame): DataFrame =
     retsCache.getOrElseUpdate(bars, Risk.barReturns(bars).cache())
 
   private val covCache =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+    graft.Memo.map[DataFrame, DataFrame](_.unpersist())
   private def covCached(bars: DataFrame): DataFrame =
     covCache.getOrElseUpdate(bars, covFromRets(retsCached(bars)).cache())
 
-  private val frontierCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, DataFrame, Int), (DataFrame, DataFrame)]
+  private val frontierCache =
+    graft.Memo.map[(SparkSession, DataFrame, Int), (DataFrame, DataFrame)](_._2.unpersist())
 
   /** Pairwise annualized covariance/correlation matrix of per-symbol bar
     * returns, joined on time bucket (full N×N, both directions).

@@ -48,7 +48,7 @@ object TextPack extends QueryPack {
     * and DedupPack's MinHash signatures/verification.
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
   def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
@@ -262,7 +262,7 @@ object TextPack extends QueryPack {
     * (session, dataset).
     */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d), {

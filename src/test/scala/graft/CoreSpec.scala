@@ -103,4 +103,14 @@ class NormalizerSpec extends AnyFunSuite {
       .select(graft.etl.Normalizer.coerceTsMs("raw").as("ms")).as[Long].collect()
     assert(df.toSet == Set(t * 1000L))
   }
+
+  test("Memo.invalidateAll evicts every session memo (stale-read hook)") {
+    val spark = TestSpark.spark
+    val a = graft.operators.Bars.ohlcvCached(spark, TestSpark.Sf, 60)
+    assert(a eq graft.operators.Bars.ohlcvCached(spark, TestSpark.Sf, 60))
+    graft.Memo.invalidateAll()
+    val b = graft.operators.Bars.ohlcvCached(spark, TestSpark.Sf, 60)
+    assert(!(a eq b), "invalidated memo must rebuild")
+    assert(b.count() == a.count())
+  }
 }
