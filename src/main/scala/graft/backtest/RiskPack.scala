@@ -21,6 +21,28 @@ object RiskPack extends QueryPack {
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
     "q_vol_position_sizing" -> ((s, d) => Risk.volSizing(bars1m(s, d)).orderBy("symbol")),
     "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol")),
+    "q_risk_alert_log" -> ((s, d) => {
+      // per-alert rows, the reference's alert history frame
+      // (risk_monitor.py:278 get_alerts_df; levels: drawdown :175
+      // critical past 1.5x threshold, daily loss :211 critical past 2x)
+      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val daily = btMaCross(s, d)
+        .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
+        .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
+        .groupBy("symbol", "day_ms")
+        .agg(sum(col("net_returns")).as("day_net"), min(col("dd")).as("day_min_dd"))
+        .cache()
+      val lossAlerts = daily.filter(col("day_net") < -0.05).select(
+        col("symbol"), col("day_ms"), lit("daily_loss").as("metric"),
+        Port.r(-col("day_net"), 8).as("value"), lit(0.05).as("threshold"),
+        when(col("day_net") < -0.10, "critical").otherwise("high").as("level"))
+      val ddAlerts = daily.filter(col("day_min_dd") < -0.20).select(
+        col("symbol"), col("day_ms"), lit("drawdown").as("metric"),
+        Port.r(-col("day_min_dd"), 6).as("value"), lit(0.20).as("threshold"),
+        when(col("day_min_dd") < -0.30, "critical").otherwise("high").as("level"))
+      lossAlerts.unionByName(ddAlerts).orderBy("symbol", "day_ms", "metric")
+    }),
     "q_risk_snapshot" -> ((s, d) => {
       // composed monitoring snapshot (risk_monitor.py:224 monitor, :299
       // get_metrics_df: one frame with VaR+CVaR+vol+drawdown+limit state
@@ -112,6 +134,27 @@ object RiskPack extends QueryPack {
          |       floor(min(day_net) * 1e8 + 0.5) / 1e8 AS worst_daily_net,
          |       floor(min(day_min_dd) * 1e6 + 0.5) / 1e6 AS worst_drawdown
          |FROM daily GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_risk_alert_log" ->
+      s"""WITH ${BtSql.WithPeakCte},
+         |daily AS (
+         |  SELECT symbol, bucket_ms // 86400000 * 86400000 AS day_ms,
+         |         sum(net_returns) AS day_net, min(dd) AS day_min_dd
+         |  FROM wp GROUP BY symbol, 2
+         |),
+         |alerts AS (
+         |  SELECT symbol, day_ms, 'daily_loss' AS metric,
+         |         floor(-day_net * 1e8 + 0.5) / 1e8 AS value,
+         |         0.05 AS threshold,
+         |         CASE WHEN day_net < -0.10 THEN 'critical' ELSE 'high' END AS level
+         |  FROM daily WHERE day_net < -0.05
+         |  UNION ALL
+         |  SELECT symbol, day_ms, 'drawdown' AS metric,
+         |         floor(-day_min_dd * 1e6 + 0.5) / 1e6 AS value,
+         |         0.20 AS threshold,
+         |         CASE WHEN day_min_dd < -0.30 THEN 'critical' ELSE 'high' END AS level
+         |  FROM daily WHERE day_min_dd < -0.20
+         |)
+         |SELECT * FROM alerts ORDER BY symbol, day_ms, metric""".stripMargin,
     "q_risk_snapshot" ->
       s"""WITH ${BtSql.WithPeakCte},
          |rets0 AS (

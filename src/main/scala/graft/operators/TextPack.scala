@@ -192,6 +192,47 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_repetition_filter" -> ((s, d) => {
+      // Gopher-style repetition quality signals: per-doc top-2-gram
+      // share and duplicated-2-gram mass, with a keep/drop decision —
+      // the standard repetition gate in LLM corpus prep. All ratios are
+      // integer/integer divisions (exact, no rounding).
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_2grams"),
+          max(col("c")).as("top_c"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_mass"))
+        .select(col("doc_id"), col("n_2grams"),
+          (col("top_c") / col("n_2grams")).as("top_2gram_share"),
+          (col("dup_mass") / col("n_2grams")).as("dup_2gram_ratio"))
+        .withColumn("keep",
+          (col("top_2gram_share") <= 0.20 && col("dup_2gram_ratio") <= 0.60).cast("int"))
+        .orderBy("doc_id")
+    }),
+    "q_unigram_logprob" -> ((s, d) => {
+      // corpus-LM quality score (KenLM-lite): average unigram negative
+      // log-probability per doc — rare-token-heavy docs score high. The
+      // vocab is a hash aggregate; the per-token score is a broadcast
+      // join at this vocab size (a shuffle join at web-corpus vocab).
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
+      val total = vocab.agg(sum(col("c")).as("n_total"))
+      toks.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("c").cast("double") / col("n_total")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.functions.Port.r(avg(col("nll")), 6).as("avg_neg_logprob"),
+          graft.functions.Port.r(max(col("nll")), 6).as("max_neg_logprob"))
+        .orderBy("doc_id")
+    }),
     "q_vocab_topk" -> ((s, d) =>
       // corpus vocabulary: top-10 tokens per source — one hash aggregate
       // with map-side combine, rank only over the (small) per-source
@@ -295,6 +336,45 @@ object TextPack extends QueryPack {
     })
 
   def oracles: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+        |  FROM toks
+        |),
+        |cnt AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM grams WHERE gram IS NOT NULL GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |         CAST(max(c) AS BIGINT) AS top_c,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_mass
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_2grams,
+        |       CAST(top_c AS DOUBLE) / n_2grams AS top_2gram_share,
+        |       CAST(dup_mass AS DOUBLE) / n_2grams AS dup_2gram_ratio,
+        |       CASE WHEN CAST(top_c AS DOUBLE) / n_2grams <= 0.20
+        |             AND CAST(dup_mass AS DOUBLE) / n_2grams <= 0.60 THEN 1 ELSE 0 END AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id, -ln(CAST(v.c AS DOUBLE) / n_total) AS nll
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob,
+        |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_tokens,
