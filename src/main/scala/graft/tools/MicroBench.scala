@@ -76,6 +76,28 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_CHUNK")) {
+      // hot-symbol posture: 5M bars of ONE symbol. The plain signal
+      // window sorts all 5M rows in a single task; the chunked form
+      // spreads (symbol, chunk) tasks across the cores — the measured
+      // justification for ChunkedWindows at scale.
+      import graft.backtest.Signals
+      val n = sys.env.getOrElse("MICRO_CHUNK_N", "5000000").toLong
+      val hot = spark.range(n).select(
+        lit("HOT").as("symbol"),
+        (col("id") * 60000L).as("bucket_ms"),
+        (lit(100.0) + (col("id") % 997).cast("double") / 10).as("close"))
+        .cache()
+      hot.count()
+      for (r <- 1 to 2) {
+        time(s"hot_ma_cross_plain_r$r")(
+          Signals.maCross(hot).queryExecution.toRdd.count())
+        time(s"hot_ma_cross_chunked_r$r")(
+          Signals.maCrossChunked(hot).queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_CLUSTER")) {
       for (r <- 1 to 3)
         time(s"dedup_clusters_r$r")(
