@@ -17,12 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left     rows to enrich; must carry `partCol` and `timeCol`
-    * @param right    lookup side; same `partCol`/`timeCol` plus `valueCols`
-    * @param timeCol  numeric event-time column (same unit both sides)
+  /** @param left      rows to enrich; must carry `partCol` and `timeCol`
+    * @param right     lookup side; same `partCol`/`timeCol` plus `valueCols`
+    * @param timeCol   numeric event-time column (same unit both sides)
+    * @param tolerance max staleness: a match further than this from the
+    *                  left row's time yields nulls (pandas merge_asof
+    *                  `tolerance`); None = unbounded
     */
   def backward(left: DataFrame, right: DataFrame, partCol: String,
-               timeCol: String, valueCols: Seq[String]): DataFrame = {
+               timeCol: String, valueCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, partCol, timeCol, valueCols, tolerance, forward = false)
+
+  /** Forward as-of: earliest right row at-or-after each left row — the
+    * same union trick over a DESCENDING scan (still the running O(n)
+    * frame, see the bfill note in graft.etl.Cleaner).
+    */
+  def forward(left: DataFrame, right: DataFrame, partCol: String,
+              timeCol: String, valueCols: Seq[String],
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, partCol, timeCol, valueCols, tolerance, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, partCol: String,
+                   timeCol: String, valueCols: Seq[String],
+                   tolerance: Option[Long], forward: Boolean): DataFrame = {
     val clash = valueCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"valueCols must be disjoint from left's columns, clash: ${clash.mkString(",")}")
@@ -30,28 +48,41 @@ object AsOfJoin {
       .foldLeft(left.withColumn("_tag", lit(1))) { (df, v) =>
         df.withColumn(v, lit(null).cast(right.schema(v).dataType))
       }
-      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col) ++
+      .withColumn("_rt", lit(null).cast(right.schema(timeCol).dataType))
+      .select((Seq(partCol, timeCol, "_tag", "_rt") ++ valueCols).map(col) ++
         left.columns.filterNot(c => c == partCol || c == timeCol).map(col): _*)
 
     val rightTagged = right
       .withColumn("_tag", lit(0))
-      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col): _*)
+      .withColumn("_rt", col(timeCol))
+      .select((Seq(partCol, timeCol, "_tag", "_rt") ++ valueCols).map(col): _*)
 
     val extraLeftCols = left.columns.filterNot(c => c == partCol || c == timeCol)
     val unioned = rightTagged
-      .select((Seq(partCol, timeCol, "_tag") ++ valueCols).map(col) ++
+      .select((Seq(partCol, timeCol, "_tag", "_rt") ++ valueCols).map(col) ++
         extraLeftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
       .unionByName(leftTagged)
 
     // Tiebreaker: among right rows sharing (partCol, timeCol) the
     // greatest valueCols tuple wins (documented, deterministic) — without
-    // it the last-ignore-nulls pick depends on shuffle arrival order.
+    // it the last-ignore-nulls pick depends on shuffle arrival order. In
+    // the forward scan time runs descending, so right rows still sort
+    // before the left rows of the same instant (tag 0 first) and the
+    // greatest tuple is still the last one the running frame sees.
+    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(partCol)
-      .orderBy(col(timeCol) +: col("_tag") +: valueCols.map(col): _*)
+      .orderBy(timeOrder +: col("_tag") +: valueCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
+    val filled = (valueCols :+ "_rt").foldLeft(unioned) { (df, v) =>
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
-    filled.filter(col("_tag") === 1).drop("_tag")
+    val gap =
+      if (forward) col("_rt") - col(timeCol) else col(timeCol) - col("_rt")
+    val bounded = tolerance.fold(filled) { tol =>
+      valueCols.foldLeft(filled) { (df, v) =>
+        df.withColumn(v, when(gap <= tol, col(v)))
+      }
+    }
+    bounded.filter(col("_tag") === 1).drop("_tag", "_rt")
   }
 }

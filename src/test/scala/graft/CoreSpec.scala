@@ -92,6 +92,60 @@ class AsOfJoinSpec extends AnyFunSuite {
     val out = AsOfJoin.backward(left, right, "symbol", "t", Seq("v")).collect()
     assert(out.length == 1 && out(0).getAs[Double]("v") == 300.0)
   }
+
+  test("tolerance nulls out stale matches; forward picks the next right row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq(("A", 10L, 1), ("A", 20L, 2)).toDF("symbol", "t", "k")
+    val right = Seq(("A", 4L, 100.0), ("A", 19L, 200.0), ("A", 25L, 300.0))
+      .toDF("symbol", "t", "v")
+    val tol = AsOfJoin.backward(left, right, "symbol", "t", Seq("v"), tolerance = Some(3L))
+      .orderBy("t").collect()
+    assert(tol(0).isNullAt(tol(0).fieldIndex("v"))) // t=10 ← right@4, gap 6 > 3
+    assert(tol(1).getAs[Double]("v") == 200.0)      // t=20 ← right@19, gap 1
+    val fwd = AsOfJoin.forward(left, right, "symbol", "t", Seq("v"))
+      .orderBy("t").collect()
+    assert(fwd(0).getAs[Double]("v") == 200.0) // t=10 → right@19
+    assert(fwd(1).getAs[Double]("v") == 300.0) // t=20 → right@25
+    val fwdTol = AsOfJoin.forward(left, right, "symbol", "t", Seq("v"), tolerance = Some(5L))
+      .orderBy("t").collect()
+    assert(fwdTol(0).isNullAt(fwdTol(0).fieldIndex("v"))) // gap 9 > 5
+    assert(fwdTol(1).getAs[Double]("v") == 300.0)         // gap 5 <= 5
+  }
+}
+
+/** Property-based invariants (scalacheck): the as-of join must agree
+  * with the brute-force per-row definition on arbitrary inputs.
+  */
+class AsOfJoinPropsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("backward/forward as-of equal the brute-force definition on random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    val genTimes = Gen.listOfN(12, Gen.choose(0L, 30L))
+    val prop = Prop.forAll(genTimes, genTimes) { (lts: List[Long], rts: List[Long]) =>
+      val left = lts.zipWithIndex.map { case (t, i) => ("A", t, i) }
+        .toDF("symbol", "t", "k")
+      val right = rts.zipWithIndex.map { case (t, i) => ("A", t, t * 1000.0 + i) }
+      val rightDf = right.toDF("symbol", "t", "v")
+      val back = AsOfJoin.backward(left, rightDf, "symbol", "t", Seq("v"))
+        .collect().map(r => r.getAs[Int]("k") -> Option(r.get(r.fieldIndex("v")))).toMap
+      val fwd = AsOfJoin.forward(left, rightDf, "symbol", "t", Seq("v"))
+        .collect().map(r => r.getAs[Int]("k") -> Option(r.get(r.fieldIndex("v")))).toMap
+      lts.zipWithIndex.forall { case (t, k) =>
+        // brute force: max right value among ties at the nearest time
+        val bExp = right.filter(_._2 <= t).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        val fExp = right.filter(_._2 >= t)
+          .sortBy(r => (-r._2, r._3)).lastOption.map(_._3)
+        back(k).map(_.asInstanceOf[Double]) == bExp &&
+          fwd(k).map(_.asInstanceOf[Double]) == fExp
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 class NormalizerSpec extends AnyFunSuite {
