@@ -21,6 +21,26 @@ object RiskPack extends QueryPack {
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
     "q_vol_position_sizing" -> ((s, d) => Risk.volSizing(bars1m(s, d)).orderBy("symbol")),
     "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol")),
+    "q_position_limit_alerts" -> ((s, d) => {
+      // check_position_limits (risk_monitor.py:120): per-symbol share of
+      // portfolio value vs the limit (default 0.25), medium at 1x / high
+      // at 1.5x — as a daily monitor frame over the five strategy equity
+      // curves (equity share = position-value share at equal initial
+      // capital); non-breach days carry level 'ok'
+      val limit = 0.25
+      val daily = btMaCross(s, d)
+        .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
+        .groupBy("symbol", "day_ms")
+        .agg(exp(max_by(col("log_equity"), col("bucket_ms"))).as("eod_eq"))
+      val tot = daily.groupBy("day_ms").agg(sum(col("eod_eq")).as("port_value"))
+      val frac = col("eod_eq") / col("port_value")
+      daily.join(broadcast(tot), "day_ms")
+        .select(col("symbol"), col("day_ms"),
+          Port.r(frac, 6).as("position_fraction"),
+          when(frac > limit * 1.5, "high")
+            .when(frac > limit, "medium").otherwise("ok").as("level"))
+        .orderBy("symbol", "day_ms")
+    }),
     "q_risk_alert_log" -> ((s, d) => {
       // per-alert rows, the reference's alert history frame
       // (risk_monitor.py:278 get_alerts_df; levels: drawdown :175
@@ -134,6 +154,21 @@ object RiskPack extends QueryPack {
          |       floor(min(day_net) * 1e8 + 0.5) / 1e8 AS worst_daily_net,
          |       floor(min(day_min_dd) * 1e6 + 0.5) / 1e6 AS worst_drawdown
          |FROM daily GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_position_limit_alerts" ->
+      s"""WITH ${BtSql.MaCrossBacktestCte},
+         |daily AS (
+         |  SELECT symbol, bucket_ms // 86400000 * 86400000 AS day_ms,
+         |         exp(arg_max(log_equity, bucket_ms)) AS eod_eq
+         |  FROM bt GROUP BY 1, 2
+         |),
+         |tot AS (SELECT day_ms, sum(eod_eq) AS port_value FROM daily GROUP BY 1)
+         |SELECT d.symbol, d.day_ms,
+         |       floor(d.eod_eq / t.port_value * 1e6 + 0.5) / 1e6 AS position_fraction,
+         |       CASE WHEN d.eod_eq / t.port_value > 0.375 THEN 'high'
+         |            WHEN d.eod_eq / t.port_value > 0.25 THEN 'medium'
+         |            ELSE 'ok' END AS level
+         |FROM daily d JOIN tot t USING (day_ms)
+         |ORDER BY d.symbol, d.day_ms""".stripMargin,
     "q_risk_alert_log" ->
       s"""WITH ${BtSql.WithPeakCte},
          |daily AS (

@@ -20,33 +20,37 @@ object StopLoss {
                        entry_px: Double, exit_px: Double, peak_px: Double,
                        exit_reason: String)
 
-  /** Long-only: enter on signal=1, trail a pct stop under the running
-    * peak, exit on stop hit / signal flat / end of data. Input MUST
-    * already be sorted by bucket_ms.
+  /** Enter on signal = +1 (long) / −1 (short, risk_monitor.py:492: the
+    * stop trails ABOVE the running trough), trail a pct stop off the
+    * running extreme, exit on stop hit / signal flat / end of data.
+    * `peak_px` carries the running extreme in both directions. Input
+    * MUST already be sorted by bucket_ms.
     */
   def trailingScan(symbol: String, bars: Iterator[SignalBar],
                    trailPct: Double): Iterator[StopTrade] = {
-    var inPos = false
+    var side = 0 // +1 long, -1 short, 0 flat
     var entryMs = 0L; var entryPx = 0.0; var peak = 0.0
     var lastMs = 0L; var lastPx = 0.0
     val scanned = bars.flatMap { b =>
       lastMs = b.bucket_ms; lastPx = b.close
-      if (!inPos) {
-        if (b.signal == 1) { inPos = true; entryMs = b.bucket_ms; entryPx = b.close; peak = b.close }
+      if (side == 0) {
+        if (b.signal == 1 || b.signal == -1) {
+          side = b.signal; entryMs = b.bucket_ms; entryPx = b.close; peak = b.close
+        }
         Iterator.empty
       } else {
-        if (b.close > peak) peak = b.close
-        if (b.close <= peak * (1.0 - trailPct)) {
-          inPos = false
+        if (side * b.close > side * peak) peak = b.close
+        if (side * b.close <= side * peak * (1.0 - side * trailPct)) {
+          side = 0
           Iterator.single(StopTrade(symbol, entryMs, b.bucket_ms, entryPx, b.close, peak, "trailing_stop"))
-        } else if (b.signal == 0) {
-          inPos = false
+        } else if (b.signal != side) {
+          side = 0
           Iterator.single(StopTrade(symbol, entryMs, b.bucket_ms, entryPx, b.close, peak, "signal_exit"))
         } else Iterator.empty
       }
     }
     // ++ is by-name: the end-of-data leg is built only after the scan drains
-    scanned ++ (if (inPos)
+    scanned ++ (if (side != 0)
       Iterator.single(StopTrade(symbol, entryMs, lastMs, entryPx, lastPx, peak, "end_of_data"))
     else Iterator.empty)
   }

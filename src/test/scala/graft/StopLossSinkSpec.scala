@@ -22,6 +22,24 @@ class StopLossSpec extends AnyFunSuite {
     assert(t.exit_reason == "trailing_stop" && t.peak_px == 110.0 && t.exit_px == 107.0)
   }
 
+  test("short side: stop trails above the running trough (risk_monitor.py:492)") {
+    val trades = StopLoss.trailingScan("A", Iterator(
+      SignalBar("A", 1L, 100.0, -1), // enter short
+      SignalBar("A", 2L, 90.0, -1),  // trough 90
+      SignalBar("A", 3L, 92.0, -1)   // 92 > 90*1.02=91.8 → stop
+    ), trailPct = 0.02).toSeq
+    assert(trades.size == 1)
+    val t = trades.head
+    assert(t.exit_reason == "trailing_stop" && t.peak_px == 90.0 && t.exit_px == 92.0)
+    // a short that keeps falling never stops out; exits at end of data
+    val ride = StopLoss.trailingScan("A", Iterator(
+      SignalBar("A", 1L, 100.0, -1),
+      SignalBar("A", 2L, 95.0, -1),
+      SignalBar("A", 3L, 91.0, -1)
+    ), trailPct = 0.02).toSeq
+    assert(ride.size == 1 && ride.head.exit_reason == "end_of_data" && ride.head.peak_px == 91.0)
+  }
+
   test("signal exit and end-of-data exits are labeled; invariants hold on real data") {
     val trades = StopLoss.run(
       graft.backtest.Signals.maCross(
