@@ -53,7 +53,28 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     // queries_cold makes cold-pass anomalies diagnosable per query
     // (r02's 217.5s cold total had no per-query breakdown to pin it).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"cpus":$cpus,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"cpus":"$cpus","sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of stdout: the full line
+    // above is ~5 KB, so in rounds 1-3 the headline ("metric","value", the
+    // whole warm map) was truncated away and only the cold map survived.
+    // Persist the full record to a file, then print a compact headline
+    // LAST, sized to fit the tail window (slowest warm queries verbatim,
+    // the fast remainder aggregated).
+    val pw = new java.io.PrintWriter("bench_detail.json")
+    try pw.println(full) finally pw.close()
+    println(full)
+    def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val byTime = warm.sortBy(-_._2)
+    val budget = 1450 // chars for the queries map; total line stays < ~1800
+    var used = 0
+    val kept = byTime.takeWhile { case (k, v) =>
+      val e = k.length + f2(v).length + 4; if (used + e > budget) false else { used += e; true }
+    }
+    val rest = byTime.drop(kept.size)
+    val restSum = rest.map(_._2).sum
+    val keptJson = kept.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }
