@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// the bench headline. Forked-run output is normally routed through sbt's
+// logger (prefixing every line with "[info] ") and sbt appends a
+// "[success] Total time..." trailer — both broke strict last-line parsing
+// (BENCH_r04 "parsed": null). Inherit raw stdout and drop the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

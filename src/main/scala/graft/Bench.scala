@@ -58,12 +58,19 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of stdout: the full line
     // above is ~5 KB, so in rounds 1-3 the headline ("metric","value", the
     // whole warm map) was truncated away and only the cold map survived.
-    // Persist the full record to a file, then print a compact headline
-    // LAST, sized to fit the tail window (slowest warm queries verbatim,
-    // the fast remainder aggregated).
-    val pw = new java.io.PrintWriter("bench_detail.json")
-    try pw.println(full) finally pw.close()
+    // Print the full record FIRST (so a file-IO failure can never suppress
+    // it), persist it to a file, then print a compact headline LAST, sized
+    // to fit the tail window (slowest warm queries verbatim, the fast
+    // remainder aggregated).
     println(full)
+    // cwd-relative unless SPARK_GRAFT_OUT_DIR says otherwise; absolute
+    // path is echoed in the headline so a stray cwd is visible.
+    val detailPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), "bench_detail.json").getCanonicalPath
+    try {
+      val pw = new java.io.PrintWriter(detailPath)
+      try pw.println(full) finally pw.close()
+    } catch { case e: Throwable => System.err.println(s"bench_detail write failed: $e") }
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val byTime = warm.sortBy(-_._2)
     val budget = 1450 // chars for the queries map; total line stays < ~1800
@@ -74,7 +81,7 @@ object Bench {
     val rest = byTime.drop(kept.size)
     val restSum = rest.map(_._2).sum
     val keptJson = kept.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }
