@@ -17,7 +17,8 @@ object SparkEntry {
     graft.operators.TpchPack,
     graft.operators.TextPack,
     graft.operators.AnnPack,
-    graft.operators.DedupPack
+    graft.operators.DedupPack,
+    graft.operators.CorpusPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.Port
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond per-doc text analysis (TextPack): benchmark
+  * decontamination, PII/payload scrubbing, deterministic stratified
+  * sampling, corpus shape statistics, and token-budget mix planning.
+  *
+  * Scale shapes: decontamination is an inverted-index join where the
+  * eval side is broadcast-size by construction (benchmarks are small);
+  * the scrub is a single codegen'd regex pass; sampling is a stateless
+  * hash predicate (no shuffle at all); the histogram and mix planner
+  * aggregate to source/lang cardinality before any window work.
+  */
+object CorpusPack extends QueryPack {
+
+  /** Held-out source treated as the evaluation benchmark. */
+  val EvalSource = "src19"
+
+  /** Decontamination shingle width. 5-gram (vs TextPack's 3-gram dedup
+    * shingles): contamination checks use long n-grams so that shared
+    * topical vocabulary does not flag a doc — only near-verbatim spans do.
+    */
+  private def shingles5(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("t3", lead(col("tok"), 3).over(w))
+      .withColumn("t4", lead(col("tok"), 4).over(w))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("shingle"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[shingles5]] (final CTE: shd5). */
+  private val Shingles5Cte: String =
+    """toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w ||
+      |         ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |),
+      |shd5 AS (SELECT DISTINCT doc_id, source, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
+
+  // Scrub patterns — Java-regex/RE2 common subset (no lookaround, no
+  // backrefs) so Spark and DuckDB compile identical semantics.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe    = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val NumRe   = "\\d+"
+
+  /** Per-language deterministic sampling rates: the first 8 hex chars of
+    * md5(text) are a uniform 32-bit draw, kept when below
+    * floor(rate·2^32) in hex — stateless, reproducible on any engine,
+    * and stable under re-partitioning (the classic downsample-the-
+    * over-represented-stratum move; `en` is ~40% of this corpus).
+    */
+  val LangRates: Seq[(String, String)] = Seq(
+    "en" -> "66666666", // 0.4
+    "de" -> "cccccccc", "es" -> "cccccccc", "fr" -> "cccccccc", "zh" -> "cccccccc") // 0.8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: flag training docs sharing any
+      // 5-gram with the held-out eval source. The eval shingle set is
+      // benchmark-sized (broadcast); the corpus side streams through
+      // the join — linear at 100 TB, never corpus×corpus.
+      val shd = shingles5(Tables.documents(s, d))
+      val ev = shd.filter(col("source") === EvalSource)
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      val corp = shd.filter(col("source") =!= EvalSource).select("doc_id", "shingle")
+      val sizes = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = corp.join(broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_shingles"),
+          countDistinct(col("eval_doc")).as("n_eval_docs"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+          coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"))
+        .withColumn("contaminated", (col("n_hit_shingles") > 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+    "q_pii_scrub" -> ((s, d) =>
+      // Payload scrubbing over the raw event feed: count PII-shaped
+      // spans (emails / IPs / phones / numeric identifiers) and redact
+      // them, reporting how far redaction collapses the payload space.
+      // One codegen'd regex pass per row, then a hash aggregate.
+      Tables.events(s, d)
+        .select(col("event_type"), col("props"),
+          regexp_count(col("props"), lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("props"), lit(IpRe)).cast("long").as("n_ip"),
+          regexp_count(col("props"), lit(PhoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("props"), lit(NumRe)).cast("long").as("n_num"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("props"), EmailRe, "<EMAIL>"),
+                IpRe, "<IP>"),
+              PhoneRe, "<PHONE>"),
+            NumRe, "<NUM>").as("redacted"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_email")).as("email_hits"),
+          sum(col("n_ip")).as("ip_hits"),
+          sum(col("n_phone")).as("phone_hits"),
+          sum(col("n_num")).as("num_hits"),
+          countDistinct(col("props")).as("n_distinct_raw"),
+          countDistinct(col("redacted")).as("n_distinct_redacted"))
+        .orderBy("event_type")),
+    "q_sample_stratified" -> ((s, d) => {
+      // Deterministic stratified sample: hash-threshold per language.
+      // No RNG, no shuffle — a filter that any executor evaluates
+      // identically, so the sample is reproducible across runs,
+      // partitionings, and engines.
+      val rates = {
+        import s.implicits._
+        LangRates.toDF("lang", "thr")
+      }
+      Tables.documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("hash8", substring(md5(col("text")), 1, 8))
+        .filter(col("hash8") < col("thr"))
+        .select("doc_id", "lang", "source", "hash8")
+        .orderBy("doc_id")
+    }),
+    "q_length_histogram" -> ((s, d) => {
+      // Corpus shape: per-source doc-length histogram (100-char bins)
+      // with within-source share and cumulative share. Aggregates to
+      // (source × bin) before any window work, so the window runs over
+      // a dimension-sized frame. All ratios are exact-int divisions.
+      val binned = Tables.documents(s, d)
+        .groupBy(col("source"), expr("n_chars div 100").as("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+      val ws = Window.partitionBy("source")
+      binned
+        .withColumn("src_docs", sum(col("n_docs")).over(ws))
+        .withColumn("cum_docs",
+          sum(col("n_docs")).over(ws.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("source"), col("bin"), col("n_docs"),
+          (col("n_docs") / col("src_docs")).as("share"),
+          (col("cum_docs") / col("src_docs")).as("cum_share"))
+        .orderBy("source", "bin")
+    }),
+    "q_corpus_mix" -> ((s, d) => {
+      // Token-budget mix planner (data-mixing step of corpus prep):
+      // spend 60% of the corpus' whitespace tokens, target a uniform
+      // per-language share, cap each language at its availability, and
+      // redistribute the unspent remainder to uncapped languages
+      // proportionally to availability (one deterministic round, all
+      // integer arithmetic). Language cardinality is tiny, so the
+      // unpartitioned window is a dimension-level plan, not a data one.
+      val avail = Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("lang").agg(sum(col("toks")).as("avail_tokens"))
+      val all = Window.partitionBy(lit(1))
+      avail
+        .withColumn("total", sum(col("avail_tokens")).over(all))
+        .withColumn("n_langs", count(lit(1)).over(all))
+        .withColumn("budget", expr("total * 6 div 10"))
+        .withColumn("uniform_target", expr("budget div n_langs"))
+        .withColumn("capped_alloc", least(col("avail_tokens"), col("uniform_target")))
+        .withColumn("leftover", col("budget") - sum(col("capped_alloc")).over(all))
+        .withColumn("uncapped_avail",
+          sum(when(col("avail_tokens") > col("uniform_target"), col("avail_tokens"))
+            .otherwise(0L)).over(all))
+        .withColumn("extra",
+          when(col("avail_tokens") > col("uniform_target") && col("uncapped_avail") > 0,
+            expr("leftover * avail_tokens div uncapped_avail"))
+            .otherwise(0L))
+        .withColumn("final_alloc", least(col("avail_tokens"), col("capped_alloc") + col("extra")))
+        .select(col("lang"), col("avail_tokens"), col("uniform_target"),
+          col("capped_alloc"), col("final_alloc"),
+          Port.r(col("final_alloc") / col("avail_tokens"), 6).as("sample_rate"))
+        .orderBy("lang")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH $Shingles5Cte,
+         |ev AS (SELECT doc_id AS eval_doc, shingle FROM shd5 WHERE source = '$EvalSource'),
+         |corp AS (SELECT doc_id, shingle FROM shd5 WHERE source != '$EvalSource'),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_hit_shingles,
+         |         count(DISTINCT e.eval_doc) AS n_eval_docs
+         |  FROM corp c JOIN ev e ON c.shingle = e.shingle GROUP BY c.doc_id
+         |)
+         |SELECT s.doc_id, s.n_shingles,
+         |       CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+         |       CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+         |       CAST(coalesce(h.n_hit_shingles, 0) > 0 AS INT) AS contaminated
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      s"""WITH scrubbed AS (
+         |  SELECT event_type, props,
+         |         len(regexp_extract_all(props, '$EmailRe')) AS n_email,
+         |         len(regexp_extract_all(props, '$IpRe')) AS n_ip,
+         |         len(regexp_extract_all(props, '$PhoneRe')) AS n_phone,
+         |         len(regexp_extract_all(props, '$NumRe')) AS n_num,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(
+         |               regexp_replace(props, '$EmailRe', '<EMAIL>', 'g'),
+         |               '$IpRe', '<IP>', 'g'),
+         |             '$PhoneRe', '<PHONE>', 'g'),
+         |           '$NumRe', '<NUM>', 'g') AS redacted
+         |  FROM events
+         |)
+         |SELECT event_type, count(*) AS n_payloads,
+         |       CAST(sum(n_email) AS BIGINT) AS email_hits,
+         |       CAST(sum(n_ip) AS BIGINT) AS ip_hits,
+         |       CAST(sum(n_phone) AS BIGINT) AS phone_hits,
+         |       CAST(sum(n_num) AS BIGINT) AS num_hits,
+         |       count(DISTINCT props) AS n_distinct_raw,
+         |       count(DISTINCT redacted) AS n_distinct_redacted
+         |FROM scrubbed GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sample_stratified" -> {
+      val vals = LangRates.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+      s"""WITH rates AS (SELECT * FROM (VALUES $vals) r(lang, thr))
+         |SELECT d.doc_id, d.lang, d.source, substr(md5(d.text), 1, 8) AS hash8
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE substr(md5(d.text), 1, 8) < r.thr
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_length_histogram" ->
+      """WITH binned AS (
+        |  SELECT source, n_chars // 100 AS bin, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, bin, n_docs,
+        |       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source) AS share,
+        |       CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bin
+        |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
+        |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_corpus_mix" ->
+      s"""WITH avail AS (
+         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |base AS (
+         |  SELECT lang, avail_tokens,
+         |         CAST(sum(avail_tokens) OVER () * 6 // 10 AS BIGINT) AS budget,
+         |         CAST(count(*) OVER () AS BIGINT) AS n_langs
+         |  FROM avail
+         |),
+         |t AS (
+         |  SELECT *, CAST(budget // n_langs AS BIGINT) AS uniform_target,
+         |         least(avail_tokens, budget // n_langs) AS capped_alloc
+         |  FROM base
+         |),
+         |redis AS (
+         |  SELECT *, budget - sum(capped_alloc) OVER () AS leftover,
+         |         sum(CASE WHEN avail_tokens > uniform_target THEN avail_tokens
+         |                  ELSE 0 END) OVER () AS uncapped_avail
+         |  FROM t
+         |),
+         |fin AS (
+         |  SELECT *, CASE WHEN avail_tokens > uniform_target AND uncapped_avail > 0
+         |                 THEN CAST(leftover * avail_tokens // uncapped_avail AS BIGINT)
+         |                 ELSE 0 END AS extra
+         |  FROM redis
+         |)
+         |SELECT lang, avail_tokens, uniform_target,
+         |       CAST(capped_alloc AS BIGINT) AS capped_alloc,
+         |       CAST(least(avail_tokens, capped_alloc + extra) AS BIGINT) AS final_alloc,
+         |       ${Port.rsql("CAST(least(avail_tokens, capped_alloc + extra) AS DOUBLE) / avail_tokens", 6)} AS sample_rate
+         |FROM fin ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.CorpusPack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-preparation operators (CorpusPack). The
+  * value-level correctness lives in the DuckDB oracles; these pin the
+  * semantic properties a hash compare can't express.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.Sf
+
+  test("decontaminate covers exactly the non-eval corpus and flags consistently") {
+    val out = CorpusPack.queries("q_decontaminate")(s, d).cache()
+    val evalIds = Tables.documents(s, d)
+      .filter(col("source") === CorpusPack.EvalSource)
+      .select("doc_id")
+    assert(out.join(evalIds, "doc_id").count() === 0, "eval docs must not be scored")
+    assert(out.filter(col("n_hit_shingles") > col("n_shingles")).count() === 0)
+    assert(out.filter(
+      (col("contaminated") === 1) =!= (col("n_hit_shingles") > 0)).count() === 0)
+    // every corpus doc long enough to have a 5-gram gets a row
+    val corpusDocs = Tables.documents(s, d)
+      .filter(col("source") =!= CorpusPack.EvalSource)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .count()
+    assert(out.count() === corpusDocs)
+    out.unpersist()
+  }
+
+  test("pii scrub finds numeric payload ids and collapses the payload space") {
+    val out = CorpusPack.queries("q_pii_scrub")(s, d).cache()
+    assert(out.filter(col("num_hits") <= 0).count() === 0, "props payloads carry numeric ids")
+    assert(out.filter(col("n_distinct_redacted") > col("n_distinct_raw")).count() === 0)
+    // redaction must collapse numeric variants far below the raw space
+    assert(out.filter(col("n_distinct_redacted") >= col("n_distinct_raw")).count() === 0)
+    out.unpersist()
+  }
+
+  test("stratified sample is deterministic and lands near the target rates") {
+    val q = CorpusPack.queries("q_sample_stratified")
+    val a = q(s, d).collect().map(_.getLong(0)).toSeq
+    val b = q(s, d).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "hash sampling must be run-stable")
+    val perLang = q(s, d).groupBy("lang").agg(count(lit(1)).as("kept"))
+      .join(Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n")), "lang")
+      .collect()
+    perLang.foreach { r =>
+      val rate = r.getAs[Long]("kept").toDouble / r.getAs[Long]("n")
+      val target = if (r.getAs[String]("lang") == "en") 0.4 else 0.8
+      assert(math.abs(rate - target) < 0.2,
+        s"${r.getAs[String]("lang")}: rate $rate vs target $target")
+    }
+  }
+
+  test("length histogram shares integrate to one per source") {
+    val out = CorpusPack.queries("q_length_histogram")(s, d).cache()
+    val bad = out.groupBy("source")
+      .agg(sum(col("share")).as("tot"), max(col("cum_share")).as("last"))
+      .filter(abs(col("tot") - 1.0) > 1e-9 || col("last") =!= 1.0)
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
+
+  test("corpus mix never over-allocates and spends within budget") {
+    val rows = CorpusPack.queries("q_corpus_mix")(s, d).collect()
+    val avail = rows.map(r => r.getAs[Long]("avail_tokens")).sum
+    val budget = avail * 6 / 10
+    rows.foreach { r =>
+      assert(r.getAs[Long]("final_alloc") <= r.getAs[Long]("avail_tokens"))
+      assert(r.getAs[Double]("sample_rate") <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("final_alloc")).sum <= budget)
+  }
+}
