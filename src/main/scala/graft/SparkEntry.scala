@@ -12,6 +12,7 @@ object SparkEntry {
     graft.backtest.RiskPack,
     graft.backtest.PortfolioPack,
     graft.backtest.ExtrasPack,
+    graft.backtest.MarketStatsPack,
     graft.operators.DerivativesPack,
     graft.operators.EventsPack,
     graft.operators.TpchPack,
