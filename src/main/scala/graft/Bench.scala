@@ -81,7 +81,10 @@ object Bench {
     val rest = byTime.drop(kept.size)
     val restSum = rest.map(_._2).sum
     val keptJson = kept.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"$detailPath"}""")
+    // detailPath comes from the environment — escape it so a quote or
+    // backslash in the directory can't break the strict last-line parser
+    val detailJson = detailPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"$detailJson"}""")
     spark.stop()
   }
 }

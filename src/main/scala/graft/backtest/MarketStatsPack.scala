@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * on the bucket key (co-partitioned, one shuffle); rolling moments
   * are prefix-sum differences sharing ONE window sort per symbol —
   * never a per-row frame rescan (round-2 lesson). The market return is
-  * snapped to 12 decimals on both engines so aggregate summation order
-  * can never leak into the hash.
+  * snapped to 12 decimals on both engines, and all regression/corr
+  * moments are exact integer sums of 1e-12-quantized returns
+  * (decimal(38,0) / HUGEINT) so summation order can never leak into
+  * the hash — in either engine, at any scale.
   */
 object MarketStatsPack extends QueryPack {
 
@@ -54,26 +56,46 @@ object MarketStatsPack extends QueryPack {
       // 20-bar rolling Pearson correlation of each symbol's hourly
       // returns vs the market. Hourly granularity keeps every bucket a
       // real cross-section (minute buckets at test scale mostly hold
-      // one symbol, collapsing the market to the symbol itself) and
-      // keeps prefix-sum magnitudes small enough that the diff-of-
-      // prefix moments stay far inside the 6-decimal snap. All five
-      // moments are prefix-sum differences over one shared
-      // (symbol, bucket) sort.
+      // one symbol, collapsing the market to the symbol itself).
+      //
+      // Exact-moment parity: double summation order differs BETWEEN
+      // engines (measured: DuckDB's cumulative window sum is a segment
+      // tree, not left-to-right — 4382/5000 random prefixes differ in
+      // the last ulp from sequential accumulation), so float moments
+      // only hash-match while the snap absorbs the noise. Instead the
+      // returns are quantized to 1e-12 fixed point and all five moments
+      // are EXACT integer sums (decimal(38,0) here, HUGEINT in the
+      // oracle) — order-independent, so the two engines agree bit-for-
+      // bit regardless of how either schedules the window, at any
+      // scale. The Spark side still takes prefix-sum differences over
+      // ONE shared (symbol, bucket) sort (round-2 lesson: never a
+      // per-row frame rescan); exactness makes the formulation
+      // mathematically identical to the oracle's direct 20-row frames.
       val k = 20
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val zero = lit(0).cast(dec)
+      def q12(c: org.apache.spark.sql.Column) =
+        floor(c * 1e12 + lit(0.5)).cast(dec)
       def sliding(c: org.apache.spark.sql.Column) =
-        c - coalesce(lag(c, k).over(w), lit(0.0))
+        c - coalesce(lag(c, k).over(w), zero)
       val base = retsWithMarket(s, d, 3600)
+        .withColumn("xi", q12(col("x")))
+        .withColumn("yi", q12(col("y")))
         .withColumn("rn", row_number().over(w))
-        .withColumn("_px", sum(col("x")).over(cum))
-        .withColumn("_py", sum(col("y")).over(cum))
-        .withColumn("_pxy", sum(col("x") * col("y")).over(cum))
-        .withColumn("_pxx", sum(col("x") * col("x")).over(cum))
-        .withColumn("_pyy", sum(col("y") * col("y")).over(cum))
-      val num = lit(k.toDouble) * col("sxy") - col("sx") * col("sy")
-      val den = sqrt(greatest(lit(k.toDouble) * col("sxx") - col("sx") * col("sx"), lit(0.0)) *
-        greatest(lit(k.toDouble) * col("syy") - col("sy") * col("sy"), lit(0.0)))
+        .withColumn("_px", sum(col("xi")).over(cum))
+        .withColumn("_py", sum(col("yi")).over(cum))
+        .withColumn("_pxy", sum(col("xi") * col("yi")).over(cum))
+        .withColumn("_pxx", sum(col("xi") * col("xi")).over(cum))
+        .withColumn("_pyy", sum(col("yi") * col("yi")).over(cum))
+      // num/den share the 1e24 scale factor, so the ratio is the
+      // correlation; the only float ops are the final cast/mul/sqrt/div
+      // on identical exact-integer inputs.
+      val num = (lit(k) * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt(
+        greatest(lit(k) * col("sxx") - col("sx") * col("sx"), zero).cast("double") *
+          greatest(lit(k) * col("syy") - col("sy") * col("sy"), zero).cast("double"))
       // sliding diffs BEFORE the warmup filter: a window lag evaluated
       // after filter(rn >= k) would run over the filtered rowset and
       // silently widen the first k-1 windows per symbol
@@ -91,55 +113,88 @@ object MarketStatsPack extends QueryPack {
     "q_market_beta" -> ((s, d) => {
       // CAPM regression per symbol on daily returns: beta vs the
       // equal-weight market, intercept alpha, and R². One aggregate of
-      // five moments per symbol — no window at all.
+      // five moments per symbol — no window at all. Same exact-moment
+      // parity as q_rolling_corr: a hash aggregate's partial-sum order
+      // is nondeterministic even run-to-run, so the moments are exact
+      // integer sums of 1e-12-quantized returns; the regression formula
+      // then runs identical float ops on identical inputs in both
+      // engines. Scale factors cancel in beta/r2; alpha divides the
+      // 1e12 back out explicitly.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      def q12(c: org.apache.spark.sql.Column) =
+        floor(c * 1e12 + lit(0.5)).cast(dec)
       val m = retsWithMarket(s, d, 86400)
+        .select(col("symbol"), q12(col("y")).as("xi"), q12(col("x")).as("yi"))
         .groupBy("symbol")
         .agg(count(lit(1)).as("n_days"),
-          sum(col("y")).as("sx"), sum(col("x")).as("sy"),
-          sum(col("y") * col("x")).as("sxy"),
-          sum(col("y") * col("y")).as("sxx"),
-          sum(col("x") * col("x")).as("syy"))
+          sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+          sum(col("xi") * col("yi")).as("sxy"),
+          sum(col("xi") * col("xi")).as("sxx"),
+          sum(col("yi") * col("yi")).as("syy"))
       val n = col("n_days").cast("double")
-      val beta = (n * col("sxy") - col("sx") * col("sy")) /
-        (n * col("sxx") - col("sx") * col("sx"))
-      val r2 = pow(n * col("sxy") - col("sx") * col("sy"), 2) /
-        ((n * col("sxx") - col("sx") * col("sx")) *
-          (n * col("syy") - col("sy") * col("sy")))
+      val num = (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denB = (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val denY = (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")
+      val beta = num / denB
       m.select(col("symbol"), col("n_days"),
         Port.r(beta, 6).as("beta"),
-        Port.r((col("sy") - beta * col("sx")) / n, 6).as("alpha"),
-        Port.r(r2, 6).as("r2"))
+        Port.r((col("sy").cast("double") / 1e12 - beta * (col("sx").cast("double") / 1e12)) / n, 6).as("alpha"),
+        Port.r(pow(num, 2) / (denB * denY), 6).as("r2"))
         .orderBy("symbol")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // Integer-moment mirrors: identical 1e-12 quantization, exact
+    // HUGEINT sums (order-independent — the direct 20-row frames here
+    // equal the Spark side's prefix-sum differences exactly), identical
+    // final float ops.
     "q_rolling_corr" ->
       s"""WITH ${graft.QueryPack.barsCteAt(3600)}$retsCte,
+         |qz AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(x * 1e12 + 0.5) AS HUGEINT) AS xi,
+         |         CAST(floor(y * 1e12 + 0.5) AS HUGEINT) AS yi
+         |  FROM j
+         |),
          |wnd AS (
          |  SELECT symbol, bucket_ms, row_number() OVER w AS rn,
-         |         sum(x) OVER w20 AS sx, sum(y) OVER w20 AS sy,
-         |         sum(x*y) OVER w20 AS sxy, sum(x*x) OVER w20 AS sxx,
-         |         sum(y*y) OVER w20 AS syy
-         |  FROM j
+         |         sum(xi) OVER w20 AS sx, sum(yi) OVER w20 AS sy,
+         |         sum(xi*yi) OVER w20 AS sxy, sum(xi*xi) OVER w20 AS sxx,
+         |         sum(yi*yi) OVER w20 AS syy
+         |  FROM qz
          |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms),
          |         w20 AS (PARTITION BY symbol ORDER BY bucket_ms ROWS 19 PRECEDING)
          |)
          |SELECT symbol, bucket_ms,
-         |       ${Port.rsql("(20.0*sxy - sx*sy) / nullif(sqrt(greatest(20.0*sxx - sx*sx, 0) * greatest(20.0*syy - sy*sy, 0)), 0)", 6)} AS roll_corr
+         |       ${Port.rsql("CAST(20*sxy - sx*sy AS DOUBLE) / nullif(sqrt(CAST(greatest(20*sxx - sx*sx, 0) AS DOUBLE) * CAST(greatest(20*syy - sy*sy, 0) AS DOUBLE)), 0)", 6)} AS roll_corr
          |FROM wnd WHERE rn >= 20 ORDER BY symbol, bucket_ms""".stripMargin,
     "q_market_beta" ->
       s"""WITH ${graft.QueryPack.barsCteAt(86400)}$retsCte,
+         |qz AS (
+         |  SELECT symbol,
+         |         CAST(floor(y * 1e12 + 0.5) AS HUGEINT) AS xi,
+         |         CAST(floor(x * 1e12 + 0.5) AS HUGEINT) AS yi
+         |  FROM j
+         |),
          |m AS (
          |  SELECT symbol, count(*) AS n_days,
-         |         sum(y) AS sx, sum(x) AS sy, sum(y*x) AS sxy,
-         |         sum(y*y) AS sxx, sum(x*x) AS syy
-         |  FROM j GROUP BY symbol
+         |         sum(xi) AS sx, sum(yi) AS sy, sum(xi*yi) AS sxy,
+         |         sum(xi*xi) AS sxx, sum(yi*yi) AS syy
+         |  FROM qz GROUP BY symbol
+         |),
+         |f AS (
+         |  SELECT symbol, n_days,
+         |         CAST(n_days*sxy - sx*sy AS DOUBLE) AS num,
+         |         CAST(n_days*sxx - sx*sx AS DOUBLE) AS den_b,
+         |         CAST(n_days*syy - sy*sy AS DOUBLE) AS den_y,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |  FROM m
          |)
          |SELECT symbol, n_days,
-         |       ${Port.rsql("(n_days*sxy - sx*sy) / (n_days*sxx - sx*sx)", 6)} AS beta,
-         |       ${Port.rsql("(sy - (n_days*sxy - sx*sy) / (n_days*sxx - sx*sx) * sx) / n_days", 6)} AS alpha,
-         |       ${Port.rsql("pow(n_days*sxy - sx*sy, 2) / ((n_days*sxx - sx*sx) * (n_days*syy - sy*sy))", 6)} AS r2
-         |FROM m ORDER BY symbol""".stripMargin
+         |       ${Port.rsql("num / den_b", 6)} AS beta,
+         |       ${Port.rsql("(syd / 1e12 - (num / den_b) * (sxd / 1e12)) / n_days", 6)} AS alpha,
+         |       ${Port.rsql("pow(num, 2) / (den_b * den_y)", 6)} AS r2
+         |FROM f ORDER BY symbol""".stripMargin
   )
 }

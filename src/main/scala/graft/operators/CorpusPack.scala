@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * decontamination, PII/payload scrubbing, deterministic stratified
   * sampling, corpus shape statistics, and token-budget mix planning.
   *
-  * Scale shapes: decontamination is an inverted-index join where the
-  * eval side is broadcast-size by construction (benchmarks are small);
+  * Scale shapes: decontamination is an inverted-index shuffle join
+  * (AQE broadcasts the eval side when it is in fact small);
   * the scrub is a single codegen'd regex pass; sampling is a stateless
   * hash predicate (no shuffle at all); the histogram and mix planner
   * aggregate to source/lang cardinality before any window work.
@@ -76,15 +76,19 @@ object CorpusPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> ((s, d) => {
       // Benchmark decontamination: flag training docs sharing any
-      // 5-gram with the held-out eval source. The eval shingle set is
-      // benchmark-sized (broadcast); the corpus side streams through
-      // the join — linear at 100 TB, never corpus×corpus.
+      // 5-gram with the held-out eval source. No broadcast hint: a real
+      // eval suite is usually tiny (AQE converts the post-shuffle join
+      // to broadcast on its own), but a large held-out split must not
+      // be forced driver-side. The shuffle join stays linear in the
+      // corpus — never corpus×corpus — and Spark's runtime bloom-filter
+      // row filtering prunes corpus shingles that can't hit eval before
+      // the shuffle.
       val shd = shingles5(Tables.documents(s, d))
       val ev = shd.filter(col("source") === EvalSource)
         .select(col("doc_id").as("eval_doc"), col("shingle"))
       val corp = shd.filter(col("source") =!= EvalSource).select("doc_id", "shingle")
       val sizes = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val hits = corp.join(broadcast(ev), "shingle")
+      val hits = corp.join(ev, "shingle")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hit_shingles"),
           countDistinct(col("eval_doc")).as("n_eval_docs"))
@@ -142,7 +146,9 @@ object CorpusPack extends QueryPack {
       // Corpus shape: per-source doc-length histogram (100-char bins)
       // with within-source share and cumulative share. Aggregates to
       // (source × bin) before any window work, so the window runs over
-      // a dimension-sized frame. All ratios are exact-int divisions.
+      // a dimension-sized frame. share/cum_share are single IEEE double
+      // divisions of exact integer operands — deterministic on both
+      // engines, no summation-order sensitivity.
       val binned = Tables.documents(s, d)
         .groupBy(col("source"), expr("n_chars div 100").as("bin"))
         .agg(count(lit(1)).as("n_docs"))
@@ -179,9 +185,15 @@ object CorpusPack extends QueryPack {
         .withColumn("uncapped_avail",
           sum(when(col("avail_tokens") > col("uniform_target"), col("avail_tokens"))
             .otherwise(0L)).over(all))
+        // leftover·avail_tokens is ~1e26 at the 100 TB design point (both
+        // factors ~1e13 tokens) — far past Long range, and Spark non-ANSI
+        // would wrap silently. decimal(19,0)×decimal(19,0) → decimal(38,0)
+        // exactly (no precision-loss rounding), and `div` truncates back to
+        // BIGINT; the oracle mirrors via HUGEINT. 19 digits leaves 6 orders
+        // of headroom over any real corpus token count.
         .withColumn("extra",
           when(col("avail_tokens") > col("uniform_target") && col("uncapped_avail") > 0,
-            expr("leftover * avail_tokens div uncapped_avail"))
+            expr("cast(cast(leftover as decimal(19,0)) * cast(avail_tokens as decimal(19,0)) div uncapped_avail as bigint)"))
             .otherwise(0L))
         .withColumn("final_alloc", least(col("avail_tokens"), col("capped_alloc") + col("extra")))
         .select(col("lang"), col("avail_tokens"), col("uniform_target"),
@@ -275,7 +287,7 @@ object CorpusPack extends QueryPack {
          |),
          |fin AS (
          |  SELECT *, CASE WHEN avail_tokens > uniform_target AND uncapped_avail > 0
-         |                 THEN CAST(leftover * avail_tokens // uncapped_avail AS BIGINT)
+         |                 THEN CAST(CAST(leftover AS HUGEINT) * avail_tokens // uncapped_avail AS BIGINT)
          |                 ELSE 0 END AS extra
          |  FROM redis
          |)

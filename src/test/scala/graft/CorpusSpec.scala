@@ -33,8 +33,7 @@ class CorpusSpec extends AnyFunSuite {
   test("pii scrub finds numeric payload ids and collapses the payload space") {
     val out = CorpusPack.queries("q_pii_scrub")(s, d).cache()
     assert(out.filter(col("num_hits") <= 0).count() === 0, "props payloads carry numeric ids")
-    assert(out.filter(col("n_distinct_redacted") > col("n_distinct_raw")).count() === 0)
-    // redaction must collapse numeric variants far below the raw space
+    // redaction must strictly collapse the payload space
     assert(out.filter(col("n_distinct_redacted") >= col("n_distinct_raw")).count() === 0)
     out.unpersist()
   }
