@@ -99,6 +99,46 @@ object BacktestPack extends QueryPack {
     }),
     "q_ml_features" -> ((s, d) =>
       MlFeatures.compute(bars1m(s, d)).orderBy("symbol", "bucket_ms")),
+    "q_feature_importance" -> ((s, d) => {
+      // ml_strategy.py:372 get_feature_importance analog. Model FITTING
+      // is out of scope (external-library call, SURVEY §2), but the
+      // data-shaped output — a per-feature importance table — is
+      // reproduced as |corr(feature, next-bar forward return)| within
+      // each walk-forward training window. Shapes: fold boundaries are
+      // a broadcast dim; the feature stream joins it linearly (hash on
+      // symbol, rn<=train_size as join filter); one 9-corr aggregate
+      // per (symbol, fold); melt + rank run over the fold×feature
+      // aggregate only. Rank orders by the SNAPPED importance so both
+      // engines sort identical doubles.
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val feats = MlFeatures.compute(bars1m(s, d))
+        // MlFeatures drops exactly the rn<50 warmup prefix per symbol,
+        // so the original bar rn (the folds' coordinate system) is
+        // row_number over the filtered stream + 49
+        .withColumn("rn", row_number().over(w) + lit(49))
+        .withColumn("fwd", lead(col("close"), 1).over(w) / col("close") - 1)
+      val folds = bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
+        .select(col("symbol").as("f_symbol"), col("n"),
+          explode(sequence(lit(0), lit(4))).as("split_id"))
+        .withColumn("train_size", col("n") - (lit(5) - col("split_id")) * 252)
+        .filter(col("train_size") >= 252)
+        .select(col("f_symbol"), col("split_id").cast("long").as("split_id"), col("train_size"))
+      val agg = feats.join(broadcast(folds),
+          feats("symbol") === folds("f_symbol") && feats("rn") <= folds("train_size"))
+        .groupBy("symbol", "split_id")
+        .agg(corr(col(FeatureCols.head), col("fwd")).as(s"c_${FeatureCols.head}"),
+          FeatureCols.tail.map(f => corr(col(f), col("fwd")).as(s"c_$f")): _*)
+      val stackExpr = s"stack(${FeatureCols.size}, " +
+        FeatureCols.map(f => s"'$f', c_$f").mkString(", ") + ") as (feature, c)"
+      agg.select(col("symbol"), col("split_id"), expr(stackExpr))
+        .withColumn("corr_fwd", Port.r(col("c"), 6))
+        .withColumn("importance", Port.r(abs(col("c")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("symbol", "split_id")
+            .orderBy(col("importance").desc, col("feature"))).cast("long"))
+        .select("symbol", "split_id", "feature", "corr_fwd", "importance", "rk")
+        .orderBy("symbol", "split_id", "rk")
+    }),
     "q_walk_forward_folds" -> ((s, d) =>
       bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
         .select(col("symbol"), col("n"), explode(sequence(lit(0), lit(4))).as("split_id"))
@@ -121,6 +161,49 @@ object BacktestPack extends QueryPack {
         .orderBy("symbol")
     })
   )
+
+  /** The q_ml_features feature columns, in output order. */
+  private val FeatureCols = Seq("returns_1d", "returns_5d", "rsi", "bb_upper",
+    "bb_lower", "sma_fast", "sma_slow", "volume_sma_ratio", "volatility")
+
+  /** DuckDB mirror of [[MlFeatures.compute]] (final CTE: mlf) — shared by
+    * the q_ml_features and q_feature_importance oracles.
+    */
+  private val MlfCte: String =
+    s"""${QueryPack.BarsCte},
+       |f0 AS (
+       |  SELECT symbol, bucket_ms, close, volume,
+       |         row_number() OVER w AS rn,
+       |         close - lag(close) OVER w AS delta,
+       |         close / lag(close) OVER w - 1 AS returns_1d,
+       |         close / lag(close, 5) OVER w - 1 AS returns_5d
+       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |),
+       |f1 AS (
+       |  SELECT *,
+       |         avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gain,
+       |         avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS loss,
+       |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+       |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+       |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma_fast_raw,
+       |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_slow_raw,
+       |         avg(volume) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vsma20,
+       |         stddev_samp(returns_1d) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20
+       |  FROM f0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |),
+       |mlf AS (
+       |  SELECT symbol, bucket_ms, close, returns_1d, returns_5d,
+       |         CASE WHEN loss = 0 AND gain = 0 THEN NULL
+       |              WHEN loss = 0 THEN 100.0
+       |              ELSE floor((100.0 - 100.0 / (1.0 + gain / loss)) * 1e4 + 0.5) / 1e4 END AS rsi,
+       |         floor((sma20 + sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_upper,
+       |         floor((sma20 - sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_lower,
+       |         floor(sma_fast_raw * 1e6 + 0.5) / 1e6 AS sma_fast,
+       |         floor(sma_slow_raw * 1e6 + 0.5) / 1e6 AS sma_slow,
+       |         floor(volume / vsma20 * 1e6 + 0.5) / 1e6 AS volume_sma_ratio,
+       |         floor(vol20 * 1e8 + 0.5) / 1e8 AS volatility
+       |  FROM f1 WHERE rn >= 50
+       |)""".stripMargin
 
   private def sigOracle(signalCase: String, extraWin: String = ""): String =
     s"""WITH ${QueryPack.BarsCte},
@@ -193,38 +276,56 @@ object BacktestPack extends QueryPack {
          |         ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
          |FROM port ORDER BY bucket_ms""".stripMargin,
     "q_ml_features" ->
-      s"""WITH ${QueryPack.BarsCte},
-         |f0 AS (
-         |  SELECT symbol, bucket_ms, close, volume,
-         |         row_number() OVER w AS rn,
-         |         close - lag(close) OVER w AS delta,
-         |         close / lag(close) OVER w - 1 AS returns_1d,
-         |         close / lag(close, 5) OVER w - 1 AS returns_5d
-         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+      s"""WITH $MlfCte
+         |SELECT * FROM mlf ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_feature_importance" -> {
+      val corrList = FeatureCols
+        .map(f => s"corr($f, fwd) AS c_$f").mkString(",\n         |         ")
+      val caseList = FeatureCols
+        .map(f => s"WHEN '$f' THEN c_$f").mkString("\n         |           ")
+      val valuesList = FeatureCols.map(f => s"('$f')").mkString(", ")
+      s"""WITH $MlfCte,
+         |feats AS (
+         |  SELECT symbol,
+         |         row_number() OVER w + 49 AS rn,
+         |         lead(close) OVER w / close - 1 AS fwd,
+         |         ${FeatureCols.mkString(", ")}
+         |  FROM mlf WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
          |),
-         |f1 AS (
-         |  SELECT *,
-         |         avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gain,
-         |         avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS loss,
-         |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
-         |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
-         |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma_fast_raw,
-         |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_slow_raw,
-         |         avg(volume) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vsma20,
-         |         stddev_samp(returns_1d) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20
-         |  FROM f0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |counts AS (SELECT symbol, count(*) AS n FROM bars GROUP BY symbol),
+         |folds AS (SELECT symbol, n, unnest(generate_series(0, 4)) AS split_id FROM counts),
+         |fz AS (
+         |  SELECT symbol, CAST(split_id AS BIGINT) AS split_id,
+         |         n - (5 - split_id) * 252 AS train_size
+         |  FROM folds WHERE n - (5 - split_id) * 252 >= 252
+         |),
+         |tr AS (
+         |  SELECT f.*, z.split_id
+         |  FROM feats f JOIN fz z ON f.symbol = z.symbol AND f.rn <= z.train_size
+         |),
+         |agg AS (
+         |  SELECT symbol, split_id,
+         |         $corrList
+         |  FROM tr GROUP BY symbol, split_id
+         |),
+         |melt AS (
+         |  SELECT symbol, split_id, fv.feature,
+         |         CASE fv.feature
+         |           $caseList
+         |         END AS c
+         |  FROM agg CROSS JOIN (VALUES $valuesList) fv(feature)
+         |),
+         |sn AS (
+         |  SELECT symbol, split_id, feature,
+         |         floor(c * 1e6 + 0.5) / 1e6 AS corr_fwd,
+         |         floor(abs(c) * 1e6 + 0.5) / 1e6 AS importance
+         |  FROM melt
          |)
-         |SELECT symbol, bucket_ms, close, returns_1d, returns_5d,
-         |       CASE WHEN loss = 0 AND gain = 0 THEN NULL
-         |            WHEN loss = 0 THEN 100.0
-         |            ELSE floor((100.0 - 100.0 / (1.0 + gain / loss)) * 1e4 + 0.5) / 1e4 END AS rsi,
-         |       floor((sma20 + sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_upper,
-         |       floor((sma20 - sd20 * 2) * 1e6 + 0.5) / 1e6 AS bb_lower,
-         |       floor(sma_fast_raw * 1e6 + 0.5) / 1e6 AS sma_fast,
-         |       floor(sma_slow_raw * 1e6 + 0.5) / 1e6 AS sma_slow,
-         |       floor(volume / vsma20 * 1e6 + 0.5) / 1e6 AS volume_sma_ratio,
-         |       floor(vol20 * 1e8 + 0.5) / 1e8 AS volatility
-         |FROM f1 WHERE rn >= 50 ORDER BY symbol, bucket_ms""".stripMargin,
+         |SELECT symbol, split_id, feature, corr_fwd, importance,
+         |       CAST(row_number() OVER (PARTITION BY symbol, split_id
+         |              ORDER BY importance DESC, feature) AS BIGINT) AS rk
+         |FROM sn ORDER BY symbol, split_id, rk""".stripMargin
+    },
     "q_walk_forward_folds" ->
       s"""WITH ${QueryPack.BarsCte},
          |counts AS (SELECT symbol, count(*) AS n FROM bars GROUP BY symbol),
