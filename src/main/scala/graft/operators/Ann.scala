@@ -151,9 +151,21 @@ object Ann {
   def defaultCells(n: Long): Int =
     math.max(1, math.round(math.sqrt(n.toDouble))).toInt
 
-  /** IVF top-k with cells scaled ~sqrt(corpus size). */
-  def ivfTopKAuto(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame =
-    ivfTopK(emb, nQueries, k, defaultCells(emb.count()), nprobe)
+  /** IVF top-k with cells scaled ~sqrt(corpus size). `corpusSizeHint`
+    * sizes the cell count without touching the data — at deploy scale the
+    * vector count is a catalog/ingest statistic, and cell sizing only
+    * needs the order of magnitude (cells ≈ sqrt(n), so even a 4× stale
+    * hint moves cells by 2×). Falls back to plan statistics when the
+    * plan carries a row count, and only as a last resort runs the count
+    * job the earlier rounds always paid.
+    */
+  def ivfTopKAuto(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int,
+                  corpusSizeHint: Option[Long] = None): DataFrame = {
+    val n = corpusSizeHint
+      .orElse(emb.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse(emb.count())
+    ivfTopK(emb, nQueries, k, defaultCells(n), nprobe)
+  }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, exact cosine
     * inside them. `emb` needs (vec_id, e, nrm); queries are the rows with

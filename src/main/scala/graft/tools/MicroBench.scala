@@ -91,10 +91,16 @@ object MicroBench {
       hot.count()
       for (r <- 1 to 2) {
         time(s"hot_ma_cross_plain_r$r")(
-          Signals.maCross(hot).queryExecution.toRdd.count())
+          Signals.maCrossPlain(hot).queryExecution.toRdd.count())
         time(s"hot_ma_cross_chunked_r$r")(
           Signals.maCrossChunked(hot).queryExecution.toRdd.count())
+        // the adaptive default with the depth hint a deploy-time feed
+        // would carry — must track the winner at this n
+        time(s"hot_ma_cross_auto_r$r")(
+          Signals.maCross(hot, rowsPerSymbolHint = Some(n)).queryExecution.toRdd.count())
       }
+      println(s"[micro] auto picked chunked=${Signals.useChunked(hot, Some(n))} " +
+        s"at n=$n (threshold ${Signals.ChunkSwitchRows})")
       spark.stop(); return
     }
 
@@ -111,9 +117,9 @@ object MicroBench {
       val bars = Bars.ohlcvCached(spark, d, 60)
       bars.count()
       for (r <- 1 to 3) {
-        time(s"ma_cross_plain_r$r")(Signals.maCross(bars).queryExecution.toRdd.count())
+        time(s"ma_cross_plain_r$r")(Signals.maCrossPlain(bars).queryExecution.toRdd.count())
         time(s"ma_cross_chunked_r$r")(Signals.maCrossChunked(bars).queryExecution.toRdd.count())
-        time(s"mean_rev_plain_r$r")(Signals.meanReversion(bars).queryExecution.toRdd.count())
+        time(s"mean_rev_plain_r$r")(Signals.meanReversionPlain(bars).queryExecution.toRdd.count())
         time(s"mean_rev_chunked_r$r")(Signals.meanReversionChunked(bars).queryExecution.toRdd.count())
       }
       spark.stop(); return

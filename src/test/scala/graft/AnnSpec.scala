@@ -73,6 +73,14 @@ class AnnSpec extends AnyFunSuite {
       s"recall curve should be nondecreasing in nprobe: $recalls")
     assert(recalls(2) >= 0.9, s"recall@5 with nprobe=4: ${recalls(2)}")
     assert(recalls(1) >= 0.8, s"recall@5 with nprobe=2: ${recalls(1)}")
+    // the deploy-scale path: a catalog-stat size hint must produce the
+    // same plan as the counted corpus (no scan-before-plan count job)
+    val hinted = Ann.ivfTopKAuto(emb, nQueries = 10, k = 5, nprobe = 2,
+      corpusSizeHint = Some(n.toLong))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val counted = Ann.ivfTopK(emb, nQueries = 10, k = 5, cells = Ann.defaultCells(n), nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted == counted)
   }
 
   test("IVF on the isotropic test corpus: shape, planted near-dups retrieved, cosines exact") {

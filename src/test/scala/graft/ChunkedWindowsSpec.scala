@@ -23,9 +23,25 @@ class ChunkedWindowsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
 
   test("chunked signals match the plain single-window signals row-for-row") {
-    assert(sigKey(Signals.maCrossChunked(bars)) == sigKey(Signals.maCross(bars)))
-    assert(sigKey(Signals.meanReversionChunked(bars)) == sigKey(Signals.meanReversion(bars)))
-    assert(sigKey(Signals.momentumChunked(bars)) == sigKey(Signals.momentum(bars)))
+    assert(sigKey(Signals.maCrossChunked(bars)) == sigKey(Signals.maCrossPlain(bars)))
+    assert(sigKey(Signals.meanReversionChunked(bars)) == sigKey(Signals.meanReversionPlain(bars)))
+    assert(sigKey(Signals.momentumChunked(bars)) == sigKey(Signals.momentumPlain(bars)))
+  }
+
+  test("adaptive default routes by per-symbol depth and keeps identical signals") {
+    // no hint + no plan stats → flat form (unknown depth must not pay
+    // the chunked constants); deep hint → chunked form
+    assert(!Signals.useChunked(bars))
+    assert(Signals.useChunked(bars, Some(Signals.ChunkSwitchRows)))
+    assert(!Signals.useChunked(bars, Some(Signals.ChunkSwitchRows - 1)))
+    // routed output is the same signal set on BOTH sides of the switch
+    assert(sigKey(Signals.maCross(bars)) == sigKey(Signals.maCrossPlain(bars)))
+    assert(sigKey(Signals.maCross(bars, rowsPerSymbolHint = Some(Long.MaxValue))) ==
+      sigKey(Signals.maCrossPlain(bars)))
+    assert(sigKey(Signals.meanReversion(bars, rowsPerSymbolHint = Some(Long.MaxValue))) ==
+      sigKey(Signals.meanReversionPlain(bars)))
+    assert(sigKey(Signals.momentum(bars, rowsPerSymbolHint = Some(Long.MaxValue))) ==
+      sigKey(Signals.momentumPlain(bars)))
   }
 
   test("no row-scale window partitions by symbol alone") {

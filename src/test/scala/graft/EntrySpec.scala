@@ -15,9 +15,10 @@ class EntrySpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
-    // walk-forward folds need >= 504 bars/symbol (reference skips folds on
-    // short data) — sf0.001 has ~195, so empty there is the correct answer.
-    val mayBeEmptyAtTinyScale = Set("q_walk_forward_folds")
+    // walk-forward folds (and the per-fold feature importance built on
+    // them) need >= 504 bars/symbol (reference skips folds on short
+    // data) — sf0.001 has ~195, so empty there is the correct answer.
+    val mayBeEmptyAtTinyScale = Set("q_walk_forward_folds", "q_feature_importance")
     qs.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.Sf).count()
       if (!mayBeEmptyAtTinyScale(name))
