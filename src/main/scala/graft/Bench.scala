@@ -14,6 +14,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // null-on-div-by-zero (DuckDB-matching) semantics — see GraftSession
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
@@ -33,12 +35,20 @@ object Bench {
       }
     // Fixed (sorted) query order: Scala Map iteration order is arbitrary,
     // which made per-round timings incomparable.
+    // A query that throws must be VISIBLE, not a plausible-looking
+    // time-to-exception row: rounds 1-5 benched the whole Backtester
+    // family at sf0.1 as silent ANSI div-by-zero failures.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd materializes every output row — count() would let Catalyst
         // prune projection-only work and understate the timings
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     // Two passes: the BASELINE.md DuckDB methodology times a warm second
@@ -53,8 +63,9 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     // queries_cold makes cold-pass anomalies diagnosable per query
     // (r02's 217.5s cold total had no per-query breakdown to pin it).
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"cpus":"$cpus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"failed":$failedJson,"cpus":"$cpus","sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout: the full line
     // above is ~5 KB, so in rounds 1-3 the headline ("metric","value", the
     // whole warm map) was truncated away and only the cold map survived.
@@ -84,7 +95,7 @@ object Bench {
     // detailPath comes from the environment — escape it so a quote or
     // backslash in the directory can't break the strict last-line parser
     val detailJson = detailPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"cpus":"$cpus","sf":"$sfDir","detail":"$detailJson"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"failed_n":${failed.size},"cpus":"$cpus","sf":"$sfDir","detail":"$detailJson"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,15 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // IEEE/null-propagating arithmetic, NOT errors: Spark 4 defaults
+      // ANSI on, under which x/0.0 throws — but a 100 TB feed WILL
+      // contain a zero price somewhere, and the engine must degrade that
+      // row (returns -> null -> 0), not kill the job. DuckDB returns
+      // NULL for double division by zero, so this is also the oracle's
+      // semantics. (Found via sf0.1: 6 zero-value events make every
+      // Backtester query throw under ANSI — masked by Bench's
+      // catch-all until round 6.)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS): surface it as a ns-epoch
       // long (exact) instead of failing the scan.

@@ -41,8 +41,16 @@ object Backtester {
       // Equity stays in log domain: synthetic bar returns compound past
       // 1e13, where absolute rounding can't be engine-portable. net is
       // clamped at -0.9999 (equity floors near 0 instead of going
-      // negative when a crash bar plus costs exceeds -100%).
+      // negative when a crash bar plus costs exceeds -100%). Each ln
+      // term is quantized to the 1e-8 grid BEFORE the running sum, so
+      // the cumulation is EXACT integer arithmetic (decimal(38,0) here,
+      // HUGEINT in the oracle) — summation order can't move the value.
+      // The post-sum snap alternative failed at sf0.1: after a crash
+      // bar's ln(1e-4) term the running sum sits near -1e3, where float
+      // reassociation noise (~n·ulp) spans the 1e-8 snap step and the
+      // two engines floored to different sides.
       .withColumn("log_equity",
-        Port.r(sum(log(lit(1.0) + greatest(col("net_returns"), lit(-0.9999)))).over(cum), 8))
+        sum(floor(log(lit(1.0) + greatest(col("net_returns"), lit(-0.9999))) * 1e8 + lit(0.5))
+          .cast("decimal(38,0)")).over(cum).cast("double") / 1e8)
   }
 }

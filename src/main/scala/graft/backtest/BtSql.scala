@@ -42,9 +42,9 @@ object BtSql {
       |),
       |bt AS (
       |  SELECT *,
-      |         floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) OVER (
+      |         CAST(sum(CAST(floor(ln(1.0 + greatest(net_returns, -0.9999)) * 1e8 + 0.5) AS BIGINT)) OVER (
       |           PARTITION BY symbol ORDER BY bucket_ms
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e8 AS log_equity
       |  FROM bt1
       |)""".stripMargin
 
@@ -126,9 +126,9 @@ object BtSql {
       |),
       |bt AS (
       |  SELECT *,
-      |         floor(sum(ln(1.0 + greatest(net_returns, -0.9999))) OVER (
+      |         CAST(sum(CAST(floor(ln(1.0 + greatest(net_returns, -0.9999)) * 1e8 + 0.5) AS BIGINT)) OVER (
       |           PARTITION BY strategy, symbol ORDER BY bucket_ms
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e8 AS log_equity
       |  FROM bt1
       |),
       |wp AS (

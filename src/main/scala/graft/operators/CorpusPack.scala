@@ -41,6 +41,16 @@ object CorpusPack extends QueryPack {
       .distinct()
   }
 
+  /** Session-memoized 5-gram shingle table (same pattern as
+    * TextPack.shinglesCached for the 3-gram dedup shingles).
+    */
+  private val shingle5Cache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def shingles5Cached(s: SparkSession, d: String): DataFrame =
+    shingle5Cache.getOrElseUpdate((s, d),
+      shingles5(Tables.documents(s, d)).cache())
+
   /** DuckDB mirror of [[shingles5]] (final CTE: shd5). */
   private val Shingles5Cte: String =
     """toks AS (
@@ -83,7 +93,10 @@ object CorpusPack extends QueryPack {
       // corpus — never corpus×corpus — and Spark's runtime bloom-filter
       // row filtering prunes corpus shingles that can't hit eval before
       // the shuffle.
-      val shd = shingles5(Tables.documents(s, d))
+      // cache barrier: shd5 feeds three consumers (eval side, corpus
+      // sizes, hit join) — uncached, the posexplode+window+distinct
+      // chain executes three times (measured: the whole r5 warm cost)
+      val shd = shingles5Cached(s, d)
       val ev = shd.filter(col("source") === EvalSource)
         .select(col("doc_id").as("eval_doc"), col("shingle"))
       val corp = shd.filter(col("source") =!= EvalSource).select("doc_id", "shingle")

@@ -114,6 +114,13 @@ object TextPack extends QueryPack {
           (sum(col("ws_toks")) / count(lit(1))).as("avg_tokens_per_doc"))
         .orderBy("source")),
     "q_lang_id" -> ((s, d) => {
+      // Stopword-profile language ID as ONE conditional aggregation:
+      // profile-matching tokens pivot to per-language hit counts in a
+      // single per-doc hash agg, and the argmax (hits desc, lang asc —
+      // the same order the previous window ranking used) is a greatest()
+      // + first-match when-chain. Two doc-scale shuffles total (agg +
+      // doc join) vs the old grid/left-join/window form's four; zero
+      // rows explode beyond the token scan.
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
@@ -121,18 +128,24 @@ object TextPack extends QueryPack {
         import s.implicits._
         LangProfiles.toDF("plang", "tok")
       }
-      val matched = toks.join(broadcast(profiles), "tok")
-        .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
-      val grid = docs.select("doc_id").crossJoin(broadcast(profiles.select("plang").distinct()))
-      val scores = grid.join(matched, Seq("doc_id", "plang"), "left")
-        .withColumn("hits", coalesce(col("hits"), lit(0L)))
-      val ranked = scores.withColumn("rk",
-        row_number().over(Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))))
-      ranked.filter(col("rk") === 1)
-        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+      val langs = LangProfiles.map(_._1).distinct.sorted
+      val hitsWide = toks.join(broadcast(profiles), "tok")
+        .groupBy("doc_id")
+        .agg(sum(when(col("plang") === langs.head, 1L).otherwise(0L)).as(s"h_${langs.head}"),
+          langs.tail.map(l =>
+            sum(when(col("plang") === l, 1L).otherwise(0L)).as(s"h_$l")): _*)
+      val hcols = langs.map(l => coalesce(col(s"h_$l"), lit(0L)))
+      val maxh = greatest(hcols: _*)
+      // first match in asc lang order among the maxima — the exact order
+      // the previous (hits desc, plang asc) window ranking produced
+      val pred = langs.zip(hcols).tail.foldLeft(when(hcols.head === maxh, langs.head)) {
+        case (acc, (l, h)) => acc.when(h === maxh, l)
+      }
+      docs.select("doc_id", "lang")
+        .join(hitsWide, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang").as("true_lang"),
-          col("plang").as("pred_lang"), col("hits"),
-          (col("lang") === col("plang")).cast("int").as("correct"))
+          pred.as("pred_lang"), maxh.as("hits"),
+          (col("lang") === pred).cast("int").as("correct"))
         .orderBy("doc_id")
     }),
     "q_quality_score" -> ((s, d) =>

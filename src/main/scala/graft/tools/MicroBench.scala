@@ -38,6 +38,17 @@ object MicroBench {
     val docs = Tables.documents(spark, d)
     docs.count() // warm
 
+    if (sys.env.contains("MICRO_Q")) {
+      // isolate arbitrary registered queries from bench neighborhood
+      // effects: MICRO_Q=q_lang_id,q_decontaminate [MICRO_Q_ROUNDS=3]
+      val names = sys.env("MICRO_Q").split(",").map(_.trim).filter(_.nonEmpty)
+      val rounds = sys.env.getOrElse("MICRO_Q_ROUNDS", "3").toInt
+      for (r <- 1 to rounds; nm <- names)
+        time(s"${nm}_r$r")(
+          graft.SparkEntry.queries(nm)(spark, d).queryExecution.toRdd.count())
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_HOT_KEY")) {
       // hot-key posture check: ONE symbol's entire order flow (1M mixed
       // lifecycle events) through the SortedScan streaming scan — the
