@@ -17,7 +17,7 @@ object BacktestPack extends QueryPack {
     Bars.ohlcvCached(s, d, 60)
 
   private def btMaCross(s: SparkSession, d: String): DataFrame =
-    Backtester.run(Signals.maCross(bars1m(s, d)))
+    Backtester.maCrossCached(s, d)
 
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,30 +75,34 @@ object BacktestPack extends QueryPack {
       // bucket stream cumulates INSIDE day chunks (partitioned window),
       // and only the per-chunk totals — one row per day — flow through
       // an unpartitioned window before being broadcast back. No
-      // row-scale data ever crosses a single-partition window; the
-      // sum order differs from a flat scan only in association, which
-      // the 1e-8 snap absorbs (error ~ n·ulp ≪ snap).
+      // row-scale data ever crosses a single-partition window. Each ln
+      // term is quantized to the 1e-8 grid first, so intra sums and
+      // chunk offsets are exact longs — the two-level association is
+      // then EQUAL to the oracle's flat scan, not merely within snap.
       val bt = Backtester.run(Signals.maCross(Bars.ohlcvCached(s, d, 3600)))
       // cache barrier: port feeds both the offsets aggregate and the
       // final join — uncached, the whole backtest chain runs twice
       val port = bt.groupBy("bucket_ms")
         .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
-        .withColumn("term", log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))))
+        .withColumn("term",
+          floor(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))) * 1e8 + lit(0.5))
+            .cast("long"))
         .withColumn("chunk", expr("bucket_ms div 86400000"))
         .cache()
       val intra = Window.partitionBy("chunk").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
       val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))
         .withColumn("offset", coalesce(sum(col("chunk_sum")).over(
-          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select("chunk", "offset")
       port.join(broadcast(offsets), "chunk")
-        .withColumn("log_equity", Port.r(col("offset") + sum(col("term")).over(intra), 8))
+        .withColumn("log_equity",
+          (col("offset") + sum(col("term")).over(intra)).cast("double") / 1e8)
         .select("bucket_ms", "port_net", "log_equity")
         .orderBy("bucket_ms")
     }),
     "q_ml_features" -> ((s, d) =>
-      MlFeatures.compute(bars1m(s, d)).orderBy("symbol", "bucket_ms")),
+      MlFeatures.cached(s, d).orderBy("symbol", "bucket_ms")),
     "q_feature_importance" -> ((s, d) => {
       // ml_strategy.py:372 get_feature_importance analog. Model FITTING
       // is out of scope (external-library call, SURVEY §2), but the
@@ -111,7 +115,7 @@ object BacktestPack extends QueryPack {
       // aggregate only. Rank orders by the SNAPPED importance so both
       // engines sort identical doubles.
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-      val feats = MlFeatures.compute(bars1m(s, d))
+      val feats = MlFeatures.cached(s, d)
         // MlFeatures drops exactly the rn<50 warmup prefix per symbol,
         // so the original bar rn (the folds' coordinate system) is
         // row_number over the filtered stream + 49
@@ -183,11 +187,11 @@ object BacktestPack extends QueryPack {
        |  SELECT *,
        |         avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gain,
        |         avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS loss,
-       |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+       |         CAST(sum(CAST(floor(close * 1e6 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / (20 * 1e6) AS sma20,
        |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
-       |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma_fast_raw,
-       |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_slow_raw,
-       |         avg(volume) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vsma20,
+       |         CAST(sum(CAST(floor(close * 1e6 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) / (10 * 1e6) AS sma_fast_raw,
+       |         CAST(sum(CAST(floor(close * 1e6 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS DOUBLE) / (50 * 1e6) AS sma_slow_raw,
+       |         CAST(sum(CAST(floor(volume * 1e6 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / (20 * 1e6) AS vsma20,
        |         stddev_samp(returns_1d) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol20
        |  FROM f0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
        |),
@@ -272,8 +276,8 @@ object BacktestPack extends QueryPack {
          |  FROM bt GROUP BY bucket_ms
          |)
          |SELECT bucket_ms, port_net,
-         |       floor(sum(ln(1.0 + greatest(port_net, -0.9999))) OVER (
-         |         ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e8 + 0.5) / 1e8 AS log_equity
+         |       CAST(sum(CAST(floor(ln(1.0 + greatest(port_net, -0.9999)) * 1e8 + 0.5) AS BIGINT)) OVER (
+         |         ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e8 AS log_equity
          |FROM port ORDER BY bucket_ms""".stripMargin,
     "q_ml_features" ->
       s"""WITH $MlfCte

@@ -19,6 +19,19 @@ object Backtester {
   val DefaultCostRate: Double = 0.001 + 0.0005 // commission + slippage
   val InitialCash: Double = 1000000.0
 
+  /** Session-memoized ma-cross(10/50) backtest frame over 1-min bars —
+    * the most shared subplan in the library (metrics, streaks, drawdown,
+    * kelly, limit alerts, risk snapshot/log all consume it). Same
+    * pattern as Bars.ohlcvCached / TextPack.shinglesCached: one build
+    * per session, every consumer reads the cache.
+    */
+  private val maCrossCache =
+    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](_.unpersist())
+
+  def maCrossCached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    maCrossCache.getOrElseUpdate((s, d),
+      run(Signals.maCross(graft.operators.Bars.ohlcvCached(s, d, 60))).cache())
+
   /** Input: bars with `signal`; output adds position/returns/costs/
     * net_returns/log_equity. `returns`/`net_returns` are pure IEEE
     * arithmetic (hash-exact); `log_equity` = Σ ln(1+net) is the

@@ -17,19 +17,47 @@ import org.apache.spark.sql.functions._
   */
 object MlFeatures {
 
+  /** Session-memoized feature frame over 1-min bars — shared by
+    * q_ml_features and q_feature_importance (the seven sliding frames
+    * are the expensive part; build once per session).
+    */
+  private val cache =
+    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](_.unpersist())
+
+  def cached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate((s, d),
+      compute(graft.operators.Bars.ohlcvCached(s, d, 60)).cache())
+
   def compute(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     def frame(k: Int) = w.rowsBetween(-(k - 1), 0)
+    // The four sliding price/volume AVERAGES are prefix-sum differences
+    // (every frame O(1) per row, one shared sort — the signals' round-3
+    // rewrite; Spark re-aggregates a rowsBetween frame from scratch per
+    // row) over 1e-6-QUANTIZED values summed as exact integers
+    // (decimal(38,0) here, BIGINT frames in the oracle): the diff then
+    // EQUALS the oracle's direct frame sum bit-for-bit at any scale.
+    // Plain float prefix diffs were tried first and flipped one snapped
+    // row per scale (rsi at sf0.1, bb_upper at sf0.01) — ~1e-9 drift is
+    // real against a 1e-6 grid over 60k+ rows. gain/loss stay direct
+    // 14-row float frames (their ratio feeds rsi's snap; frames are
+    // narrow so the O(k) cost is small), as do the two stddevs (central
+    // moments don't survive quantization or prefix cancellation).
+    val dec = "decimal(38,0)"
+    def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)).cast(dec)
+    def slidingQ(c: org.apache.spark.sql.Column, k: Int) =
+      (c - coalesce(lag(c, k).over(w), lit(0).cast(dec))).cast("double") / (k * 1e6)
     val delta = col("close") - lag(col("close"), 1).over(w)
     val gain = avg(when(delta > 0, delta).otherwise(0.0)).over(frame(14))
     val loss = avg(when(delta < 0, -delta).otherwise(0.0)).over(frame(14))
-    val sma20 = avg(col("close")).over(frame(20))
+    val sma20 = slidingQ(col("_cc"), 20)
     val sd20 = stddev_samp(col("close")).over(frame(20))
-    val ret1 = col("close") / lag(col("close"), 1).over(w) - 1
-    val volSd20 = stddev_samp(ret1).over(frame(20))
 
     Signals.withRn(bars)
-      .withColumn("returns_1d", ret1)
+      .withColumn("_cc", sum(q6(col("close"))).over(cum))
+      .withColumn("_cv", sum(q6(col("volume"))).over(cum))
+      .withColumn("returns_1d", col("close") / lag(col("close"), 1).over(w) - 1)
       .withColumn("returns_5d", col("close") / lag(col("close"), 5).over(w) - 1)
       .withColumn("rsi",
         when(loss === 0 && gain === 0, lit(null))
@@ -37,11 +65,11 @@ object MlFeatures {
           .otherwise(Port.r(lit(100.0) - lit(100.0) / (lit(1.0) + gain / loss), 4)))
       .withColumn("bb_upper", Port.r(sma20 + sd20 * 2, 6))
       .withColumn("bb_lower", Port.r(sma20 - sd20 * 2, 6))
-      .withColumn("sma_fast", Port.r(avg(col("close")).over(frame(10)), 6))
-      .withColumn("sma_slow", Port.r(avg(col("close")).over(frame(50)), 6))
+      .withColumn("sma_fast", Port.r(slidingQ(col("_cc"), 10), 6))
+      .withColumn("sma_slow", Port.r(slidingQ(col("_cc"), 50), 6))
       .withColumn("volume_sma_ratio",
-        Port.r(col("volume") / avg(col("volume")).over(frame(20)), 6))
-      .withColumn("volatility", Port.r(volSd20, 8))
+        Port.r(col("volume") / slidingQ(col("_cv"), 20), 6))
+      .withColumn("volatility", Port.r(stddev_samp(col("returns_1d")).over(frame(20)), 8))
       .filter(col("rn") >= 50)
       .select(col("symbol"), col("bucket_ms"), col("close"),
         col("returns_1d"), col("returns_5d"), col("rsi"), col("bb_upper"),

@@ -14,7 +14,7 @@ object RiskPack extends QueryPack {
     Bars.ohlcvCached(s, d, 60)
 
   private def btMaCross(s: SparkSession, d: String): DataFrame =
-    Backtester.run(Signals.maCross(bars1m(s, d)))
+    Backtester.maCrossCached(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_var_cvar" -> ((s, d) => Risk.varCvar(bars1m(s, d)).orderBy("symbol")),
