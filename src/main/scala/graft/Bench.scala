@@ -54,8 +54,15 @@ object Bench {
     // Two passes: the BASELINE.md DuckDB methodology times a warm second
     // pass, so the comparable headline is the warm pass — cold carries
     // ~0.3-0.5s/query of one-time plan+codegen compile that the in-process
-    // baseline never pays. Both are reported.
+    // baseline never pays. Both are reported. Between passes, force a GC
+    // and let Spark's ContextCleaner drain OFF-measurement: cleanup of a
+    // pass's accumulated shuffle/broadcast state only triggers on driver
+    // GC, and without this it lands on whichever queries run first in
+    // the next pass (measured: the leading TPC-H block ran 2-4x its
+    // isolated time in the warm pass, slower than its own cold rows).
+    def drainCleanup(): Unit = { System.gc(); Thread.sleep(3000) }
     val cold = pass()
+    drainCleanup()
     val warm = pass()
     def j(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -85,19 +85,17 @@ object ExtrasPack extends QueryPack {
       Signals.withRn(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"), lit(1).as("signal"))
         .orderBy("symbol", "bucket_ms")),
-    "q_signal_ensemble" -> ((s, d) => {
-      val base = bars1m(s, d)
-      val parts = Seq(
-        Signals.maCross(base).select(col("symbol"), col("bucket_ms"), col("signal").as("s1")),
-        Signals.meanReversion(base).select(col("symbol"), col("bucket_ms"), col("signal").as("s2")),
-        Signals.momentum(base).select(col("symbol"), col("bucket_ms"), col("signal").as("s3")))
-      parts.reduce(_.join(_, Seq("symbol", "bucket_ms")))
+    "q_signal_ensemble" -> ((s, d) =>
+      // one fused window pass for all three member signals — the old
+      // three-pipeline + two-join form re-sorted the same bars thrice
+      Signals.allThreePlain(bars1m(s, d))
+        .select(col("symbol"), col("bucket_ms"),
+          col("s_ma").as("s1"), col("s_mr").as("s2"), col("s_mo").as("s3"))
         .withColumn("vote", col("s1") + col("s2") + col("s3"))
         .withColumn("signal",
           when(col("vote") >= 2, 1).when(col("vote") <= -2, -1).otherwise(0))
         .select("symbol", "bucket_ms", "s1", "s2", "s3", "signal")
-        .orderBy("symbol", "bucket_ms")
-    }),
+        .orderBy("symbol", "bucket_ms")),
     "q_ema_macd" -> ((s, d) =>
       emaCols(bars1m(s, d), Seq(12, 26))
         .withColumn("macd", Port.r(col("ema12") - col("ema26"), 6))
@@ -109,12 +107,10 @@ object ExtrasPack extends QueryPack {
       // the flagship backtesting workflow: every strategy × every metric
       // in one distributed pass (BacktestEngine.run over each strategy in
       // the reference, here a stacked union keyed by (strategy, symbol))
-      val base = bars1m(s, d)
-      val stacked =
-        Signals.maCross(base).withColumn("strategy", lit("ma_cross"))
-          .unionByName(Signals.meanReversion(base).withColumn("strategy", lit("mean_reversion")))
-          .unionByName(Signals.momentum(base).withColumn("strategy", lit("momentum")))
-          .select("strategy", "symbol", "bucket_ms", "close", "signal")
+      val stacked = Signals.allThreePlain(bars1m(s, d))
+        .select(col("symbol"), col("bucket_ms"), col("close"),
+          expr("stack(3, 'ma_cross', s_ma, 'mean_reversion', s_mr, 'momentum', s_mo) as (strategy, signal)"))
+        .select("strategy", "symbol", "bucket_ms", "close", "signal")
       val keys = Seq("strategy", "symbol")
       Metrics.compute(Backtester.run(stacked, keys = keys), keys = keys)
         .orderBy("strategy", "symbol")

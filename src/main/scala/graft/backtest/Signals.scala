@@ -141,6 +141,35 @@ object Signals {
           .otherwise(0))
   }
 
+  /** All three production signals (default parameters) from ONE
+    * per-symbol window pass — columns `s_ma`, `s_mr`, `s_mo` alongside
+    * the bars. The ensemble and strategy-comparison queries previously
+    * ran three separate signal pipelines (three sorts of the same bars,
+    * then joins/unions); every rolling input here shares the single
+    * (symbol, bucket_ms) sort. At chunked-signal depth (≥10M rows per
+    * symbol) callers fall back to the individual chunked forms — the
+    * fusion is a stage-constant win, the chunking a scale necessity.
+    */
+  def allThreePlain(bars: DataFrame): DataFrame = {
+    val fastMa = slidingSum(col("_ps1"), 10) / 10
+    val slowMa = slidingSum(col("_ps1"), 50) / 50
+    val s1 = slidingSum(col("_ps1"), 20)
+    val s2 = slidingSum(col("_ps2"), 20)
+    val mu = s1 / 20
+    val sd = sqrt((s2 - s1 * s1 / 20) / 19)
+    val z = (col("close") - mu) / sd
+    val mom = col("close") / lag(col("close"), 20).over(w) - 1
+    withRn(bars)
+      .withColumn("_ps1", sum(col("close")).over(cum))
+      .withColumn("_ps2", sum(col("close") * col("close")).over(cum))
+      .withColumn("s_ma", when(col("rn") >= 50 && fastMa > slowMa, 1).otherwise(0))
+      .withColumn("s_mr",
+        when(col("rn") < 20, 0).when(z < -2.0, 1).when(z > 2.0, -1).otherwise(0))
+      .withColumn("s_mo",
+        when(col("rn") <= 20, 0).when(mom > 0.02, 1).when(mom < -0.02, -1).otherwise(0))
+      .drop("_ps1", "_ps2")
+  }
+
   // ---- two-level (chunked) variants: identical semantics, but no task
   // ever sorts a full symbol history (graft.operators.ChunkedWindows) —
   // the scale form for histories that exceed one task's sort budget.
