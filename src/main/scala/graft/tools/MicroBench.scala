@@ -49,6 +49,15 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_EXPLAIN")) {
+      // formatted physical plans: MICRO_EXPLAIN=q_a,q_b
+      for (nm <- sys.env("MICRO_EXPLAIN").split(",").map(_.trim).filter(_.nonEmpty)) {
+        println(s"=== $nm ===")
+        graft.SparkEntry.queries(nm)(spark, d).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_HOT_KEY")) {
       // hot-key posture check: ONE symbol's entire order flow (1M mixed
       // lifecycle events) through the SortedScan streaming scan — the
