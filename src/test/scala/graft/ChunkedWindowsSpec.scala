@@ -69,6 +69,51 @@ class ChunkedWindowsSpec extends AnyFunSuite {
     check(graft.etl.Cleaner.gapRuns(bars))
   }
 
+  test("property: chunked rn/prefix/lag equal plain windows on random streams and chunkings") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // integer-valued closes make every prefix sum exactly representable,
+    // so ALL comparisons are exact equality — no tolerance to hide a
+    // boundary bug. Tiny time chunks (1/3/7 ms over a 0..40 clock) force
+    // empty and single-row chunks; c down to the maxLag minimum forces
+    // ghost rows to dominate whole row-chunks.
+    val genRows = for {
+      nSyms <- Gen.choose(1, 3)
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nSyms - 1)
+        t <- Gen.choose(0L, 40L)
+        v <- Gen.choose(1, 999)
+      } yield (s"S$s", t, v.toDouble))
+    } yield rows.distinctBy(r => (r._1, r._2))
+    val prop = Prop.forAll(genRows, Gen.oneOf(1L, 3L, 7L, 1000L), Gen.oneOf(7, 8, 64)) {
+      (rows, chunkMs, c) =>
+        rows.isEmpty || {
+          val df = rows.toDF("symbol", "bucket_ms", "close")
+          val b = ChunkedWindows.withRnAndPrefixSums(df, Seq(("ps", col("close"))), chunkMs = chunkMs)
+          val t = ChunkedWindows.withBoundedLags(b, Seq(("ps", 7, "lp"), ("close", 3, "lc")), c = c)
+          val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+          val plain = df
+            .withColumn("rn_p", row_number().over(w))
+            .withColumn("ps_p", sum(col("close")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("lp_p", lag(col("ps_p"), 7).over(w))
+            .withColumn("lc_p", lag(col("close"), 3).over(w))
+          val j = t.join(plain, Seq("symbol", "bucket_ms")).collect()
+          j.length == rows.length && j.forall { r =>
+            def optD(n: String) =
+              if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Double](n))
+            r.getAs[Int]("rn") == r.getAs[Int]("rn_p") &&
+              r.getAs[Double]("ps") == r.getAs[Double]("ps_p") &&
+              optD("lp") == optD("lp_p") && optD("lc") == optD("lc_p")
+          }
+        }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tiny chunks: rn, prefix sums and lags stitch across many boundaries") {
     // hour chunks + 64-row chunks force the boundary machinery to fire
     // hundreds of times on the test stream
