@@ -15,7 +15,10 @@ object ExplainAudit {
     // round-2 surfaces
     "q_order_lifecycle", "q_fill_missing_interp", "q_max_sharpe",
     "q_derivatives_portfolio", "q_ann_ivf_topk", "q_dedup_embedding",
-    "q_portfolio_multi_asset", "q_risk_parity_opt")
+    "q_portfolio_multi_asset", "q_risk_parity_opt",
+    // round-5/6 surfaces
+    "q_decontaminate", "q_corpus_mix", "q_rolling_corr", "q_market_beta",
+    "q_feature_importance", "q_strategy_comparison", "q_lang_id")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
