@@ -35,6 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with the whole bench's memoized caches needs headroom —
   // 8g showed broad ~25% GC inflation across warm queries on the
-  // 128 GiB bench machine
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 128 GiB bench machine, and at 32g individual GC-sensitive rows
+  // (the driver-iterated cluster loop, the stacked backtest) still
+  // swung 2-3x between runs; 48g measured warm 53.6s with the
+  // volatile rows stable (32g: 55.5-59.4s run-to-run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
