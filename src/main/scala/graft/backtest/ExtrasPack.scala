@@ -106,13 +106,47 @@ object ExtrasPack extends QueryPack {
     "q_strategy_comparison" -> ((s, d) => {
       // the flagship backtesting workflow: every strategy × every metric
       // in one distributed pass (BacktestEngine.run over each strategy in
-      // the reference, here a stacked union keyed by (strategy, symbol))
-      val stacked = Signals.allThreePlain(bars1m(s, d))
-        .select(col("symbol"), col("bucket_ms"), col("close"),
-          expr("stack(3, 'ma_cross', s_ma, 'mean_reversion', s_mr, 'momentum', s_mo) as (strategy, signal)"))
-        .select("strategy", "symbol", "bucket_ms", "close", "signal")
-      val keys = Seq("strategy", "symbol")
-      Metrics.compute(Backtester.run(stacked, keys = keys), keys = keys)
+      // the reference). Fully WIDE: the three strategies ride the single
+      // per-symbol sort as column families (bar returns computed once,
+      // not once per strategy), all 3×13 metrics aggregate in ONE hash
+      // agg over the bar-scale frame, and the (strategy, metrics) rows
+      // come from a stack() over the symbol-level aggregate — vs the
+      // stacked-union form's 3× rows through two sorts and a shuffle.
+      // Formulas are token-identical to Backtester.run/Metrics.aggExprs,
+      // so the stacked-form oracle (BtSql) pins the values unchanged.
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
+      val withRet = Signals.allThreePlain(bars1m(s, d))
+        .withColumn("returns",
+          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
+      val withBt = sfx.foldLeft(withRet) { case (df, (x, sc)) =>
+        val pos = col(sc).cast("double")
+        val prev = coalesce(lag(pos, 1).over(w), lit(0.0))
+        df.withColumn(s"position_$x", pos)
+          .withColumn(s"prev_pos_$x", lag(pos, 1).over(w))
+          .withColumn(s"net_$x",
+            prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate)
+      }
+      val withEq = sfx.foldLeft(withBt) { case (df, (x, _)) =>
+        df.withColumn(s"log_equity_$x",
+          sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
+            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8)
+      }
+      val withDd = sfx.foldLeft(withEq) { case (df, (x, _)) =>
+        df.withColumn(s"dd_$x",
+          exp(col(s"log_equity_$x") - max(col(s"log_equity_$x")).over(cum)) - 1)
+      }
+      val aggs = sfx.flatMap { case (x, _) =>
+        Metrics.aggExprs(col(s"net_$x"), col(s"position_$x"),
+          col(s"prev_pos_$x"), col(s"dd_$x"), s"_$x")
+      }
+      val wide = withDd.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${sfx.size}, " + sfx.map { case (x, _) =>
+        s"'$x', " + Metrics.MetricNames.map(m => s"`${m}_$x`").mkString(", ")
+      }.mkString(", ") + s") as (strategy, ${Metrics.MetricNames.mkString(", ")})"
+      wide.select(col("symbol"), expr(stackExpr))
+        .select(("strategy" +: "symbol" +: Metrics.MetricNames).map(col): _*)
         .orderBy("strategy", "symbol")
     }),
     "q_feature_sequences" -> ((s, d) => {

@@ -19,16 +19,19 @@ object Metrics {
   val RiskFree = 0.02
   val RfPerPeriod: Double = RiskFree / PeriodsPerYear
 
-  def compute(backtest: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withPeak = backtest
-      .withColumn("log_peak", max(col("log_equity")).over(w))
-      .withColumn("dd", exp(col("log_equity") - col("log_peak")) - 1)
-      .withColumn("prev_pos", lag(col("position"), 1).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")))
+  /** The 14 metric column names, in the oracle's output order. */
+  val MetricNames: Seq[String] = Seq("log_total_return", "cagr", "volatility",
+    "sharpe_ratio", "sortino_ratio", "max_drawdown", "calmar_ratio",
+    "win_rate", "profit_factor", "num_trades", "exposure", "average_win",
+    "average_loss")
 
-    val net = col("net_returns")
+  /** The metric aggregate expressions over a group containing columns
+    * `net`/`position`/`prevPos`/`dd`, aliased `<name><suffix>` — shared
+    * by [[compute]] (suffix "") and the wide-form strategy comparison
+    * (one suffix per strategy, all in one aggregate pass).
+    */
+  def aggExprs(net: Column, position: Column, prevPos: Column, dd: Column,
+               suffix: String = ""): Seq[Column] = {
     val excess = net - RfPerPeriod
     // log-domain total return: Σ ln(1+net); exp() of it overflows any
     // portable rounding at synthetic volatilities, so the log is the metric.
@@ -38,30 +41,38 @@ object Metrics {
     val sd = stddev_samp(net)
     val sdEx = stddev_samp(excess)
     val downside = stddev_samp(when(excess < 0, excess))
-    val mdd = min(col("dd"))
+    val mdd = min(dd)
     val gains = sum(when(net > 0, net).otherwise(0.0))
     val losses = abs(sum(when(net < 0, net).otherwise(0.0)))
     val nonzero = sum(when(net =!= 0, 1.0).otherwise(0.0))
     val wins = sum(when(net > 0, 1.0).otherwise(0.0))
-
     def z(c: Column): Column = coalesce(c, lit(0.0))
+    Seq(
+      Port.r(logTotal, 6).as(s"log_total_return$suffix"),
+      Port.r(cagr, 6).as(s"cagr$suffix"),
+      Port.r(sd * math.sqrt(PeriodsPerYear), 6).as(s"volatility$suffix"),
+      Port.r(z(when(sdEx =!= 0, avg(excess) / sdEx * math.sqrt(PeriodsPerYear))), 6).as(s"sharpe_ratio$suffix"),
+      Port.r(z(when(downside =!= 0, avg(excess) / downside * math.sqrt(PeriodsPerYear))), 6).as(s"sortino_ratio$suffix"),
+      Port.r(mdd, 6).as(s"max_drawdown$suffix"),
+      Port.r(z(when(abs(mdd) > 0, cagr / abs(mdd))), 6).as(s"calmar_ratio$suffix"),
+      Port.r(z(when(nonzero > 0, wins / nonzero)), 6).as(s"win_rate$suffix"),
+      when(losses =!= 0, Port.r(gains / losses, 6)).as(s"profit_factor$suffix"),
+      sum(when(prevPos.isNotNull && position =!= prevPos, 1L).otherwise(0L)).as(s"num_trades$suffix"),
+      Port.r(sum(when(position =!= 0, 1.0).otherwise(0.0)) / n, 6).as(s"exposure$suffix"),
+      Port.r(z(when(wins > 0, gains / wins)), 8).as(s"average_win$suffix"),
+      Port.r(z(when(nonzero - wins > 0, -losses / (nonzero - wins))), 8).as(s"average_loss$suffix")
+    )
+  }
 
-    withPeak
-      .groupBy(keys.map(col): _*)
-      .agg(
-        Port.r(logTotal, 6).as("log_total_return"),
-        Port.r(cagr, 6).as("cagr"),
-        Port.r(sd * math.sqrt(PeriodsPerYear), 6).as("volatility"),
-        Port.r(z(when(sdEx =!= 0, avg(excess) / sdEx * math.sqrt(PeriodsPerYear))), 6).as("sharpe_ratio"),
-        Port.r(z(when(downside =!= 0, avg(excess) / downside * math.sqrt(PeriodsPerYear))), 6).as("sortino_ratio"),
-        Port.r(mdd, 6).as("max_drawdown"),
-        Port.r(z(when(abs(mdd) > 0, cagr / abs(mdd))), 6).as("calmar_ratio"),
-        Port.r(z(when(nonzero > 0, wins / nonzero)), 6).as("win_rate"),
-        when(losses =!= 0, Port.r(gains / losses, 6)).as("profit_factor"),
-        sum(when(col("prev_pos").isNotNull && col("position") =!= col("prev_pos"), 1L).otherwise(0L)).as("num_trades"),
-        Port.r(sum(when(col("position") =!= 0, 1.0).otherwise(0.0)) / n, 6).as("exposure"),
-        Port.r(z(when(wins > 0, gains / wins)), 8).as("average_win"),
-        Port.r(z(when(nonzero - wins > 0, -losses / (nonzero - wins))), 8).as("average_loss")
-      )
+  def compute(backtest: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPeak = backtest
+      .withColumn("log_peak", max(col("log_equity")).over(w))
+      .withColumn("dd", exp(col("log_equity") - col("log_peak")) - 1)
+      .withColumn("prev_pos", lag(col("position"), 1).over(
+        Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")))
+    val aggs = aggExprs(col("net_returns"), col("position"), col("prev_pos"), col("dd"))
+    withPeak.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }
