@@ -74,8 +74,18 @@ object Ann {
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+    val scored = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+    // Two-level top-k: a window partitioned by q_id alone would sort the
+    // ENTIRE scored corpus for each query in one task (n rows/query — a
+    // scale-killer at 10^9 vectors). Instead take local winners per
+    // (q_id, input split) first — any disjoint split's top-k contains
+    // every global top-k member, so the final rank runs over ≤ k·splits
+    // rows per query and the result is independent of the split.
+    scored.withColumn("_cell", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("q_id", "_cell").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("_lrk") <= k)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
