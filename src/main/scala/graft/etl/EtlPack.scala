@@ -93,8 +93,17 @@ object EtlPack extends QueryPack {
             org.apache.spark.sql.expressions.Window.partitionBy("symbol")))
         .orderBy("symbol", "hour_of_day")),
     "q_latest_trades" -> ((s, d) => {
-      val w = Window.partitionBy("symbol").orderBy(col("ts").desc, col("event_id").desc)
+      // two-level top-N: a window on symbol alone sorts a symbol's whole
+      // tick history in one task at scale — local winners per (symbol,
+      // input split) first (any split's top-N contains the global top-N),
+      // then the global rank over ≤ N·splits rows per symbol
+      val ord = Seq(col("ts").desc, col("event_id").desc)
+      val wLocal = Window.partitionBy("symbol", "_cell").orderBy(ord: _*)
+      val w = Window.partitionBy("symbol").orderBy(ord: _*)
       Tables.ticks(s, d)
+        .withColumn("_cell", spark_partition_id())
+        .withColumn("_lrk", row_number().over(wLocal))
+        .filter(col("_lrk") <= 3)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("symbol"), expr("ts div 1000000").as("ts_ms"),
