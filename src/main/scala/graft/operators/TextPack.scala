@@ -174,6 +174,29 @@ object TextPack extends QueryPack {
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_doc_id")),
+    "q_winnow_fingerprint" -> ((s, d) => {
+      // Winnowing fingerprints (the MOSS scheme; Schleimer et al.,
+      // SIGMOD'03): hash every positional 3-gram shingle and take the
+      // MIN hash value of each sliding window of 4 — the distinct
+      // window-min set guarantees two docs sharing any run of ≥ 6
+      // tokens share a fingerprint, at ~1/4 the stored hashes.
+      // Engine-portable "rolling hash": the first 8 md5 hex chars
+      // (identical in both engines; hex-string min == value min).
+      // Per-doc windows only — linear at 100 TB, and the fingerprint
+      // set is the near-dup index a copy-detection pipeline shuffles on.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .withColumn("h", substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 8))
+        .withColumn("wmin", min(col("h")).over(w.rowsBetween(0, 3)))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+          min(col("wmin")).as("min_fp"), max(col("wmin")).as("max_fp"))
+        .orderBy("doc_id")
+    }),
     "q_corpus_filter" -> ((s, d) => {
       // the composed training-corpus filter: near-dup losers out, then
       // length and quality gates — one decision row per document.
@@ -458,6 +481,30 @@ object TextPack extends QueryPack {
     "q_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q_winnow_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |),
+        |hs AS (
+        |  SELECT doc_id, pos, substr(md5(shingle), 1, 8) AS h
+        |  FROM sh WHERE shingle IS NOT NULL
+        |),
+        |wm AS (
+        |  SELECT doc_id,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM hs
+        |)
+        |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+        |       min(wmin) AS min_fp, max(wmin) AS max_fp
+        |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_corpus_filter" ->
       s"""WITH $ShinglesCte,
          |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
