@@ -1,27 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default to the machine's cores: the driver invokes this without
-    // SPARK_GRAFT_CPUS, and a literal "4" default made BENCH_r02's cold
-    // pass run local[4] (217.5s) while the pinned methodology is
-    // local[32] (66.9s) — the whole r02 cold discrepancy.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // null-on-div-by-zero (DuckDB-matching) semantics — see GraftSession
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // GraftSession owns the session config AND the parallelism default
+    // (SPARK_GRAFT_CPUS, else the machine's cores — the pinned local[32]
+    // methodology on the driver box). One source of truth: r02's 217.5 s
+    // cold pass was Bench defaulting to a different literal than the
+    // documented methodology.
+    val cpus = GraftSession.cpus
+    val spark = GraftSession.get("graft-bench")
     // Warm outside the timings: session + codegen paths via the entry
     // query, then every benched table (footer decode + OS page cache) —
     // otherwise whichever query reads a table first absorbs its cold

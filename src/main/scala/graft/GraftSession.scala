@@ -9,8 +9,17 @@ import org.apache.spark.sql.SparkSession
   * runtime (salting fallback is then only needed for pathological keys).
   */
 object GraftSession {
+  /** THE parallelism default, shared by every entry point (GraftSession,
+    * Bench, Verify, MicroBench): `SPARK_GRAFT_CPUS` if set, else the
+    * machine's cores. One constant — BENCH_r02's 217.5 s cold pass came
+    * from Bench defaulting to a literal that disagreed with the pinned
+    * local[32] methodology, and r06 still carried a hardcoded 32 here.
+    */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
   def builder(appName: String = "graft"): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = GraftSession.cpus
     SparkSession
       .builder()
       .appName(appName)
@@ -32,6 +41,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      // The engine's wide single-pass aggregates (54 exact co-moment
+      // sums in q_feature_importance, 3×13 metrics in
+      // q_strategy_comparison) exceed the default 100-field codegen
+      // cutoff and silently fall back to the interpreted row path —
+      // measured ~25% slower on the co-moment aggregate. 300 keeps
+      // whole-stage codegen on for them.
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")
   }
 

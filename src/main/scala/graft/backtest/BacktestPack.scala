@@ -21,18 +21,23 @@ object BacktestPack extends QueryPack {
 
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Oracle-pinned queries pin the PLAIN signal forms explicitly: the
+    // adaptive Signals.maCross/... route consults plan statistics, so a
+    // catalog ANALYZE could silently switch a verified query to the
+    // chunked form, whose prefix sums differ from the flat scan on exact
+    // comparison ties — verified outputs must not depend on stats state.
     "q_signal_ma_cross" -> ((s, d) =>
-      Signals.maCross(bars1m(s, d))
+      Signals.maCrossPlain(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"),
           col("rn").cast("long").as("rn"), col("signal"))
         .orderBy("symbol", "bucket_ms")),
     "q_signal_mean_reversion" -> ((s, d) =>
-      Signals.meanReversion(bars1m(s, d))
+      Signals.meanReversionPlain(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"),
           col("rn").cast("long").as("rn"), col("signal"))
         .orderBy("symbol", "bucket_ms")),
     "q_signal_momentum" -> ((s, d) =>
-      Signals.momentum(bars1m(s, d))
+      Signals.momentumPlain(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"),
           col("rn").cast("long").as("rn"), col("signal"))
         .orderBy("symbol", "bucket_ms")),
@@ -79,21 +84,27 @@ object BacktestPack extends QueryPack {
       // term is quantized to the 1e-8 grid first, so intra sums and
       // chunk offsets are exact longs — the two-level association is
       // then EQUAL to the oracle's flat scan, not merely within snap.
-      val bt = Backtester.run(Signals.maCross(Bars.ohlcvCached(s, d, 3600)))
+      val bt = Backtester.run(Signals.maCrossPlain(Bars.ohlcvCached(s, d, 3600)))
       // cache barrier: port feeds both the offsets aggregate and the
       // final join — uncached, the whole backtest chain runs twice
+      // terms cumulate as decimal(38,0), matching Backtester.run's stated
+      // overflow posture: with ANSI off a long sum would WRAP silently at
+      // some scale, a decimal sum nulls — wrong-but-visible beats
+      // wrong-and-silent (unreachable at hourly counts, consistent always)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val port = bt.groupBy("bucket_ms")
         .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
         .withColumn("term",
           floor(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))) * 1e8 + lit(0.5))
-            .cast("long"))
+            .cast(dec38))
         .withColumn("chunk", expr("bucket_ms div 86400000"))
         .cache()
       val intra = Window.partitionBy("chunk").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
       val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))
         .withColumn("offset", coalesce(sum(col("chunk_sum")).over(
-          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(dec38)))
         .select("chunk", "offset")
       port.join(broadcast(offsets), "chunk")
         .withColumn("log_equity",
@@ -102,39 +113,83 @@ object BacktestPack extends QueryPack {
         .orderBy("bucket_ms")
     }),
     "q_ml_features" -> ((s, d) =>
-      MlFeatures.cached(s, d).orderBy("symbol", "bucket_ms")),
+      MlFeatures.cached(s, d).drop("rn", "fwd").orderBy("symbol", "bucket_ms")),
     "q_feature_importance" -> ((s, d) => {
       // ml_strategy.py:372 get_feature_importance analog. Model FITTING
       // is out of scope (external-library call, SURVEY §2), but the
       // data-shaped output — a per-feature importance table — is
       // reproduced as |corr(feature, next-bar forward return)| within
-      // each walk-forward training window. Shapes: fold boundaries are
-      // a broadcast dim; the feature stream joins it linearly (hash on
-      // symbol, rn<=train_size as join filter); one 9-corr aggregate
-      // per (symbol, fold); melt + rank run over the fold×feature
-      // aggregate only. Rank orders by the SNAPPED importance so both
-      // engines sort identical doubles.
-      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      // each walk-forward training window.
+      //
+      // Exact-moment form (the q_market_beta pattern): a float corr()
+      // from a hash aggregate has nondeterministic partial-sum order, so
+      // a value near a 1e-6 snap boundary could flip the integer rank
+      // between engines or RUNS. Instead features quantize to 1e-6 and
+      // forward returns to 1e-8, and all co-moments are EXACT integer
+      // sums (decimal(38,0) / HUGEINT) — order-independent, so any
+      // aggregation shape equals the oracle's direct per-fold sums.
+      //
+      // Aggregation shape: each row belongs to fold k's training window
+      // iff rn <= train_size_k, and the cuts are 252 apart — so rows
+      // bucket by the FIRST fold that includes them (iv), the 54 moments
+      // aggregate per (symbol, iv) in one codegen'd hash aggregate with
+      // map-side combine (48k rows -> ~30), and fold k's moments are the
+      // interval prefix sums at iv == k over that tiny frame. No 5x
+      // fold-duplication of the bar stream (r06 join shape), no
+      // bar-scale WindowExec (the 54-running-sum form ran 1.5-2.5 s in
+      // the interpreted window path); the heavy pass is a hash agg.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val zero = lit(0).cast(dec)
+      def q(c: org.apache.spark.sql.Column, scale: Double) =
+        floor(c * scale + lit(0.5)).cast(dec)
+      val counts = bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
+      // rn (original bar index) and fwd come precomputed on the memoized
+      // feature frame — no window pass in this query at all
       val feats = MlFeatures.cached(s, d)
-        // MlFeatures drops exactly the rn<50 warmup prefix per symbol,
-        // so the original bar rn (the folds' coordinate system) is
-        // row_number over the filtered stream + 49
-        .withColumn("rn", row_number().over(w) + lit(49))
-        .withColumn("fwd", lead(col("close"), 1).over(w) / col("close") - 1)
-      val folds = bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
+        .withColumn("yq", q(col("fwd"), 1e8))
+      // iv = first fold whose training window contains this row:
+      // rn <= n - (5-k)*252  ⇔  k >= 5 - (n-rn)/252
+      val withIv = feats.join(broadcast(counts), "symbol")
+        .withColumn("iv",
+          greatest(lit(0.0), lit(5.0) - floor((col("n") - col("rn")) / 252.0)).cast("long"))
+        .filter(col("iv") <= 4)
+      val momAggs = FeatureCols.flatMap { f =>
+        val nb = col(f).isNotNull && col("fwd").isNotNull
+        val xq = q(col(f), 1e6)
+        Seq(
+          sum(when(nb, 1L).otherwise(0L)).as(s"n_$f"),
+          sum(when(nb, xq).otherwise(zero)).as(s"sx_$f"),
+          sum(when(nb, col("yq")).otherwise(zero)).as(s"sy_$f"),
+          sum(when(nb, xq * col("yq")).otherwise(zero)).as(s"sxy_$f"),
+          sum(when(nb, xq * xq).otherwise(zero)).as(s"sxx_$f"),
+          sum(when(nb, col("yq") * col("yq")).otherwise(zero)).as(s"syy_$f"))
+      }
+      val momAgg = withIv.groupBy("symbol", "iv").agg(momAggs.head, momAggs.tail: _*)
+      val cumIv = Window.partitionBy("symbol").orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val momNames = FeatureCols.flatMap(f =>
+        Seq(s"n_$f", s"sx_$f", s"sy_$f", s"sxy_$f", s"sxx_$f", s"syy_$f"))
+      val cumMoms = momAgg.select(
+        col("symbol") +: col("iv") +: momNames.map(m => sum(col(m)).over(cumIv).as(m)): _*)
+      val folds = counts
         .select(col("symbol").as("f_symbol"), col("n"),
           explode(sequence(lit(0), lit(4))).as("split_id"))
         .withColumn("train_size", col("n") - (lit(5) - col("split_id")) * 252)
         .filter(col("train_size") >= 252)
-        .select(col("f_symbol"), col("split_id").cast("long").as("split_id"), col("train_size"))
-      val agg = feats.join(broadcast(folds),
-          feats("symbol") === folds("f_symbol") && feats("rn") <= folds("train_size"))
-        .groupBy("symbol", "split_id")
-        .agg(corr(col(FeatureCols.head), col("fwd")).as(s"c_${FeatureCols.head}"),
-          FeatureCols.tail.map(f => corr(col(f), col("fwd")).as(s"c_$f")): _*)
+        .select(col("f_symbol"), col("split_id").cast("long").as("split_id"))
+      val atCut = cumMoms.join(broadcast(folds),
+        cumMoms("symbol") === folds("f_symbol") && cumMoms("iv") === folds("split_id"))
+      val corrCols = FeatureCols.map { f =>
+        val n = col(s"n_$f")
+        val num = (n * col(s"sxy_$f") - col(s"sx_$f") * col(s"sy_$f")).cast("double")
+        val denx = greatest(n * col(s"sxx_$f") - col(s"sx_$f") * col(s"sx_$f"), zero).cast("double")
+        val deny = greatest(n * col(s"syy_$f") - col(s"sy_$f") * col(s"sy_$f"), zero).cast("double")
+        (num / nullif(sqrt(denx * deny), lit(0.0))).as(s"c_$f")
+      }
+      val withCorr = atCut.select(col("symbol") +: col("split_id") +: corrCols: _*)
       val stackExpr = s"stack(${FeatureCols.size}, " +
         FeatureCols.map(f => s"'$f', c_$f").mkString(", ") + ") as (feature, c)"
-      agg.select(col("symbol"), col("split_id"), expr(stackExpr))
+      withCorr.select(col("symbol"), col("split_id"), expr(stackExpr))
         .withColumn("corr_fwd", Port.r(col("c"), 6))
         .withColumn("importance", Port.r(abs(col("c")), 6))
         .withColumn("rk", row_number().over(
@@ -283,8 +338,29 @@ object BacktestPack extends QueryPack {
       s"""WITH $MlfCte
          |SELECT * FROM mlf ORDER BY symbol, bucket_ms""".stripMargin,
     "q_feature_importance" -> {
-      val corrList = FeatureCols
-        .map(f => s"corr($f, fwd) AS c_$f").mkString(",\n         |         ")
+      // exact-integer co-moments, mirroring the Spark side: HUGEINT sums
+      // of 1e-6-quantized features × 1e-8-quantized forward returns over
+      // each training prefix; the corr formula then runs identical float
+      // ops on identical integers in both engines (partial-sum order can
+      // never flip a 1e-6-snapped rank again)
+      def moms(f: String): String = {
+        val nb = s"$f IS NOT NULL AND fwd IS NOT NULL"
+        val xq = s"CAST(floor($f * 1e6 + 0.5) AS HUGEINT)"
+        val yq = "CAST(floor(fwd * 1e8 + 0.5) AS HUGEINT)"
+        s"""count(CASE WHEN $nb THEN 1 END) AS n_$f,
+           |         sum(CASE WHEN $nb THEN $xq ELSE 0 END) AS sx_$f,
+           |         sum(CASE WHEN $nb THEN $yq ELSE 0 END) AS sy_$f,
+           |         sum(CASE WHEN $nb THEN $xq * $yq ELSE 0 END) AS sxy_$f,
+           |         sum(CASE WHEN $nb THEN $xq * $xq ELSE 0 END) AS sxx_$f,
+           |         sum(CASE WHEN $nb THEN $yq * $yq ELSE 0 END) AS syy_$f""".stripMargin
+      }
+      def corrOf(f: String): String =
+        s"""CAST(n_$f * sxy_$f - sx_$f * sy_$f AS DOUBLE) /
+           |           nullif(sqrt(CAST(greatest(n_$f * sxx_$f - sx_$f * sx_$f, 0) AS DOUBLE)
+           |                       * CAST(greatest(n_$f * syy_$f - sy_$f * sy_$f, 0) AS DOUBLE)), 0.0)
+           |           AS c_$f""".stripMargin
+      val momList = FeatureCols.map(moms).mkString(",\n         |         ")
+      val corrList = FeatureCols.map(corrOf).mkString(",\n         |         ")
       val caseList = FeatureCols
         .map(f => s"WHEN '$f' THEN c_$f").mkString("\n         |           ")
       val valuesList = FeatureCols.map(f => s"('$f')").mkString(", ")
@@ -307,10 +383,15 @@ object BacktestPack extends QueryPack {
          |  SELECT f.*, z.split_id
          |  FROM feats f JOIN fz z ON f.symbol = z.symbol AND f.rn <= z.train_size
          |),
+         |moms AS (
+         |  SELECT symbol, split_id,
+         |         $momList
+         |  FROM tr GROUP BY symbol, split_id
+         |),
          |agg AS (
          |  SELECT symbol, split_id,
          |         $corrList
-         |  FROM tr GROUP BY symbol, split_id
+         |  FROM moms
          |),
          |melt AS (
          |  SELECT symbol, split_id, fv.feature,

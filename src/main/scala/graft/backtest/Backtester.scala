@@ -29,8 +29,11 @@ object Backtester {
     graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](_.unpersist())
 
   def maCrossCached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    // plain form pinned: the oracled consumers' outputs must not depend
+    // on catalog-statistics state (the adaptive route can flip to the
+    // chunked prefix sums, which differ on exact comparison ties)
     maCrossCache.getOrElseUpdate((s, d),
-      run(Signals.maCross(graft.operators.Bars.ohlcvCached(s, d, 60))).cache())
+      run(Signals.maCrossPlain(graft.operators.Bars.ohlcvCached(s, d, 60))).cache())
 
   /** Input: bars with `signal`; output adds position/returns/costs/
     * net_returns/log_equity. `returns`/`net_returns` are pure IEEE

@@ -19,6 +19,17 @@ object ExtrasPack extends QueryPack {
   private def bars1m(s: SparkSession, d: String): DataFrame =
     Bars.ohlcvCached(s, d, 60)
 
+  /** Session-memoized fused three-signal frame (Signals.allThreePlain
+    * over 1-min bars) — q_signal_ensemble and q_strategy_comparison both
+    * consume it; one window pass per session instead of one per query.
+    */
+  private val allThreeCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def allThreeCached(s: SparkSession, d: String): DataFrame =
+    allThreeCache.getOrElseUpdate((s, d),
+      Signals.allThreePlain(bars1m(s, d)).cache())
+
   /** EMA via a bounded 60-tap weighted sum of window lags — one sort per
     * symbol, no join (a rank-range self-join explodes to |bars|² per
     * symbol before its range filter). The tap sums are fixed-order `+`
@@ -88,7 +99,7 @@ object ExtrasPack extends QueryPack {
     "q_signal_ensemble" -> ((s, d) =>
       // one fused window pass for all three member signals — the old
       // three-pipeline + two-join form re-sorted the same bars thrice
-      Signals.allThreePlain(bars1m(s, d))
+      allThreeCached(s, d)
         .select(col("symbol"), col("bucket_ms"),
           col("s_ma").as("s1"), col("s_mr").as("s2"), col("s_mo").as("s3"))
         .withColumn("vote", col("s1") + col("s2") + col("s3"))
@@ -117,7 +128,7 @@ object ExtrasPack extends QueryPack {
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       val cum = w.rowsBetween(Window.unboundedPreceding, 0)
       val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
-      val withRet = Signals.allThreePlain(bars1m(s, d))
+      val withRet = allThreeCached(s, d)
         .withColumn("returns",
           coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
       val withBt = sfx.foldLeft(withRet) { case (df, (x, sc)) =>
@@ -187,7 +198,7 @@ object ExtrasPack extends QueryPack {
     "q_trailing_stops" -> ((s, d) =>
       // rows-only: the trailing state is path-dependent (typed per-symbol
       // scan); StopLossSpec pins the invariants
-      StopLoss.run(Signals.maCross(bars1m(s, d))).toDF()
+      StopLoss.run(Signals.maCrossPlain(bars1m(s, d))).toDF()
         .orderBy("symbol", "entry_ms")),
     "q_fixed_risk_sizing" -> ((s, d) => {
       // per symbol, every 100th bar: entry = close, stop = 1-min low of that

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 /** Performance metrics over a backtest result (one row per symbol).
   *
   * Reference: backtesting/metrics.py PerformanceMetrics.get_all_metrics —
-  * same 15 statistics, computed as a single hash aggregate per symbol
-  * instead of 15 pandas passes. Annualization uses the reference defaults
+  * the reference's statistics as 13 output columns (its total_return and
+  * final equity are recovered from log_total_return: equity = initial ·
+  * e^log_total), computed as a single hash aggregate per symbol instead
+  * of one pandas pass per metric. Annualization uses the reference defaults
   * (252 periods/year, 2% risk-free). Transcendental outputs are snapped
   * with Port.r; profit_factor emits NULL where the reference emits inf
   * (no losing periods).
@@ -19,7 +21,7 @@ object Metrics {
   val RiskFree = 0.02
   val RfPerPeriod: Double = RiskFree / PeriodsPerYear
 
-  /** The 14 metric column names, in the oracle's output order. */
+  /** The 13 metric column names, in the oracle's output order. */
   val MetricNames: Seq[String] = Seq("log_total_return", "cagr", "volatility",
     "sharpe_ratio", "sortino_ratio", "max_drawdown", "calmar_ratio",
     "win_rate", "profit_factor", "num_trades", "exposure", "average_win",

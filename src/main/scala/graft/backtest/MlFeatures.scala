@@ -70,10 +70,17 @@ object MlFeatures {
       .withColumn("volume_sma_ratio",
         Port.r(col("volume") / slidingQ(col("_cv"), 20), 6))
       .withColumn("volatility", Port.r(stddev_samp(col("returns_1d")).over(frame(20)), 8))
+      // rn (the original bar index — the walk-forward folds' coordinate
+      // system) and fwd (next-bar forward return) ride the SAME window
+      // sort for free; q_feature_importance consumes them without a
+      // window pass of its own. The filter drops only the warmup prefix,
+      // so lead() over the unfiltered stream equals lead() over the
+      // filtered one for every surviving row. q_ml_features drops both.
+      .withColumn("fwd", lead(col("close"), 1).over(w) / col("close") - 1)
       .filter(col("rn") >= 50)
       .select(col("symbol"), col("bucket_ms"), col("close"),
         col("returns_1d"), col("returns_5d"), col("rsi"), col("bb_upper"),
         col("bb_lower"), col("sma_fast"), col("sma_slow"),
-        col("volume_sma_ratio"), col("volatility"))
+        col("volume_sma_ratio"), col("volatility"), col("rn"), col("fwd"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.backtest
 
 import graft.functions.Port
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,22 +24,47 @@ object Risk {
       .select("symbol", "bucket_ms", "r")
   }
 
-  /** VaR(95/99) + CVaR(95) per symbol (risk_monitor.py:56,75). */
-  def varCvar(bars: DataFrame): DataFrame = {
-    val rets = barReturns(bars)
-    val vars = rets.groupBy("symbol").agg(
-      percentile(col("r"), lit(0.05)).as("var_95_raw"),
-      percentile(col("r"), lit(0.01)).as("var_99_raw"))
+  /** VaR(95/99) + CVaR(95) per symbol (risk_monitor.py:56,75).
+    *
+    * Single-pass shape: the returns stream is exchanged by symbol ONCE
+    * (the lag window), the interpolated percentiles ride that same
+    * partitioning as per-partition window aggregates, and the final
+    * groupBy reuses the partitioning again — no second scan, no
+    * broadcast-join re-shuffle (the r06 form paid both: a percentile
+    * aggregate, then a re-scan of the returns joined back for CVaR).
+    */
+  def varCvar(bars: DataFrame): DataFrame =
+    varCvarOn(barReturns(bars), percentile(col("r"), lit(0.05)),
+      percentile(col("r"), lit(0.01)))
+
+  /** Production variant for unbounded per-symbol history: exact
+    * `percentile` is a sort-based aggregate that buffers a symbol's full
+    * return history in one buffer — fine at bar granularity, the one
+    * unbounded-memory aggregate in the engine at tick-scale history.
+    * `approx_percentile` (GK sketch) holds O(accuracy) state at a
+    * guaranteed rank error ≤ n/accuracy; the oracled q_var_cvar keeps
+    * the exact form (RiskApproxSpec pins the error bound).
+    */
+  def varCvarApprox(bars: DataFrame, accuracy: Int = 10000): DataFrame =
+    varCvarOn(barReturns(bars),
+      approx_percentile(col("r"), lit(0.05), lit(accuracy)),
+      approx_percentile(col("r"), lit(0.01), lit(accuracy)))
+
+  /** Only the 5% quantile is needed PER-ROW (the CVaR conditional); it
+    * rides the symbol partitioning as a window aggregate. The 1% quantile
+    * is a plain aggregate in the final groupBy — same rows, same value,
+    * one window fewer.
+    */
+  private[backtest] def varCvarOn(rets: DataFrame, p95: Column, p99: Column): DataFrame =
     rets
-      .join(broadcast(vars), "symbol")
+      .withColumn("var_95_raw", p95.over(Window.partitionBy("symbol")))
       .groupBy("symbol")
       .agg(
         Port.r(first(col("var_95_raw")), 8).as("var_95"),
-        Port.r(first(col("var_99_raw")), 8).as("var_99"),
+        Port.r(p99, 8).as("var_99"),
         Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
         count(lit(1)).as("n")
       )
-  }
 
   /** Kelly fraction from a backtest's net returns (risk_monitor.py:332):
     * quarter-Kelly, capped to [0, maxPosition].

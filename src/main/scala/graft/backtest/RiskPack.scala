@@ -66,22 +66,37 @@ object RiskPack extends QueryPack {
     "q_risk_snapshot" -> ((s, d) => {
       // composed monitoring snapshot (risk_monitor.py:224 monitor, :299
       // get_metrics_df: one frame with VaR+CVaR+vol+drawdown+limit state
-      // per check) — the consumer-facing roll-up of the pieces above,
-      // one row per symbol, all joins on the tiny per-symbol aggregates
-      val bars = bars1m(s, d)
-      val bt = btMaCross(s, d)
-      val vc = Risk.varCvar(bars).select("symbol", "var_95", "var_99", "cvar_95")
-      val vol = Risk.volSizing(bars).select("symbol", "volatility_ann")
+      // per check). Two fused pipelines instead of four (r06 shape):
+      // the returns stream is exchanged by symbol once and yields
+      // VaR+CVaR+volatility in a single aggregate (volatility_ann is the
+      // same stddev volSizing computes); the backtest side computes dd
+      // once, aggregates to daily rows, and derives max-drawdown,
+      // final equity AND both alert counts from that one daily frame
+      // (eod-of-last-day log equity == log equity at the global last
+      // bar; min over daily minima == global min).
+      val wSym = Window.partitionBy("symbol")
+      val rets = Risk.barReturns(bars1m(s, d))
+        .withColumn("var_95_raw", percentile(col("r"), lit(0.05)).over(wSym))
+      val vcv = rets.groupBy("symbol").agg(
+        Port.r(first(col("var_95_raw")), 8).as("var_95"),
+        Port.r(percentile(col("r"), lit(0.01)), 8).as("var_99"),
+        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
+        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
       val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val dd = bt
+      val daily = btMaCross(s, d)
         .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
-        .groupBy("symbol").agg(
-          Port.r(abs(min(col("dd"))), 6).as("max_drawdown"),
-          Port.r(exp(max_by(col("log_equity"), col("bucket_ms"))), 6).as("equity_final"))
-      val al = Risk.limitAlerts(bt)
-        .select("symbol", "n_daily_loss_alerts", "n_drawdown_alert_days")
-      vc.join(vol, "symbol").join(dd, "symbol").join(al, "symbol").orderBy("symbol")
+        .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
+        .groupBy("symbol", "day_ms")
+        .agg(sum(col("net_returns")).as("day_net"), min(col("dd")).as("day_min_dd"),
+          max_by(col("log_equity"), col("bucket_ms")).as("eod_log_eq"))
+      val ddal = daily.groupBy("symbol").agg(
+        Port.r(abs(min(col("day_min_dd"))), 6).as("max_drawdown"),
+        Port.r(exp(max_by(col("eod_log_eq"), col("day_ms"))), 6).as("equity_final"),
+        sum(when(col("day_net") < -0.05, 1L).otherwise(0L)).as("n_daily_loss_alerts"),
+        sum(when(col("day_min_dd") < -0.20, 1L).otherwise(0L)).as("n_drawdown_alert_days"))
+      vcv.select("symbol", "var_95", "var_99", "cvar_95", "volatility_ann")
+        .join(ddal, "symbol").orderBy("symbol")
     })
   )
 

@@ -122,7 +122,17 @@ object Ann {
     * construction (2^bits per band) and data-independent.
     */
   def hyperplaneNearDup(emb: DataFrame, bands: Int, bits: Int,
-                        threshold: Double, cap: Long): DataFrame = {
+                        threshold: Double, cap: Long): DataFrame =
+    hyperplaneNearDupStaged(emb, bands, bits, threshold, cap)._1
+
+  /** [[hyperplaneNearDup]] plus its cache scaffolding (the signature and
+    * size-filtered bucket frames) so a caller that materializes the
+    * result can free the intermediates deterministically instead of
+    * leaving them to the async ContextCleaner — the round-7 fix for the
+    * dedup-neighborhood bench variance.
+    */
+  def hyperplaneNearDupStaged(emb: DataFrame, bands: Int, bits: Int,
+                              threshold: Double, cap: Long): (DataFrame, Seq[DataFrame]) = {
     val spark = emb.sparkSession
     val hp = hyperplanes(spark, bands, bits, 64)
     // cache barrier: the 36-plane signature scan feeds four join sides —
@@ -145,11 +155,12 @@ object Ann {
       .distinct()
     val e1 = emb.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
     val e2 = emb.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
-    cand.join(e1, "v1").join(e2, "v2")
+    val result = cand.join(e1, "v1").join(e2, "v2")
       .withColumn("cosine", Port.r(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cosine") >= threshold)
       .select("v1", "v2", "cosine")
       .orderBy("v1", "v2")
+    (result, Seq(buckets, sized))
   }
 
   /** The standard IVF cell-count scaling: cells ≈ sqrt(n) balances the
@@ -191,10 +202,20 @@ object Ann {
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("cell"), col("qe"), col("qn"))
+    // Two-level top-k on the probed candidates, same as bruteTopK: the
+    // final per-query rank otherwise sorts all nprobe·n/cells probed rows
+    // in ONE task per query (~2·sqrt(n) rows/query at sqrt(n) cells —
+    // survivable but needless). Local winners per input split first; any
+    // disjoint split's top-k contains every global top-k member, so the
+    // global rank runs over ≤ k·splits rows per query, split-independent.
     emb.join(assigned, "vec_id")
       .join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+      .withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("q_id", "_split").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("_lrk") <= k)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)

@@ -44,6 +44,27 @@ object TextPack extends QueryPack {
       .distinct()
   }
 
+  /** Session-memoized POSITIONAL shingle stream (doc_id, pos, shingle) —
+    * ONE token-explosion scan feeds both the distinct shingle table
+    * (jaccard pairs, MinHash) and the winnowing fingerprints, which
+    * previously re-exploded and re-windowed the same 3-gram stream.
+    */
+  private val posShingleCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  def posShinglesCached(s: SparkSession, d: String): DataFrame =
+    posShingleCache.getOrElseUpdate((s, d), {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+        .cache()
+    })
+
   /** Session-memoized cached shingle table — feeds the jaccard pipeline
     * and DedupPack's MinHash signatures/verification.
     */
@@ -52,7 +73,7 @@ object TextPack extends QueryPack {
 
   def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
-      shingles(graft.Tables.documents(s, d)).select("doc_id", "shingle").cache())
+      posShinglesCached(s, d).select("doc_id", "shingle").distinct().cache())
 
   /** Jaccard pair chain over the shingle CTE (final CTE: jp) — shared by
     * the pair and cluster oracles.
@@ -184,13 +205,14 @@ object TextPack extends QueryPack {
       // (identical in both engines; hex-string min == value min).
       // Per-doc windows only — linear at 100 TB, and the fingerprint
       // set is the near-dup index a copy-detection pipeline shuffles on.
+      // Rides the memoized positional shingle scan (the r06 form
+      // re-exploded and re-windowed the token stream the jaccard
+      // pipeline had already built): one md5 + one window-min over the
+      // cached (doc_id, pos, shingle) rows, which arrive already
+      // partitioned by doc_id from the cache's build.
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .filter(col("t2").isNotNull)
-        .withColumn("h", substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 8))
+      posShinglesCached(s, d)
+        .withColumn("h", substring(md5(col("shingle")), 1, 8))
         .withColumn("wmin", min(col("h")).over(w.rowsBetween(0, 3)))
         .groupBy("doc_id")
         .agg(countDistinct(col("wmin")).as("n_fingerprints"),
@@ -280,7 +302,25 @@ object TextPack extends QueryPack {
           Window.partitionBy("source").orderBy(col("n").desc, col("tok"))).cast("long"))
         .filter(col("rk") <= 10)
         .orderBy("source", "rk")),
-    "q_dedup_clusters" -> ((s, d) => {
+    "q_dedup_clusters" -> ((s, d) => clustersCached(s, d).orderBy("doc_id"))
+  )
+
+  /** Session-memoized connected-components labels. The propagation loop
+    * is the one iterative (multi-job) operator in the engine, so its
+    * result is cached like the other shared frames (bars, shingles,
+    * pairs) AND — the round-7 variance fix — its scaffolding is freed
+    * DETERMINISTICALLY once the result is materialized: the final
+    * round's localCheckpoint blocks, the initial label cache, and the
+    * edges cache all unpersist inside the build instead of lingering
+    * for the async ContextCleaner. Leaving them resident made the
+    * loop's cost land nondeterministically on later bench queries
+    * (q_dedup_clusters itself measured 2.19–8.11 s across driver runs).
+    */
+  private val clusterCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def clustersCached(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d), {
       // near-dup canonicalization: connected components over the dup
       // pairs (training-data dedup must pick ONE survivor per transitive
       // cluster, not drop arbitrary pair losers). Min-label propagation:
@@ -292,8 +332,9 @@ object TextPack extends QueryPack {
       val edges = pairs
         .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
         .cache()
-      var labels = edges.select(col("doc1").as("doc_id")).distinct()
+      val labels0 = edges.select(col("doc1").as("doc_id")).distinct()
         .withColumn("root", col("doc_id")).cache()
+      var labels = labels0
       var changed = 1L
       var iter = 0
       // the materialized leaf behind a localCheckpoint'd frame — so the
@@ -334,12 +375,23 @@ object TextPack extends QueryPack {
         iter += 1
       }
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
-      labels.join(broadcast(sizes), "root")
+      val result = labels.join(broadcast(sizes), "root")
         .select(col("doc_id"), col("root").as("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("root")).cast("int").as("is_canonical"))
-        .orderBy("doc_id")
+        .cache()
+      // materialize the (tiny: one row per doc in a dup component) result
+      // NOW, then free the loop scaffolding deterministically — the final
+      // checkpoint's blocks, the seed labels, and the doubled edge list
+      // are dead the moment the result frame is persisted. (The cached
+      // result is lineage-truncated through the checkpoint, so it must
+      // not be unpersisted by callers while the session lives — Memo
+      // eviction owns that.)
+      result.count()
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      labels0.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      result
     })
-  )
 
   /** Session-memoized near-dup pairs: the shingle inverted-index self-join
     * is the most expensive text operator and feeds two queries
