@@ -149,13 +149,18 @@ object BacktestPack extends QueryPack {
         .withColumn("yq", q(col("fwd"), 1e8))
       // iv = first fold whose training window contains this row:
       // rn <= n - (5-k)*252  ⇔  k >= 5 - (n-rn)/252
+      // The quantized columns project ONCE before the aggregate (the agg
+      // expressions otherwise re-evaluate floor·cast·decimal per use —
+      // xq appears in four of the six moments).
       val withIv = feats.join(broadcast(counts), "symbol")
         .withColumn("iv",
           greatest(lit(0.0), lit(5.0) - floor((col("n") - col("rn")) / 252.0)).cast("long"))
         .filter(col("iv") <= 4)
+        .select(col("symbol") +: col("iv") +: col("yq") +: col("fwd") +:
+          FeatureCols.map(f => col(f)) ++: FeatureCols.map(f => q(col(f), 1e6).as(s"xq_$f")): _*)
       val momAggs = FeatureCols.flatMap { f =>
         val nb = col(f).isNotNull && col("fwd").isNotNull
-        val xq = q(col(f), 1e6)
+        val xq = col(s"xq_$f")
         Seq(
           sum(when(nb, 1L).otherwise(0L)).as(s"n_$f"),
           sum(when(nb, xq).otherwise(zero)).as(s"sx_$f"),

@@ -18,7 +18,10 @@ object ExplainAudit {
     "q_portfolio_multi_asset", "q_risk_parity_opt",
     // round-5/6 surfaces
     "q_decontaminate", "q_corpus_mix", "q_rolling_corr", "q_market_beta",
-    "q_feature_importance", "q_strategy_comparison", "q_lang_id")
+    "q_feature_importance", "q_strategy_comparison", "q_lang_id",
+    // round-7: the full r06 perf-weak set is audited every round
+    "q_winnow_fingerprint", "q_drawdown_series", "q_var_cvar",
+    "q_risk_snapshot", "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
