@@ -16,10 +16,47 @@ object RiskPack extends QueryPack {
   private def btMaCross(s: SparkSession, d: String): DataFrame =
     Backtester.maCrossCached(s, d)
 
+  /** Session-memoized per-symbol return statistics (VaR/CVaR/annualized
+    * mean+vol in ONE aggregate over one pass of the bar returns) — the
+    * shared upstream of q_var_cvar, q_vol_position_sizing, and
+    * q_risk_snapshot, which each re-ran the returns pipeline before r07.
+    * Tiny (one row per symbol); expression-identical to Risk.varCvar /
+    * Risk.volSizing so the oracles are unchanged.
+    */
+  private val riskStatsCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def riskStats(s: SparkSession, d: String): DataFrame =
+    riskStatsCache.getOrElseUpdate((s, d), {
+      val rets = Risk.barReturns(bars1m(s, d))
+        .withColumn("var_95_raw",
+          percentile(col("r"), lit(0.05)).over(Window.partitionBy("symbol")))
+      rets.groupBy("symbol").agg(
+        Port.r(first(col("var_95_raw")), 8).as("var_95"),
+        Port.r(percentile(col("r"), lit(0.01)), 8).as("var_99"),
+        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
+        count(lit(1)).as("n"),
+        Port.r(avg(col("r")) * 252, 8).as("mean_return_ann"),
+        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
+        .cache()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_var_cvar" -> ((s, d) => Risk.varCvar(bars1m(s, d)).orderBy("symbol")),
+    "q_var_cvar" -> ((s, d) =>
+      riskStats(s, d).select("symbol", "var_95", "var_99", "cvar_95", "n")
+        .orderBy("symbol")),
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
-    "q_vol_position_sizing" -> ((s, d) => Risk.volSizing(bars1m(s, d)).orderBy("symbol")),
+    "q_vol_position_sizing" -> ((s, d) => {
+      // derived per-row sizing over the memoized stats (risk_monitor.py:360)
+      val (pv, targetVol, maxPos) = (1000000.0, 0.15, 0.25)
+      riskStats(s, d).select(col("symbol"), col("mean_return_ann"), col("volatility_ann"))
+        .withColumn("position_fraction",
+          Port.r(when(col("volatility_ann") === 0, 0.0)
+            .otherwise(least(lit(targetVol) / col("volatility_ann"), lit(maxPos))), 6))
+        .withColumn("position_dollars",
+          Port.r(col("position_fraction") * pv, 2))
+        .orderBy("symbol")
+    }),
     "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol")),
     "q_position_limit_alerts" -> ((s, d) => {
       // check_position_limits (risk_monitor.py:120): per-symbol share of
@@ -67,21 +104,14 @@ object RiskPack extends QueryPack {
       // composed monitoring snapshot (risk_monitor.py:224 monitor, :299
       // get_metrics_df: one frame with VaR+CVaR+vol+drawdown+limit state
       // per check). Two fused pipelines instead of four (r06 shape):
-      // the returns stream is exchanged by symbol once and yields
-      // VaR+CVaR+volatility in a single aggregate (volatility_ann is the
-      // same stddev volSizing computes); the backtest side computes dd
-      // once, aggregates to daily rows, and derives max-drawdown,
-      // final equity AND both alert counts from that one daily frame
+      // VaR+CVaR+volatility come from the memoized per-symbol stats
+      // frame (one returns pass per session, shared with q_var_cvar and
+      // q_vol_position_sizing); the backtest side computes dd once,
+      // aggregates to daily rows, and derives max-drawdown, final
+      // equity AND both alert counts from that one daily frame
       // (eod-of-last-day log equity == log equity at the global last
       // bar; min over daily minima == global min).
-      val wSym = Window.partitionBy("symbol")
-      val rets = Risk.barReturns(bars1m(s, d))
-        .withColumn("var_95_raw", percentile(col("r"), lit(0.05)).over(wSym))
-      val vcv = rets.groupBy("symbol").agg(
-        Port.r(first(col("var_95_raw")), 8).as("var_95"),
-        Port.r(percentile(col("r"), lit(0.01)), 8).as("var_99"),
-        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
-        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
+      val vcv = riskStats(s, d)
       val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
       val daily = btMaCross(s, d)
