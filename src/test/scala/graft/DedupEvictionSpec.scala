@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-7 deterministic-eviction contract for the iterative /
+  * staged dedup operators: building q_dedup_clusters (label-propagation
+  * loop with per-round localCheckpoint) and q_dedup_embedding
+  * (hyperplane LSH with four interior cache barriers) must leave ONLY
+  * the session-memoized frames resident — every piece of scaffolding
+  * (checkpoint blocks, seed/edge caches, signature/bucket caches)
+  * unpersists inside the build. Before r07 each CALL leaked its
+  * scaffolding to the async ContextCleaner, which made bench timings of
+  * whatever ran next nondeterministic (q_dedup_clusters measured
+  * 2.19-8.11 s across identical driver runs).
+  */
+class DedupEvictionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("cluster build leaves no per-call scaffolding; repeat calls add nothing") {
+    val q = SparkEntry.queries("q_dedup_clusters")
+    q(spark, TestSpark.Sf).collect()
+    val afterOnce = persistentCount
+    q(spark, TestSpark.Sf).collect()
+    q(spark, TestSpark.Sf).collect()
+    // memo hit: the loop (and its checkpoints/edge caches) must not rerun
+    assert(persistentCount == afterOnce,
+      s"repeat q_dedup_clusters calls grew persistent RDDs: $afterOnce -> $persistentCount")
+  }
+
+  test("embedding near-dup build leaves no per-call scaffolding") {
+    val q = SparkEntry.queries("q_dedup_embedding")
+    q(spark, TestSpark.Sf).collect()
+    val afterOnce = persistentCount
+    q(spark, TestSpark.Sf).collect()
+    assert(persistentCount == afterOnce,
+      s"repeat q_dedup_embedding calls grew persistent RDDs: $afterOnce -> $persistentCount")
+  }
+
+  test("memo invalidation unpersists the dedup results and the build re-runs") {
+    val rows = SparkEntry.queries("q_dedup_clusters")(spark, TestSpark.Sf).collect()
+    val before = persistentCount
+    assert(before > 0)
+    Memo.invalidateAll()
+    // registered memos evict + unpersist (non-Memo cache barriers owned
+    // by individual operators — e.g. k-means assignment frames — may
+    // remain; they carry live lineage and are safe to evict lazily)
+    assert(persistentCount < before,
+      s"Memo.invalidateAll freed nothing ($before persistent RDDs)")
+    // the build re-runs cleanly from a cold memo (checkpoint truncation
+    // must not have poisoned the rebuilt lineage)
+    val rebuilt = SparkEntry.queries("q_dedup_clusters")(spark, TestSpark.Sf).collect()
+    assert(rebuilt.length == rows.length)
+  }
+}
