@@ -104,4 +104,27 @@ class AnnSpec extends AnyFunSuite {
     val plantedRecall = planted.count(ivfPairs.contains).toDouble / planted.length
     assert(plantedRecall >= 0.8, s"planted-pair recall = $plantedRecall of ${planted.length}")
   }
+
+  test("two-level top-k is split-independent (brute and IVF, 1 vs 7 partitions)") {
+    // bruteTopK/ivfTopK take local winners per spark_partition_id before
+    // the global rank — any disjoint split's top-k contains every global
+    // top-k member, so the RESULT must not depend on the input's
+    // partitioning. Pin it: same data, radically different splits.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    def run(parts: Int) = {
+      val emb = Ann.withNorm(rows.toDF("vec_id", "e").repartition(parts)).cache()
+      try {
+        val b = Ann.bruteTopK(emb, nQueries = 5, k = 7).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        val i = Ann.ivfTopK(emb, nQueries = 5, k = 4, cells = 6, nprobe = 2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        (b, i)
+      } finally emb.unpersist()
+    }
+    val (b1, i1) = run(1)
+    val (b7, i7) = run(7)
+    assert(b1 == b7, "bruteTopK result depends on input partitioning")
+    assert(i1 == i7, "ivfTopK result depends on input partitioning")
+  }
 }
