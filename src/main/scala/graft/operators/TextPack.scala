@@ -322,74 +322,23 @@ object TextPack extends QueryPack {
   private def clustersCached(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s, d), {
       // near-dup canonicalization: connected components over the dup
-      // pairs (training-data dedup must pick ONE survivor per transitive
-      // cluster, not drop arbitrary pair losers). Min-label propagation:
-      // each iteration is a distributed join+aggregate, converging in
-      // diameter steps (dup clusters are shallow; path doubling is the
-      // upgrade if clusters ever grow deep). cluster_id = min doc_id of
+      // pairs — see graft.operators.ConnectedComponents for the
+      // propagation algorithm, its O(log diameter) convergence, and the
+      // deterministic scaffolding eviction. cluster_id = min doc_id of
       // the component — deterministic, and the canonical survivor.
-      val pairs = jaccardPairs(s, d).select("doc1", "doc2")
-      val edges = pairs
-        .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .cache()
-      val labels0 = edges.select(col("doc1").as("doc_id")).distinct()
-        .withColumn("root", col("doc_id")).cache()
-      var labels = labels0
-      var changed = 1L
-      var iter = 0
-      // the materialized leaf behind a localCheckpoint'd frame — so the
-      // superseded round's blocks can be dropped deterministically
-      // (leaving them to the async ContextCleaner measurably slowed the
-      // queries that happened to run next)
-      def ckptRdd(df: DataFrame) = df.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.headOption
-      var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-      while (changed > 0 && iter < 20) {
-        val nbrMin = edges.join(labels, col("doc2") === col("doc_id"))
-          .groupBy(col("doc1")).agg(min(col("root")).as("nbr_root"))
-        val prop = labels.select(col("doc_id"), col("root").as("old"))
-          .join(nbrMin, col("doc_id") === col("doc1"), "left")
-          .select(col("doc_id"), col("old"),
-            least(col("old"), coalesce(col("nbr_root"), col("old"))).as("p_root"))
-        // pointer jumping: root := root's root — halves label-chain depth
-        // per iteration, so convergence is O(log diameter), not O(diameter)
-        val nextBase = prop.as("x")
-          .join(prop.select(col("doc_id").as("r_id"), col("p_root").as("r_root")).as("y"),
-            col("x.p_root") === col("y.r_id"), "left")
-          .select(col("x.doc_id"), col("x.old"),
-            coalesce(col("y.r_root"), col("x.p_root")).as("root"))
-        // Flat memory and plan depth across rounds: lazy localCheckpoint
-        // truncates each round's plan to a materialized leaf (the
-        // convergence count below is the action that persists it), so
-        // lineage never deepens and no round's plan references a cache
-        // entry — unpersisting a cached frame here would force Spark to
-        // re-plan (and recompute) every dependent cached round, measured
-        // 4x on this loop. Superseded checkpoint blocks are freed by the
-        // ContextCleaner once unreferenced.
-        val next = nextBase.localCheckpoint(eager = false)
-        changed = next.filter(col("root") =!= col("old")).count()
-        prevCkpt.foreach(_.unpersist(blocking = false))
-        prevCkpt = ckptRdd(next)
-        labels = next.select("doc_id", "root")
-        iter += 1
-      }
+      val (labels, _) =
+        ConnectedComponents.labels(jaccardPairs(s, d).select("doc1", "doc2"))
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       val result = labels.join(broadcast(sizes), "root")
         .select(col("doc_id"), col("root").as("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("root")).cast("int").as("is_canonical"))
         .cache()
-      // materialize the (tiny: one row per doc in a dup component) result
-      // NOW, then free the loop scaffolding deterministically — the final
-      // checkpoint's blocks, the seed labels, and the doubled edge list
-      // are dead the moment the result frame is persisted. (The cached
-      // result is lineage-truncated through the checkpoint, so it must
-      // not be unpersisted by callers while the session lives — Memo
-      // eviction owns that.)
+      // materialize the (tiny: one row per doc in a dup component) final
+      // frame, then release the intermediate labels cache — the result
+      // is lineage-truncated through the loop's checkpoint, so Memo
+      // eviction owns its lifecycle (callers must not unpersist it).
       result.count()
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      labels0.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       result
     })
 

@@ -131,6 +131,25 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_CC")) {
+      // worst-case convergence evidence: a PATH graph of n nodes has
+      // diameter n-1 — plain min-label propagation needs n-1 rounds;
+      // pointer jumping must converge in O(log n). MICRO_CC_N=65536
+      // (diameter 65535) is the posture probe for web-scale dup chains.
+      val n = sys.env.getOrElse("MICRO_CC_N", "65536").toLong
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("doc1"), (col("id") + 1).as("doc2"))
+      time(s"cc_path_n$n") {
+        val (labels, iters) = graft.operators.ConnectedComponents.labels(pairs, maxIter = 64)
+        val comps = labels.select("root").distinct().count()
+        val rows = labels.count()
+        println(s"[micro] cc_path: n=$n diameter=${n - 1} iterations=$iters components=$comps")
+        labels.unpersist(blocking = false)
+        rows
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_SIG")) {
       import graft.backtest.Signals
       import graft.operators.Bars
