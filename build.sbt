@@ -40,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // swung 2-3x between runs; 48g measured warm 53.6s with the
   // volatile rows stable (32g: 55.5-59.4s run-to-run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // File-based GC log (stdout would break the driver's last-line bench
+  // parser): when a bench row spikes (e.g. a warm row exceeding its own
+  // cold row), grep this for a coincident pause instead of guessing
+  // between heap pressure and external box load.
+  s"-Xlog:gc*:file=${sys.env.getOrElse("SPARK_GRAFT_GC_LOG", "/tmp/graft_gc.log")}:time,uptime",
 )
