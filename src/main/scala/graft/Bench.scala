@@ -95,7 +95,10 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"bench_detail write failed: $e") }
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val byTime = warm.sortBy(-_._2)
-    val budget = 1450 // chars for the queries map; total line stays < ~1800
+    // chars for the queries map; total line must stay well inside the
+    // driver's ~2000-char stdout tail (warm_min_total/loadavg fields
+    // added ~60 chars in r07, so the budget came down to compensate)
+    val budget = 1350
     var used = 0
     val kept = byTime.takeWhile { case (k, v) =>
       val e = k.length + f2(v).length + 4; if (used + e > budget) false else { used += e; true }
