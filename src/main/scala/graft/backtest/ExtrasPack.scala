@@ -162,14 +162,16 @@ object ExtrasPack extends QueryPack {
     }),
     "q_feature_sequences" -> ((s, d) => {
       // DL input windows (ml_strategy.py:223 create_sequences): last-10
-      // close sequence per bar as fixed feature columns
+      // close sequence per bar as fixed feature columns. One sliding
+      // collect_list frame instead of 10 parallel lag processors; the
+      // rn >= 10 filter keeps exactly the rows whose frame is full, so
+      // f_k = lag(close, 9-k) == element_at(arr, k+1) exactly.
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-      val withLags = (0 until 10).foldLeft(Signals.withRn(bars1m(s, d))) { (df, k) =>
-        df.withColumn(s"f$k", lag(col("close"), 9 - k).over(w))
-      }
-      withLags.filter(col("rn") >= 10)
+      val withArr = Signals.withRn(bars1m(s, d))
+        .withColumn("_arr", collect_list(col("close")).over(w.rowsBetween(-9, 0)))
+      withArr.filter(col("rn") >= 10)
         .select(Seq(col("symbol"), col("bucket_ms")) ++
-          (0 until 10).map(k => col(s"f$k")): _*)
+          (0 until 10).map(k => element_at(col("_arr"), k + 1).as(s"f$k")): _*)
         .orderBy("symbol", "bucket_ms")
     }),
     "q_rl_state" -> ((s, d) => {
@@ -179,13 +181,19 @@ object ExtrasPack extends QueryPack {
       // external model — the policy stand-in is a documented
       // deterministic threshold on the state mean (the same boundary
       // treatment as Multimodal.decodeStub).
+      // ONE sliding collect_list frame instead of 10 parallel lag
+      // processors (the r02-documented 2× win): rows with rn > 10 have a
+      // full 10-element frame, so lag(ret, j) == element_at(arr, 11-j)
+      // exactly; warmup rows emit zeros before the array is consulted.
+      // `ret` is coalesced (never null), so collect_list drops nothing.
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       val rets = Signals.withRn(bars1m(s, d))
         .withColumn("ret",
           coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
+        .withColumn("_arr", collect_list(col("ret")).over(w.rowsBetween(-10, -1)))
       val withState = (1 to 10).foldLeft(rets) { (df, j) =>
         df.withColumn(s"s$j", when(col("rn") <= 10, 0.0)
-          .otherwise(Port.r(coalesce(lag(col("ret"), j).over(w), lit(0.0)), 8)))
+          .otherwise(Port.r(element_at(col("_arr"), 11 - j), 8)))
       }
       val mean = (1 to 10).map(j => col(s"s$j")).reduce(_ + _) / 10
       withState
