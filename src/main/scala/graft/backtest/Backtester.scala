@@ -44,14 +44,20 @@ object Backtester {
           keys: Seq[String] = Seq("symbol")): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    // window layering (r07): both lags ride ONE WindowExec (the old
+    // withColumn chain planned one per expression — and evaluated
+    // lag(position) twice); the equity cumsum is the only second layer
     barsWithSignal
       .withColumn("position", col("signal").cast("double"))
+      .select(col("*"),
+        lag(col("position"), 1).over(w).as("_prev_pos"),
+        lag(col("close"), 1).over(w).as("_prev_close"))
       .withColumn("trade",
-        col("position") - coalesce(lag(col("position"), 1).over(w), lit(0.0)))
+        col("position") - coalesce(col("_prev_pos"), lit(0.0)))
       .withColumn("returns",
-        coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
+        coalesce(col("close") / col("_prev_close") - 1, lit(0.0)))
       .withColumn("strategy_returns",
-        coalesce(lag(col("position"), 1).over(w), lit(0.0)) * col("returns"))
+        coalesce(col("_prev_pos"), lit(0.0)) * col("returns"))
       .withColumn("costs", abs(col("trade")) * costRate)
       .withColumn("net_returns", col("strategy_returns") - col("costs"))
       // Equity stays in log domain: synthetic bar returns compound past
@@ -68,5 +74,6 @@ object Backtester {
       .withColumn("log_equity",
         sum(floor(log(lit(1.0) + greatest(col("net_returns"), lit(-0.9999))) * 1e8 + lit(0.5))
           .cast("decimal(38,0)")).over(cum).cast("double") / 1e8)
+      .drop("_prev_pos", "_prev_close")
   }
 }

@@ -125,29 +125,43 @@ object ExtrasPack extends QueryPack {
       // stacked-union form's 3× rows through two sorts and a shuffle.
       // Formulas are token-identical to Backtester.run/Metrics.aggExprs,
       // so the stacked-form oracle (BtSql) pins the values unchanged.
+      // Window LAYERING (r07): interleaving withColumn projections
+      // between window expressions blocks Spark's CollapseWindow rule —
+      // the old foldLeft chain planned ELEVEN WindowExec operators over
+      // one sort, each a full row-copying pass. Same-layer window
+      // expressions now share one projection, so the plan collapses to
+      // the dependency-minimal THREE Window operators (lags → equity
+      // cumsums → running peaks). Expressions are token-identical —
+      // values and oracle unchanged.
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       val cum = w.rowsBetween(Window.unboundedPreceding, 0)
       val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
-      val withRet = allThreeCached(s, d)
-        .withColumn("returns",
-          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)))
-      val withBt = sfx.foldLeft(withRet) { case (df, (x, sc)) =>
-        val pos = col(sc).cast("double")
-        val prev = coalesce(lag(pos, 1).over(w), lit(0.0))
-        df.withColumn(s"position_$x", pos)
-          .withColumn(s"prev_pos_$x", lag(pos, 1).over(w))
-          .withColumn(s"net_$x",
-            prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate)
-      }
-      val withEq = sfx.foldLeft(withBt) { case (df, (x, _)) =>
-        df.withColumn(s"log_equity_$x",
-          sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
-            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8)
-      }
-      val withDd = sfx.foldLeft(withEq) { case (df, (x, _)) =>
-        df.withColumn(s"dd_$x",
-          exp(col(s"log_equity_$x") - max(col(s"log_equity_$x")).over(cum)) - 1)
-      }
+      val lagLayer = allThreeCached(s, d).select(
+        col("*") +:
+          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)).as("returns") +:
+          sfx.map { case (x, sc) =>
+            lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
+          }: _*)
+      val netLayer = lagLayer.select(
+        col("*") +: sfx.flatMap { case (x, sc) =>
+          val pos = col(sc).cast("double")
+          val prev = coalesce(col(s"prev_pos_$x"), lit(0.0))
+          val net = prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate
+          Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
+        }: _*)
+      val eqLayer = netLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          (sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
+            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8).as(s"log_equity_$x")
+        }: _*)
+      val peakLayer = eqLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          max(col(s"log_equity_$x")).over(cum).as(s"peak_$x")
+        }: _*)
+      val withDd = peakLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          (exp(col(s"log_equity_$x") - col(s"peak_$x")) - 1).as(s"dd_$x")
+        }: _*)
       val aggs = sfx.flatMap { case (x, _) =>
         Metrics.aggExprs(col(s"net_$x"), col(s"position_$x"),
           col(s"prev_pos_$x"), col(s"dd_$x"), s"_$x")

@@ -44,39 +44,56 @@ object MlFeatures {
     // 14-row float frames (their ratio feeds rsi's snap; frames are
     // narrow so the O(k) cost is small), as do the two stddevs (central
     // moments don't survive quantization or prefix cancellation).
+    //
+    // Window LAYERING (r07): all window expressions over raw columns sit
+    // in one projection (layer 1), everything whose window input is a
+    // layer-1 column (delta frames, prefix-sum lags, the returns_1d
+    // stddev) in a second — TWO WindowExec passes over one sort, where
+    // the old withColumn chain planned one per expression.
     val dec = "decimal(38,0)"
     def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)).cast(dec)
-    def slidingQ(c: org.apache.spark.sql.Column, k: Int) =
-      (c - coalesce(lag(c, k).over(w), lit(0).cast(dec))).cast("double") / (k * 1e6)
-    val delta = col("close") - lag(col("close"), 1).over(w)
-    val gain = avg(when(delta > 0, delta).otherwise(0.0)).over(frame(14))
-    val loss = avg(when(delta < 0, -delta).otherwise(0.0)).over(frame(14))
-    val sma20 = slidingQ(col("_cc"), 20)
-    val sd20 = stddev_samp(col("close")).over(frame(20))
-
-    Signals.withRn(bars)
-      .withColumn("_cc", sum(q6(col("close"))).over(cum))
-      .withColumn("_cv", sum(q6(col("volume"))).over(cum))
-      .withColumn("returns_1d", col("close") / lag(col("close"), 1).over(w) - 1)
-      .withColumn("returns_5d", col("close") / lag(col("close"), 5).over(w) - 1)
+    val l1 = Signals.withRn(bars).select(col("*"),
+      sum(q6(col("close"))).over(cum).as("_cc"),
+      sum(q6(col("volume"))).over(cum).as("_cv"),
+      lag(col("close"), 1).over(w).as("_lag1"),
+      lag(col("close"), 5).over(w).as("_lag5"),
+      stddev_samp(col("close")).over(frame(20)).as("_sd20"),
+      lead(col("close"), 1).over(w).as("_lead1"))
+    val delta = col("close") - col("_lag1")
+    val l2 = l1
+      .withColumn("returns_1d", col("close") / col("_lag1") - 1)
+      .select(col("*"),
+        avg(when(delta > 0, delta).otherwise(0.0)).over(frame(14)).as("_gain"),
+        avg(when(delta < 0, -delta).otherwise(0.0)).over(frame(14)).as("_loss"),
+        lag(col("_cc"), 10).over(w).as("_lcc10"),
+        lag(col("_cc"), 20).over(w).as("_lcc20"),
+        lag(col("_cc"), 50).over(w).as("_lcc50"),
+        lag(col("_cv"), 20).over(w).as("_lcv20"),
+        stddev_samp(col("returns_1d")).over(frame(20)).as("_vol20"))
+    def slidingQ(c: org.apache.spark.sql.Column, lagged: String, k: Int) =
+      (c - coalesce(col(lagged), lit(0).cast(dec))).cast("double") / (k * 1e6)
+    val sma20 = slidingQ(col("_cc"), "_lcc20", 20)
+    val (gain, loss, sd20) = (col("_gain"), col("_loss"), col("_sd20"))
+    l2
+      .withColumn("returns_5d", col("close") / col("_lag5") - 1)
       .withColumn("rsi",
         when(loss === 0 && gain === 0, lit(null))
           .when(loss === 0, 100.0)
           .otherwise(Port.r(lit(100.0) - lit(100.0) / (lit(1.0) + gain / loss), 4)))
       .withColumn("bb_upper", Port.r(sma20 + sd20 * 2, 6))
       .withColumn("bb_lower", Port.r(sma20 - sd20 * 2, 6))
-      .withColumn("sma_fast", Port.r(slidingQ(col("_cc"), 10), 6))
-      .withColumn("sma_slow", Port.r(slidingQ(col("_cc"), 50), 6))
+      .withColumn("sma_fast", Port.r(slidingQ(col("_cc"), "_lcc10", 10), 6))
+      .withColumn("sma_slow", Port.r(slidingQ(col("_cc"), "_lcc50", 50), 6))
       .withColumn("volume_sma_ratio",
-        Port.r(col("volume") / slidingQ(col("_cv"), 20), 6))
-      .withColumn("volatility", Port.r(stddev_samp(col("returns_1d")).over(frame(20)), 8))
+        Port.r(col("volume") / slidingQ(col("_cv"), "_lcv20", 20), 6))
+      .withColumn("volatility", Port.r(col("_vol20"), 8))
       // rn (the original bar index — the walk-forward folds' coordinate
       // system) and fwd (next-bar forward return) ride the SAME window
       // sort for free; q_feature_importance consumes them without a
       // window pass of its own. The filter drops only the warmup prefix,
       // so lead() over the unfiltered stream equals lead() over the
       // filtered one for every surviving row. q_ml_features drops both.
-      .withColumn("fwd", lead(col("close"), 1).over(w) / col("close") - 1)
+      .withColumn("fwd", col("_lead1") / col("close") - 1)
       .filter(col("rn") >= 50)
       .select(col("symbol"), col("bucket_ms"), col("close"),
         col("returns_1d"), col("returns_5d"), col("rsi"), col("bb_upper"),

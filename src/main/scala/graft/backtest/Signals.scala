@@ -34,14 +34,10 @@ object Signals {
     */
   private def cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
-  /** Sliding k-sum of the prefix-sum column `s`, as a prefix-sum
-    * difference. A window function can't nest inside another, so the
-    * prefix sum must already be materialized as a column; the lag pass
-    * shares the prefix pass's partitioning and sort (no extra exchange).
-    * Only exact once ≥ k rows exist — callers gate on `rn`.
-    */
-  private def slidingSum(s: org.apache.spark.sql.Column, k: Int) =
-    s - coalesce(lag(s, k).over(w), lit(0.0))
+  // (sliding k-sums are prefix-sum differences: s - coalesce(lag(s, k), 0).
+  // A window function can't nest inside another, so each plain form
+  // materializes the prefix sums in layer 1 and their lags in layer 2 —
+  // both layers share one partitioning and sort, no extra exchange.)
 
   // ---- adaptive routing: the default entry points pick the flat or the
   // two-level (chunked) form from the per-symbol history depth, so every
@@ -85,14 +81,28 @@ object Signals {
     if (useChunked(bars, rowsPerSymbolHint)) maCrossChunked(bars, fast, slow)
     else maCrossPlain(bars, fast, slow)
 
+  // ---- window LAYERING (r07): a withColumn between two window
+  // expressions inserts a Project that blocks CollapseWindow, so the old
+  // chains planned one WindowExec PER expression — each a full
+  // row-copying pass over the partition sort. Every plain form now puts
+  // all same-layer window expressions in ONE projection: layer 1 the
+  // rank/prefix sums over raw columns, layer 2 the lags of those sums —
+  // two WindowExec total, expressions token-identical (q_strategy_
+  // comparison measured 2.4 -> 0.8 s isolated from the same fix).
+
   def maCrossPlain(bars: DataFrame, fast: Int = 10, slow: Int = 50): DataFrame = {
-    val fastMa = slidingSum(col("_ps1"), fast) / fast
-    val slowMa = slidingSum(col("_ps1"), slow) / slow
-    withRn(bars)
-      .withColumn("_ps1", sum(col("close")).over(cum))
+    val base = bars.select(col("*"),
+      row_number().over(w).as("rn"),
+      sum(col("close")).over(cum).as("_ps1"))
+    val lagged = base.select(col("*"),
+      lag(col("_ps1"), fast).over(w).as("_lf"),
+      lag(col("_ps1"), slow).over(w).as("_ls"))
+    val fastMa = (col("_ps1") - coalesce(col("_lf"), lit(0.0))) / fast
+    val slowMa = (col("_ps1") - coalesce(col("_ls"), lit(0.0))) / slow
+    lagged
       .withColumn("signal",
         when(col("rn") >= slow && fastMa > slowMa, 1).otherwise(0))
-      .drop("_ps1")
+      .drop("_ps1", "_lf", "_ls")
   }
 
   /** Mean reversion: +1 when z < -k, -1 when z > k (strategy.py:71).
@@ -107,20 +117,25 @@ object Signals {
     else meanReversionPlain(bars, window, numStd)
 
   def meanReversionPlain(bars: DataFrame, window: Int = 20, numStd: Double = 2.0): DataFrame = {
-    val s1 = slidingSum(col("_ps1"), window)
-    val s2 = slidingSum(col("_ps2"), window)
+    val base = bars.select(col("*"),
+      row_number().over(w).as("rn"),
+      sum(col("close")).over(cum).as("_ps1"),
+      sum(col("close") * col("close")).over(cum).as("_ps2"))
+    val lagged = base.select(col("*"),
+      lag(col("_ps1"), window).over(w).as("_l1"),
+      lag(col("_ps2"), window).over(w).as("_l2"))
+    val s1 = col("_ps1") - coalesce(col("_l1"), lit(0.0))
+    val s2 = col("_ps2") - coalesce(col("_l2"), lit(0.0))
     val mu = s1 / window
     val sd = sqrt((s2 - s1 * s1 / window) / (window - 1))
     val z = (col("close") - mu) / sd
-    withRn(bars)
-      .withColumn("_ps1", sum(col("close")).over(cum))
-      .withColumn("_ps2", sum(col("close") * col("close")).over(cum))
+    lagged
       .withColumn("signal",
         when(col("rn") < window, 0)
           .when(z < -numStd, 1)
           .when(z > numStd, -1)
           .otherwise(0))
-      .drop("_ps1", "_ps2")
+      .drop("_ps1", "_ps2", "_l1", "_l2")
   }
 
   /** Momentum: ±1 when lookback pct-change exceeds ±threshold
@@ -132,13 +147,17 @@ object Signals {
     else momentumPlain(bars, lookback, threshold)
 
   def momentumPlain(bars: DataFrame, lookback: Int = 20, threshold: Double = 0.02): DataFrame = {
-    val mom = col("close") / lag(col("close"), lookback).over(w) - 1
-    withRn(bars)
+    val base = bars.select(col("*"),
+      row_number().over(w).as("rn"),
+      lag(col("close"), lookback).over(w).as("_lb"))
+    val mom = col("close") / col("_lb") - 1
+    base
       .withColumn("signal",
         when(col("rn") <= lookback, 0)
           .when(mom > threshold, 1)
           .when(mom < -threshold, -1)
           .otherwise(0))
+      .drop("_lb")
   }
 
   /** All three production signals (default parameters) from ONE
@@ -151,23 +170,31 @@ object Signals {
     * fusion is a stage-constant win, the chunking a scale necessity.
     */
   def allThreePlain(bars: DataFrame): DataFrame = {
-    val fastMa = slidingSum(col("_ps1"), 10) / 10
-    val slowMa = slidingSum(col("_ps1"), 50) / 50
-    val s1 = slidingSum(col("_ps1"), 20)
-    val s2 = slidingSum(col("_ps2"), 20)
+    val base = bars.select(col("*"),
+      row_number().over(w).as("rn"),
+      sum(col("close")).over(cum).as("_ps1"),
+      sum(col("close") * col("close")).over(cum).as("_ps2"))
+    val lagged = base.select(col("*"),
+      lag(col("_ps1"), 10).over(w).as("_lf10"),
+      lag(col("_ps1"), 50).over(w).as("_ls50"),
+      lag(col("_ps1"), 20).over(w).as("_l120"),
+      lag(col("_ps2"), 20).over(w).as("_l220"),
+      lag(col("close"), 20).over(w).as("_lc20"))
+    val fastMa = (col("_ps1") - coalesce(col("_lf10"), lit(0.0))) / 10
+    val slowMa = (col("_ps1") - coalesce(col("_ls50"), lit(0.0))) / 50
+    val s1 = col("_ps1") - coalesce(col("_l120"), lit(0.0))
+    val s2 = col("_ps2") - coalesce(col("_l220"), lit(0.0))
     val mu = s1 / 20
     val sd = sqrt((s2 - s1 * s1 / 20) / 19)
     val z = (col("close") - mu) / sd
-    val mom = col("close") / lag(col("close"), 20).over(w) - 1
-    withRn(bars)
-      .withColumn("_ps1", sum(col("close")).over(cum))
-      .withColumn("_ps2", sum(col("close") * col("close")).over(cum))
+    val mom = col("close") / col("_lc20") - 1
+    lagged
       .withColumn("s_ma", when(col("rn") >= 50 && fastMa > slowMa, 1).otherwise(0))
       .withColumn("s_mr",
         when(col("rn") < 20, 0).when(z < -2.0, 1).when(z > 2.0, -1).otherwise(0))
       .withColumn("s_mo",
         when(col("rn") <= 20, 0).when(mom > 0.02, 1).when(mom < -0.02, -1).otherwise(0))
-      .drop("_ps1", "_ps2")
+      .drop("_ps1", "_ps2", "_lf10", "_ls50", "_l120", "_l220", "_lc20")
   }
 
   // ---- two-level (chunked) variants: identical semantics, but no task
