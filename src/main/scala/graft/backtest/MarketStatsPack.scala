@@ -78,17 +78,26 @@ object MarketStatsPack extends QueryPack {
       val zero = lit(0).cast(dec)
       def q12(c: org.apache.spark.sql.Column) =
         floor(c * 1e12 + lit(0.5)).cast(dec)
-      def sliding(c: org.apache.spark.sql.Column) =
-        c - coalesce(lag(c, k).over(w), zero)
+      // window layering (r07): the six cumulative moments share ONE
+      // projection (one WindowExec), their five k-lags a second — the
+      // old withColumn chain planned one Window operator per expression
       val base = retsWithMarket(s, d, 3600)
         .withColumn("xi", q12(col("x")))
         .withColumn("yi", q12(col("y")))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("_px", sum(col("xi")).over(cum))
-        .withColumn("_py", sum(col("yi")).over(cum))
-        .withColumn("_pxy", sum(col("xi") * col("yi")).over(cum))
-        .withColumn("_pxx", sum(col("xi") * col("xi")).over(cum))
-        .withColumn("_pyy", sum(col("yi") * col("yi")).over(cum))
+        .select(col("*"),
+          row_number().over(w).as("rn"),
+          sum(col("xi")).over(cum).as("_px"),
+          sum(col("yi")).over(cum).as("_py"),
+          sum(col("xi") * col("yi")).over(cum).as("_pxy"),
+          sum(col("xi") * col("xi")).over(cum).as("_pxx"),
+          sum(col("yi") * col("yi")).over(cum).as("_pyy"))
+        .select(col("*"),
+          lag(col("_px"), k).over(w).as("_lpx"),
+          lag(col("_py"), k).over(w).as("_lpy"),
+          lag(col("_pxy"), k).over(w).as("_lpxy"),
+          lag(col("_pxx"), k).over(w).as("_lpxx"),
+          lag(col("_pyy"), k).over(w).as("_lpyy"))
+      def sliding(p: String, lp: String) = col(p) - coalesce(col(lp), zero)
       // num/den share the 1e24 scale factor, so the ratio is the
       // correlation; the only float ops are the final cast/mul/sqrt/div
       // on identical exact-integer inputs.
@@ -100,11 +109,11 @@ object MarketStatsPack extends QueryPack {
       // after filter(rn >= k) would run over the filtered rowset and
       // silently widen the first k-1 windows per symbol
       base
-        .withColumn("sx", sliding(col("_px")))
-        .withColumn("sy", sliding(col("_py")))
-        .withColumn("sxy", sliding(col("_pxy")))
-        .withColumn("sxx", sliding(col("_pxx")))
-        .withColumn("syy", sliding(col("_pyy")))
+        .withColumn("sx", sliding("_px", "_lpx"))
+        .withColumn("sy", sliding("_py", "_lpy"))
+        .withColumn("sxy", sliding("_pxy", "_lpxy"))
+        .withColumn("sxx", sliding("_pxx", "_lpxx"))
+        .withColumn("syy", sliding("_pyy", "_lpyy"))
         .filter(col("rn") >= k)
         .select(col("symbol"), col("bucket_ms"),
           Port.r(num / nullif(den, lit(0.0)), 6).as("roll_corr"))

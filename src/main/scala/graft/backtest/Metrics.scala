@@ -69,11 +69,14 @@ object Metrics {
   def compute(backtest: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // window layering (r07): cum-max and lag share partition/order, so
+    // one projection → one WindowExec (two frame processors, one sort)
     val withPeak = backtest
-      .withColumn("log_peak", max(col("log_equity")).over(w))
+      .select(col("*"),
+        max(col("log_equity")).over(w).as("log_peak"),
+        lag(col("position"), 1).over(
+          Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")).as("prev_pos"))
       .withColumn("dd", exp(col("log_equity") - col("log_peak")) - 1)
-      .withColumn("prev_pos", lag(col("position"), 1).over(
-        Window.partitionBy(keys.map(col): _*).orderBy("bucket_ms")))
     val aggs = aggExprs(col("net_returns"), col("position"), col("prev_pos"), col("dd"))
     withPeak.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

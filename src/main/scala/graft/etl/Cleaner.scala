@@ -157,8 +157,10 @@ object Cleaner {
       .select(col("symbol"), col("ck"),
         col("nf.pt").as("b_nt"), col("nf.pv").as("b_nv"))
     base
-      .withColumn("nt", lead(col("pt"), 1).over(w2))
-      .withColumn("nv", lead(col("pv"), 1).over(w2))
+      // both leads in one projection → one WindowExec (layering, r07)
+      .select(col("*"),
+        lead(col("pt"), 1).over(w2).as("nt"),
+        lead(col("pv"), 1).over(w2).as("nv"))
       .join(nexts, Seq("symbol", "ck"))
       .withColumn("nt", coalesce(col("nt"), col("b_nt")))
       .withColumn("nv", coalesce(col("nv"), col("b_nv")))

@@ -73,9 +73,15 @@ object AsOfJoin {
     val w = Window.partitionBy(partCol)
       .orderBy(timeOrder +: col("_tag") +: valueCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = (valueCols :+ "_rt").foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
+    // window layering (r07): every fill shares ONE WindowExec (the old
+    // foldLeft planned one per value column, and each later fill's sort
+    // saw earlier fills' outputs in the tiebreaker — one projection pins
+    // the documented original-tuple ordering for all of them)
+    val fillCols = (valueCols :+ "_rt").toSet
+    val filled = unioned.select(unioned.columns.map { c =>
+      if (fillCols(c)) last(col(c), ignoreNulls = true).over(w).as(c)
+      else col(c)
+    }: _*)
     val gap =
       if (forward) col("_rt") - col(timeCol) else col(timeCol) - col("_rt")
     val bounded = tolerance.fold(filled) { tol =>

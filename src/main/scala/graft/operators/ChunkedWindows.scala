@@ -45,9 +45,11 @@ object ChunkedWindows {
     val wc = Window.partitionBy("symbol").orderBy("_ck")
       .rowsBetween(Window.unboundedPreceding, -1)
     val base = df.withColumn("_ck", expr(s"bucket_ms div $chunkMs"))
-    val intra = sums.foldLeft(base.withColumn("_rnl", row_number().over(wRn))) {
-      case (d, (n, c)) => d.withColumn(s"_l$n", sum(c).over(w2))
-    }
+    // window layering (r07): rn + every intra-chunk running sum in ONE
+    // projection — one WindowExec per chunk task instead of one per sum
+    val intra = base.select(col("*") +:
+      row_number().over(wRn).as("_rnl") +:
+      sums.map { case (n, c) => sum(c).over(w2).as(s"_l$n") }: _*)
     val totalAggs = count(lit(1)).as("_cnt") +:
       sums.map { case (n, c) => sum(c).as(s"_t$n") }
     val offs = base.groupBy(col("symbol"), col("_ck"))
@@ -79,8 +81,9 @@ object ChunkedWindows {
       .withColumn("_ghost", lit(true))
     val padded = withCid.withColumn("_ghost", lit(false)).unionByName(ghosts)
     val w3 = Window.partitionBy("symbol", "_cid").orderBy("rn")
-    lags.foldLeft(padded) { case (d, (src, k, out)) =>
-      d.withColumn(out, lag(col(src), k).over(w3))
-    }.filter(!col("_ghost")).drop("_cid", "_ghost")
+    // all bounded lags share one WindowExec (layering, r07)
+    padded.select(col("*") +:
+      lags.map { case (src, k, out) => lag(col(src), k).over(w3).as(out) }: _*)
+      .filter(!col("_ghost")).drop("_cid", "_ghost")
   }
 }

@@ -36,8 +36,11 @@ object TextPack extends QueryPack {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
+      // both leads in one projection → one WindowExec over the token
+      // explosion (layering, r07)
+      .select(col("*"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("lang"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
@@ -57,8 +60,10 @@ object TextPack extends QueryPack {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       graft.Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
+        // one WindowExec for both leads (layering, r07)
+        .select(col("*"),
+          lead(col("tok"), 1).over(w).as("t1"),
+          lead(col("tok"), 2).over(w).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), col("pos"),
           concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
