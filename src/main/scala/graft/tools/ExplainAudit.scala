@@ -23,6 +23,21 @@ object ExplainAudit {
     "q_winnow_fingerprint", "q_drawdown_series", "q_var_cvar",
     "q_risk_snapshot", "q_dedup_clusters")
 
+  private def countWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val self = p match {
+      case _: org.apache.spark.sql.execution.window.WindowExec => 1
+      case _ => 0
+    }
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countWindows(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countWindows(a.executedPlan)
+      case _ => p.children.map(countWindows).sum
+    }
+    self + below
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Headliners
@@ -42,10 +57,17 @@ object ExplainAudit {
         case other => other.toString
       }
       val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
+      // row-copying window operators actually executed — the layering
+      // work (r07) keeps this at one per dependency LAYER, not one per
+      // window expression. Tree traversal (not string grep): descends
+      // AQE query stages, but NOT InMemoryRelation's cached lineage
+      // (a memoized frame's windows ran once at cache fill, not here).
+      val windowExecs = countWindows(df2.queryExecution.executedPlan)
       println(s"==== $name")
       scans.foreach(l => println(s"  scan: ${l.take(160)}"))
       joins.distinct.foreach(l => println(s"  join: $l"))
       println(s"  codegen spans: $codegenSpans")
+      println(s"  window execs: $windowExecs")
     }
     spark.stop()
   }
