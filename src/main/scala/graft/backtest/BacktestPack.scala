@@ -214,10 +214,14 @@ object BacktestPack extends QueryPack {
           (col("test_start") + 252).as("test_end_rn"))
         .orderBy("symbol", "split_id")),
     "q_train_test_split" -> ((s, d) => {
+      // per-symbol depth as a whole-partition window count, not
+      // groupBy + broadcast join-back: the join form planned the bar
+      // lineage twice (once under the count, once as the probe), which
+      // is two fact scans when the bars aren't already cached
       val rnb = Signals.withRn(bars1m(s, d)).select("symbol", "bucket_ms", "rn")
-      val counts = rnb.groupBy("symbol").agg(count(lit(1)).as("n"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
         .withColumn("split_idx", floor(col("n") * 0.8))
-      rnb.join(broadcast(counts), "symbol")
+      rnb
         .groupBy("symbol", "n", "split_idx")
         .agg(
           max(when(col("rn") === col("split_idx"), col("bucket_ms"))).as("train_end_ms"),

@@ -28,13 +28,21 @@ object MarketStatsPack extends QueryPack {
     */
   private def retsWithMarket(s: SparkSession, d: String, sec: Long): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    val rets = graft.operators.Bars.ohlcvCached(s, d, sec)
+    // The market return is a whole-bucket window avg, not groupBy +
+    // join-back: the old self-join planned the returns scan + lag
+    // window TWICE (once under the aggregate, once as the join probe)
+    // plus two join exchanges. The bucket partition is bounded by the
+    // symbol universe, and the snap-to-1e-12 parity posture is the one
+    // the hash aggregate already had (float partial-sum order is
+    // nondeterministic either way; the oracle's GROUP BY avg matches
+    // through the snap, same as before).
+    graft.operators.Bars.ohlcvCached(s, d, sec)
       .select(col("symbol"), col("bucket_ms"), col("close"))
       .withColumn("x", col("close") / lag(col("close"), 1).over(w) - 1)
       .filter(col("x").isNotNull)
-    val mkt = rets.groupBy("bucket_ms")
-      .agg(Port.r(avg(col("x")), 12).as("y"))
-    rets.join(mkt, "bucket_ms").select("symbol", "bucket_ms", "x", "y")
+      .withColumn("y",
+        Port.r(avg(col("x")).over(Window.partitionBy("bucket_ms")), 12))
+      .select("symbol", "bucket_ms", "x", "y")
   }
 
   /** DuckDB mirror of [[retsWithMarket]] (final CTE: j), appended to a

@@ -2,6 +2,7 @@ package graft.backtest
 
 import graft.functions.Port
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Portfolio statistics and optimization queries.
@@ -180,8 +181,11 @@ object PortfolioOpt {
     val withW = marginal.join(
       grid.select(col("grid_id"), col("symbol").as("symbol1"), col("weight")),
       Seq("grid_id", "symbol1"))
-    val pv = withW.groupBy("grid_id").agg(sqrt(sum(col("weight") * col("marg"))).as("pv"))
-    val rc = withW.join(pv, "grid_id")
+    // σ_p as a whole-grid-row window sum, not groupBy + join-back: the
+    // join form planned withW's three-shuffle lineage twice
+    val rc = withW
+      .withColumn("pv", sqrt(sum(col("weight") * col("marg"))
+        .over(Window.partitionBy("grid_id"))))
       .withColumn("rc", col("weight") * col("marg") / col("pv"))
       .cache()
     val target = 1.0 / symbols.length

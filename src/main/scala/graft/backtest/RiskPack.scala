@@ -69,9 +69,12 @@ object RiskPack extends QueryPack {
         .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
         .groupBy("symbol", "day_ms")
         .agg(exp(max_by(col("log_equity"), col("bucket_ms"))).as("eod_eq"))
-      val tot = daily.groupBy("day_ms").agg(sum(col("eod_eq")).as("port_value"))
+      // portfolio total as a whole-day window sum, not groupBy +
+      // join-back (one pass over the daily frame instead of two)
       val frac = col("eod_eq") / col("port_value")
-      daily.join(broadcast(tot), "day_ms")
+      daily
+        .withColumn("port_value",
+          sum(col("eod_eq")).over(Window.partitionBy("day_ms")))
         .select(col("symbol"), col("day_ms"),
           Port.r(frac, 6).as("position_fraction"),
           when(frac > limit * 1.5, "high")

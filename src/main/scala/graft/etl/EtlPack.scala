@@ -52,10 +52,15 @@ object EtlPack extends QueryPack {
       // per-symbol funnel with stage row counts + surviving price range
       val ticks = Tables.ticks(s, d)
       val raw = ticks.groupBy("symbol").agg(count(lit(1)).as("n_raw"))
+      // cache the dedup stage (not `valid`): it is the earliest shared
+      // frame, so its tick scan + first-wins shuffle run once and every
+      // later stage (count, validate, IQR bounds, outlier filter) is a
+      // cheap filter/agg over the cached rows — the old valid-level
+      // cache still built the dedup lineage twice
       val dedup = Cleaner.dedupKeepFirst(ticks)
-        .select(col("symbol"), col("first_price").as("price"))
+        .select(col("symbol"), col("first_price").as("price")).cache()
       val nDedup = dedup.groupBy("symbol").agg(count(lit(1)).as("n_dedup"))
-      val valid = dedup.filter(col("price") >= 10.0 && col("price") <= 180.0).cache()
+      val valid = dedup.filter(col("price") >= 10.0 && col("price") <= 180.0)
       val nValid = valid.groupBy("symbol").agg(count(lit(1)).as("n_valid"))
       val bounds = Cleaner.iqrBounds(valid)
       val clean = valid.join(broadcast(bounds), "symbol")

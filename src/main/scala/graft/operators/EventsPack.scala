@@ -30,20 +30,28 @@ object EventsPack extends QueryPack {
         .orderBy("user_id")
     }),
     "q_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-      def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
-        ev.filter(col("event_type") === evType)
-          .join(prev, "user_id")
-          .filter(col("ts") > col(prevCol))
-          .groupBy("user_id").agg(min(col("ts")).as(outCol))
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
-      val s2 = firstAfter("view", s1, "t_signup", "t_view")
-      val s3 = firstAfter("click", s2, "t_view", "t_click")
-      val s4 = firstAfter("purchase", s3, "t_click", "t_purchase")
-      s1.join(s2, Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
-        .join(s4, Seq("user_id"), "left")
+      // ONE events scan: each funnel stage is a whole-user-partition
+      // conditional min over the previous stage's window output — four
+      // dependent window layers on one shuffle. The old per-stage
+      // groupBy + join chain planned the events lineage once per stage
+      // PLUS once per join probe. Semantics are identical: strict `>`
+      // carries over, and a null previous stage nulls the comparison,
+      // which mirrors the inner-join gating (count() skips nulls).
+      val w = Window.partitionBy("user_id")
+      def stageMin(evType: String, after: org.apache.spark.sql.Column) =
+        min(when(col("event_type") === evType && col("ts") > after, col("ts"))).over(w)
+      val perUser = Tables.events(s, d).select("user_id", "event_type", "ts")
+        .withColumn("t_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t_view", stageMin("view", col("t_signup")))
+        .withColumn("t_click", stageMin("click", col("t_view")))
+        .withColumn("t_purchase", stageMin("purchase", col("t_click")))
+        .groupBy("user_id").agg(
+          max(col("t_signup")).as("t_signup"),
+          max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+      perUser
         .agg(count(col("t_signup")).as("n_signup"),
           count(col("t_view")).as("n_view_after"),
           count(col("t_click")).as("n_click_after"),
@@ -71,13 +79,19 @@ object EventsPack extends QueryPack {
       // weekly cohort retention: users grouped by first-seen week, distinct
       // activity counted per week offset
       val wk = expr("ts div 604800000000000").as("wk") // ns → week index
+      // ONE events scan: cohort week is a per-user window min (the old
+      // groupBy + join-back planned the distinct activity set twice),
+      // and the cohort size is the aggregated frame's own offset-0 row
+      // (every user is active in their min week by definition), so the
+      // sizes scan disappears too. All-integer ops — exact either way.
       val activity = Tables.events(s, d).select(col("user_id"), wk).distinct()
-      val cohorts = activity.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-      val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
-      activity.join(cohorts, "user_id")
+        .withColumn("cohort_wk", min(col("wk")).over(Window.partitionBy("user_id")))
+      activity
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cohort_wk")
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort_wk")))
         .select((col("cohort_wk") * 604800000L).as("cohort_week_ms"),
           col("week_offset"), col("n_active"), col("cohort_size"),
           (col("n_active") / col("cohort_size")).as("retention"))

@@ -23,7 +23,12 @@ object ExplainAudit {
     "q_winnow_fingerprint", "q_drawdown_series", "q_var_cvar",
     "q_risk_snapshot", "q_dedup_clusters")
 
-  private def countWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+  /** Executed WindowExec count: descends AQE query stages, skips
+    * InMemoryRelation cached lineage. Pinned per-query by
+    * WindowLayeringSpec so a withColumn chain can't silently regress a
+    * layered plan back to one WindowExec per expression.
+    */
+  def countWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
     val self = p match {
       case _: org.apache.spark.sql.execution.window.WindowExec => 1
       case _ => 0

@@ -1,0 +1,43 @@
+package graft
+
+import graft.tools.ExplainAudit
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the executed-WindowExec count of the window-heavy queries at
+  * their dependency-minimal layer counts. A withColumn inserted between
+  * two window expressions blocks CollapseWindow and silently plans one
+  * row-copying WindowExec PER expression (the r07 layering find:
+  * q_strategy_comparison carried eleven over one sort before the fix) —
+  * this spec makes that regression loud. Counts are measured on the
+  * executed plan, descending AQE stages, excluding cached lineage.
+  */
+class WindowLayeringSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // name -> max executed WindowExec operators (the dependency-layer
+  // count; a frame feeding two plan branches may repeat its layer)
+  private val pins = Seq(
+    "q_backtest_ma_cross" -> 2, // signal layer + lag layer/equity cumsum (cached after first build)
+    "q_strategy_comparison" -> 3, // lags -> equity cumsums -> running peaks
+    "q_ml_features" -> 2, // lag/avg layer + derived layer
+    "q_rolling_corr" -> 4, // ret lag + bucket avg + cum moments + k-lags
+    "q_market_beta" -> 2, // ret lag + bucket avg (agg has no window)
+    "q_drawdown_series" -> 2, // backtest cached; running peak + rn
+    "q_perf_metrics" -> 1, // peak + prev-pos share one WindowExec
+    "q_asof_join" -> 1, // every ignore-nulls fill in one operator
+    "q_retention_cohorts" -> 2, // per-user cohort min + offset-0 size
+    "q_train_test_split" -> 2, // rn + whole-partition depth count
+    "q_sessionize" -> 2 // gap lag -> boundary cumsum (dependent)
+  )
+
+  test("executed plans stay at their dependency-minimal window layer counts") {
+    val failures = pins.flatMap { case (name, maxWindows) =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect() // finalize AQE
+      val got = ExplainAudit.countWindows(df.queryExecution.executedPlan)
+      if (got > maxWindows) Some(s"$name: $got WindowExec (pin $maxWindows)")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}
