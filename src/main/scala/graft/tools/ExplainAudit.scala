@@ -21,7 +21,11 @@ object ExplainAudit {
     "q_feature_importance", "q_strategy_comparison", "q_lang_id",
     // round-7: the full r06 perf-weak set is audited every round
     "q_winnow_fingerprint", "q_drawdown_series", "q_var_cvar",
-    "q_risk_snapshot", "q_dedup_clusters")
+    "q_risk_snapshot", "q_dedup_clusters",
+    // round-7 join-back eliminations: single-lineage window forms
+    // (q_risk_parity_opt already audited in the round-2 block)
+    "q_funnel", "q_retention_cohorts", "q_train_test_split",
+    "q_clean_pipeline")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by
