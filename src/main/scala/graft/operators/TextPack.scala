@@ -47,10 +47,15 @@ object TextPack extends QueryPack {
       .distinct()
   }
 
-  /** Session-memoized POSITIONAL shingle stream (doc_id, pos, shingle) —
-    * ONE token-explosion scan feeds both the distinct shingle table
-    * (jaccard pairs, MinHash) and the winnowing fingerprints, which
-    * previously re-exploded and re-windowed the same 3-gram stream.
+  /** Session-memoized POSITIONAL n-gram stream (doc_id, pos, tok, t1,
+    * shingle) — ONE token-explosion scan feeds the distinct shingle
+    * table (jaccard pairs, MinHash), the winnowing fingerprints, AND
+    * the 2-gram repetition gate, each of which previously re-exploded
+    * and re-windowed the same token stream. Rows exist wherever a
+    * 2-gram does (t1 non-null); `shingle` is null on the one trailing
+    * row per doc that has no 3-gram, so 3-gram consumers filter
+    * `shingle IS NOT NULL` (position-sensitive ones — winnowing — MUST,
+    * or their window frames would count the extra row).
     */
   private val posShingleCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
@@ -64,9 +69,10 @@ object TextPack extends QueryPack {
         .select(col("*"),
           lead(col("tok"), 1).over(w).as("t1"),
           lead(col("tok"), 2).over(w).as("t2"))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), col("pos"), col("tok"), col("t1"),
+          when(col("t2").isNotNull,
+            concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle"))
         .cache()
     })
 
@@ -78,7 +84,8 @@ object TextPack extends QueryPack {
 
   def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
-      posShinglesCached(s, d).select("doc_id", "shingle").distinct().cache())
+      posShinglesCached(s, d).filter(col("shingle").isNotNull)
+        .select("doc_id", "shingle").distinct().cache())
 
   /** Jaccard pair chain over the shingle CTE (final CTE: jp) — shared by
     * the pair and cluster oracles.
@@ -216,7 +223,10 @@ object TextPack extends QueryPack {
       // cached (doc_id, pos, shingle) rows, which arrive already
       // partitioned by doc_id from the cache's build.
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      posShinglesCached(s, d)
+      // shingle-non-null filter is load-bearing: the cache keeps one
+      // trailing 2-gram-only row per doc, and the positional 4-row
+      // frames below must see exactly the 3-gram rowset
+      posShinglesCached(s, d).filter(col("shingle").isNotNull)
         .withColumn("h", substring(md5(col("shingle")), 1, 8))
         .withColumn("wmin", min(col("h")).over(w.rowsBetween(0, 3)))
         .groupBy("doc_id")
@@ -259,12 +269,10 @@ object TextPack extends QueryPack {
       // Gopher-style repetition quality signals: per-doc top-2-gram
       // share and duplicated-2-gram mass, with a keep/drop decision —
       // the standard repetition gate in LLM corpus prep. All ratios are
-      // integer/integer divisions (exact, no rounding).
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .filter(col("t1").isNotNull)
+      // integer/integer divisions (exact, no rounding). Rides the
+      // memoized positional n-gram stream (every cached row IS a
+      // 2-gram) instead of re-exploding the corpus.
+      val grams = posShinglesCached(s, d)
         .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
