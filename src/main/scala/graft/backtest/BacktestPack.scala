@@ -142,17 +142,23 @@ object BacktestPack extends QueryPack {
       val zero = lit(0).cast(dec)
       def q(c: org.apache.spark.sql.Column, scale: Double) =
         floor(c * scale + lit(0.5)).cast(dec)
-      val counts = bars1m(s, d).groupBy("symbol").agg(count(lit(1)).as("n"))
       // rn (original bar index) and fwd come precomputed on the memoized
-      // feature frame — no window pass in this query at all
+      // feature frame — no bar-scale window pass in this query at all
       val feats = MlFeatures.cached(s, d)
         .withColumn("yq", q(col("fwd"), 1e8))
+      // Per-symbol depth n == max(rn) over the cached frame itself (the
+      // feature filter drops only the rn<50 warmup prefix, never the
+      // tail), so no separate bars aggregate + broadcast join-back.
+      // The symbol×fold frame below still needs n as a tiny aggregate —
+      // also off the cached frame, not a second bars lineage.
+      val counts = feats.groupBy("symbol").agg(max(col("rn")).as("n"))
       // iv = first fold whose training window contains this row:
       // rn <= n - (5-k)*252  ⇔  k >= 5 - (n-rn)/252
       // The quantized columns project ONCE before the aggregate (the agg
       // expressions otherwise re-evaluate floor·cast·decimal per use —
       // xq appears in four of the six moments).
-      val withIv = feats.join(broadcast(counts), "symbol")
+      val withIv = feats
+        .withColumn("n", max(col("rn")).over(Window.partitionBy("symbol")))
         .withColumn("iv",
           greatest(lit(0.0), lit(5.0) - floor((col("n") - col("rn")) / 252.0)).cast("long"))
         .filter(col("iv") <= 4)

@@ -27,7 +27,10 @@ class WindowLayeringSpec extends AnyFunSuite {
     "q_asof_join" -> 1, // every ignore-nulls fill in one operator
     "q_retention_cohorts" -> 2, // per-user cohort min + offset-0 size
     "q_train_test_split" -> 2, // rn + whole-partition depth count
-    "q_sessionize" -> 2 // gap lag -> boundary cumsum (dependent)
+    "q_sessionize" -> 2, // gap lag -> boundary cumsum (dependent)
+    "q_funnel" -> 4, // four dependent per-user stage minima, one shuffle
+    "q_feature_importance" -> 1 // per-symbol depth max; moments are agg-only
+
   )
 
   test("executed plans stay at their dependency-minimal window layer counts") {
