@@ -29,7 +29,11 @@ class WindowLayeringSpec extends AnyFunSuite {
     "q_train_test_split" -> 2, // rn + whole-partition depth count
     "q_sessionize" -> 2, // gap lag -> boundary cumsum (dependent)
     "q_funnel" -> 4, // four dependent per-user stage minima, one shuffle
-    "q_feature_importance" -> 1 // per-symbol depth max; moments are agg-only
+    // bar-scale depth max + fold prefix-sum + final rank (the last two
+    // run over the ~symbol×5 aggregate). At tiny SFs AQE's runtime
+    // empty-propagation can erase the post-filter windows entirely, so
+    // the measured count only ever shrinks below this structural pin.
+    "q_feature_importance" -> 3
 
   )
 
