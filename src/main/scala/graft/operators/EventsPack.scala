@@ -101,7 +101,9 @@ object EventsPack extends QueryPack {
       // daily/weekly active users: distinct (user, day) once, then WAU by
       // joining each day against its trailing 7-day window — the day
       // dimension is tiny and broadcast, so the expansion is 7× the
-      // per-day distinct set, linear in users
+      // per-day distinct set, linear in users. This exact form stays the
+      // oracled query; [[dauWauApprox]] is the bounded-state production
+      // variant for web-scale user counts.
       val userDays = Tables.events(s, d)
         .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
       val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
@@ -147,6 +149,34 @@ object EventsPack extends QueryPack {
           (col("ask_notional") / col("ask_qty")).as("vw_ask"))
         .orderBy("symbol"))
   )
+
+  /** Production-scale DAU/WAU (the q_dau_wau semantics for web-scale
+    * user counts): DAU stays exact — a count over the distinct
+    * (user, day) set — while WAU is a DataSketches HLL union: ONE
+    * per-day sketch aggregate runs over the user-scale rows, and the
+    * trailing-7-day union then runs over the ~days-sized sketch frame.
+    * The oracled q_dau_wau expands the user-day set 7× and holds full
+    * per-window distinct state — the engine's one remaining unbounded
+    * distinct at web scale, which this variant closes (same pattern as
+    * Risk.varCvarApprox: exact form stays the oracle, DauWauApproxSpec
+    * pins the sketch error on a known population; lgConfigK=14 →
+    * relative standard error ≈ 1.04/√2^14 ≈ 0.8%).
+    */
+  def dauWauApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
+    val daily = userDays.groupBy("day").agg(
+      count(lit(1)).as("dau"),
+      hll_sketch_agg(col("user_id"), lgConfigK).as("_sk"))
+    val days = daily.select(col("day").as("d"))
+    val wau = daily.join(broadcast(days),
+        col("day") >= col("d") - 6 && col("day") <= col("d"))
+      .groupBy("d").agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("wau"))
+    daily.join(wau, col("day") === col("d"))
+      .select((col("day") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+        (col("dau") / col("wau")).as("stickiness"))
+      .orderBy("day_ms")
+  }
 
   /** Synthetic limit-order book: side by user parity, integer price
     * levels, resting qty aggregated per level (order_book.py:179
