@@ -146,6 +146,43 @@ class AsOfJoinPropsSpec extends AnyFunSuite {
     val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("multi-column fills with nulls follow the one shared original-tuple order") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // Each fill is last-ignore-nulls PER COLUMN over the single window
+    // ordered by (t, tag, v, w) with the ORIGINAL values (nulls first,
+    // Spark's ascending default) — the r07 layering pinned that one
+    // shared order for every column. Brute force mirrors it exactly.
+    val genVal: Gen[Option[Double]] =
+      Gen.frequency(3 -> Gen.choose(1, 9).map(i => Some(i.toDouble)), 1 -> Gen.const(None))
+    val genRight = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 12L), genVal, genVal))
+    val genLts = Gen.listOfN(8, Gen.choose(0L, 12L))
+    // None sorts below Some (Spark: nulls first ascending)
+    def k(o: Option[Double]): Double = o.getOrElse(Double.NegativeInfinity)
+    val prop = Prop.forAll(genLts, genRight) { (lts, rts) =>
+      val left = lts.zipWithIndex.map { case (t, i) => ("A", t, i) }
+        .toDF("symbol", "t", "idx")
+      val rightDf = rts.map { case (t, v, w) => ("A", t, v.orNull, w.orNull) }
+        .toDF("symbol", "t", "v", "w")
+      val out = AsOfJoin.backward(left, rightDf, "symbol", "t", Seq("v", "w"))
+        .collect().map { r =>
+          r.getAs[Int]("idx") ->
+            (Option(r.get(r.fieldIndex("v"))), Option(r.get(r.fieldIndex("w"))))
+        }.toMap
+      lts.zipWithIndex.forall { case (lt, i) =>
+        val ordered = rts.filter(_._1 <= lt)
+          .sortBy { case (t, v, w) => (t, k(v), k(w)) }
+        val vExp = ordered.reverse.collectFirst { case (_, Some(v), _) => v }
+        val wExp = ordered.reverse.collectFirst { case (_, _, Some(w)) => w }
+        out(i)._1.map(_.asInstanceOf[Double]) == vExp &&
+          out(i)._2.map(_.asInstanceOf[Double]) == wExp
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 class NormalizerSpec extends AnyFunSuite {
