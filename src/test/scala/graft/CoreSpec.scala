@@ -164,7 +164,10 @@ class AsOfJoinPropsSpec extends AnyFunSuite {
     val prop = Prop.forAll(genLts, genRight) { (lts, rts) =>
       val left = lts.zipWithIndex.map { case (t, i) => ("A", t, i) }
         .toDF("symbol", "t", "idx")
-      val rightDf = rts.map { case (t, v, w) => ("A", t, v.orNull, w.orNull) }
+      val rightDf = rts.map { case (t, v, w) =>
+          ("A", t, v.map(Double.box).orNull: java.lang.Double,
+            w.map(Double.box).orNull: java.lang.Double)
+        }
         .toDF("symbol", "t", "v", "w")
       val out = AsOfJoin.backward(left, rightDf, "symbol", "t", Seq("v", "w"))
         .collect().map { r =>
