@@ -50,21 +50,53 @@ object Risk {
       approx_percentile(col("r"), lit(0.05), lit(accuracy)),
       approx_percentile(col("r"), lit(0.01), lit(accuracy)))
 
+  /** The VaR/CVaR aggregate expressions — the ONE definition of the
+    * oracle contract. RiskPack.riskStats builds its fused memoized frame
+    * from these same columns (via varCvarOn's extraAggs), so an edit here
+    * can never desync q_var_cvar / q_risk_snapshot from the oracle.
+    */
+  private[backtest] def varCvarAggs(p99: Column): Seq[Column] = Seq(
+    Port.r(first(col("var_95_raw")), 8).as("var_95"),
+    Port.r(p99, 8).as("var_99"),
+    Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
+    count(lit(1)).as("n")
+  )
+
+  /** Annualized mean/vol aggregate expressions shared by volSizing and
+    * RiskPack.riskStats (one definition per formula, same reason as
+    * varCvarAggs).
+    */
+  private[backtest] val annStatsAggs: Seq[Column] = Seq(
+    Port.r(avg(col("r")) * 252, 8).as("mean_return_ann"),
+    Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann")
+  )
+
+  /** Volatility-target sizing columns over (mean_return_ann,
+    * volatility_ann) — shared by volSizing and q_vol_position_sizing.
+    */
+  private[backtest] def sizingCols(portfolioValue: Double, targetVol: Double,
+                                   maxPosition: Double): Seq[(String, Column)] = Seq(
+    "position_fraction" ->
+      Port.r(when(col("volatility_ann") === 0, 0.0)
+        .otherwise(least(lit(targetVol) / col("volatility_ann"), lit(maxPosition))), 6),
+    "position_dollars" ->
+      Port.r(col("position_fraction") * portfolioValue, 2)
+  )
+
   /** Only the 5% quantile is needed PER-ROW (the CVaR conditional); it
     * rides the symbol partitioning as a window aggregate. The 1% quantile
     * is a plain aggregate in the final groupBy — same rows, same value,
-    * one window fewer.
+    * one window fewer. extraAggs lets a caller fuse more per-symbol
+    * aggregates into the same single pass (RiskPack.riskStats).
     */
-  private[backtest] def varCvarOn(rets: DataFrame, p95: Column, p99: Column): DataFrame =
+  private[backtest] def varCvarOn(rets: DataFrame, p95: Column, p99: Column,
+                                  extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = varCvarAggs(p99) ++ extraAggs
     rets
       .withColumn("var_95_raw", p95.over(Window.partitionBy("symbol")))
       .groupBy("symbol")
-      .agg(
-        Port.r(first(col("var_95_raw")), 8).as("var_95"),
-        Port.r(p99, 8).as("var_99"),
-        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
-        count(lit(1)).as("n")
-      )
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Kelly fraction from a backtest's net returns (risk_monitor.py:332):
     * quarter-Kelly, capped to [0, maxPosition].
@@ -93,15 +125,11 @@ object Risk {
     */
   def volSizing(bars: DataFrame, portfolioValue: Double = 1000000.0,
                 targetVol: Double = 0.15, maxPosition: Double = 0.25): DataFrame =
-    barReturns(bars).groupBy("symbol")
-      .agg(
-        Port.r(avg(col("r")) * 252, 8).as("mean_return_ann"),
-        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
-      .withColumn("position_fraction",
-        Port.r(when(col("volatility_ann") === 0, 0.0)
-          .otherwise(least(lit(targetVol) / col("volatility_ann"), lit(maxPosition))), 6))
-      .withColumn("position_dollars",
-        Port.r(col("position_fraction") * portfolioValue, 2))
+    sizingCols(portfolioValue, targetVol, maxPosition)
+      .foldLeft(barReturns(bars).groupBy("symbol")
+        .agg(annStatsAggs.head, annStatsAggs.tail: _*)) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
 
   /** Limit-breach monitoring over a backtest (risk_monitor.py:155-278):
     * daily-loss and drawdown threshold alerts per symbol.

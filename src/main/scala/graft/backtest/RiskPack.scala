@@ -27,34 +27,35 @@ object RiskPack extends QueryPack {
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
   private def riskStats(s: SparkSession, d: String): DataFrame =
-    riskStatsCache.getOrElseUpdate((s, d), {
-      val rets = Risk.barReturns(bars1m(s, d))
-        .withColumn("var_95_raw",
-          percentile(col("r"), lit(0.05)).over(Window.partitionBy("symbol")))
-      rets.groupBy("symbol").agg(
-        Port.r(first(col("var_95_raw")), 8).as("var_95"),
-        Port.r(percentile(col("r"), lit(0.01)), 8).as("var_99"),
-        Port.r(avg(when(col("r") <= col("var_95_raw"), col("r"))), 8).as("cvar_95"),
-        count(lit(1)).as("n"),
-        Port.r(avg(col("r")) * 252, 8).as("mean_return_ann"),
-        Port.r(stddev_samp(col("r")) * math.sqrt(252.0), 8).as("volatility_ann"))
-        .cache()
-    })
+    riskStatsCache.getOrElseUpdate((s, d),
+      // built from Risk's own expression lists (varCvarAggs +
+      // annStatsAggs via varCvarOn's extraAggs) — one definition per
+      // formula, so this fused frame cannot desync from the oracled
+      // Risk.varCvar / Risk.volSizing forms
+      Risk.varCvarOn(Risk.barReturns(bars1m(s, d)),
+        percentile(col("r"), lit(0.05)), percentile(col("r"), lit(0.01)),
+        Risk.annStatsAggs).cache())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_var_cvar" -> ((s, d) =>
       riskStats(s, d).select("symbol", "var_95", "var_99", "cvar_95", "n")
         .orderBy("symbol")),
+    // rows-only (no oracle): the bounded-state production variant of
+    // q_var_cvar — approx_percentile (GK sketch, O(accuracy) state)
+    // instead of the exact sort-based percentile buffer. RiskApproxSpec
+    // pins the rank-error bound; registering it here makes the driver
+    // exercise the 100 TB path every round.
+    "q_var_cvar_approx" -> ((s, d) =>
+      Risk.varCvarApprox(bars1m(s, d)).orderBy("symbol")),
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
     "q_vol_position_sizing" -> ((s, d) => {
-      // derived per-row sizing over the memoized stats (risk_monitor.py:360)
-      val (pv, targetVol, maxPos) = (1000000.0, 0.15, 0.25)
-      riskStats(s, d).select(col("symbol"), col("mean_return_ann"), col("volatility_ann"))
-        .withColumn("position_fraction",
-          Port.r(when(col("volatility_ann") === 0, 0.0)
-            .otherwise(least(lit(targetVol) / col("volatility_ann"), lit(maxPos))), 6))
-        .withColumn("position_dollars",
-          Port.r(col("position_fraction") * pv, 2))
+      // derived per-row sizing over the memoized stats (risk_monitor.py:360),
+      // sizing expressions shared with Risk.volSizing (one definition)
+      Risk.sizingCols(1000000.0, 0.15, 0.25)
+        .foldLeft(riskStats(s, d)
+          .select(col("symbol"), col("mean_return_ann"), col("volatility_ann"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }
         .orderBy("symbol")
     }),
     "q_risk_limit_alerts" -> ((s, d) => Risk.limitAlerts(btMaCross(s, d)).orderBy("symbol")),

@@ -122,8 +122,17 @@ object Ann {
     * construction (2^bits per band) and data-independent.
     */
   def hyperplaneNearDup(emb: DataFrame, bands: Int, bits: Int,
-                        threshold: Double, cap: Long): DataFrame =
-    hyperplaneNearDupStaged(emb, bands, bits, threshold, cap)._1
+                        threshold: Double, cap: Long): DataFrame = {
+    // Self-cleaning entry point: materialize the (tiny) pair result, then
+    // free the interior cached frames deterministically. Returning the
+    // staged result with live scaffolding handed callers the exact async-
+    // ContextCleaner nondeterminism the staged variant exists to fix.
+    val (res, scaffolding) = hyperplaneNearDupStaged(emb, bands, bits, threshold, cap)
+    val r = res.cache()
+    r.count()
+    scaffolding.foreach(_.unpersist(blocking = false))
+    r
+  }
 
   /** [[hyperplaneNearDup]] plus its cache scaffolding (the signature and
     * size-filtered bucket frames) so a caller that materializes the

@@ -34,12 +34,31 @@ object AnnPack extends QueryPack {
     Ann.withNorm(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e")))
 
+  /** Session-memoized CACHED embedding frame shared by the IVF and
+    * near-dup pipelines. Registered in a Memo map so invalidateAll
+    * unpersists it — a bare `.cache()` here would survive eviction in the
+    * CacheManager and re-serve stale embedding data to the rebuilt plan
+    * (the staleness hazard invalidateAll exists to close).
+    */
+  private val embCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def embCached(s: SparkSession, d: String): DataFrame =
+    embCache.getOrElseUpdate((s, d), emb(s, d).cache())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_cosine_topk" -> ((s, d) => Ann.bruteTopK(emb(s, d), nQueries = 10, k = 10)),
+    "q_ann_cosine_topk" -> ((s, d) => Ann.bruteTopK(embCached(s, d), nQueries = 10, k = 10)),
     "q_ann_ivf_topk" -> ((s, d) =>
       // real IVF: 8 k-means cells (2 assignment rounds, deterministic
       // seeds), nprobe=2 — see graft.operators.Ann
-      Ann.ivfTopK(emb(s, d).cache(), nQueries = 10, k = 5, cells = 8, nprobe = 2)),
+      Ann.ivfTopK(embCached(s, d), nQueries = 10, k = 5, cells = 8, nprobe = 2)),
+    // rows-only (no oracle): the sqrt(n)-cells library default — the
+    // path a real deployment uses (the oracled q_ann_ivf_topk pins
+    // cells=8 because its SQL mirror unrolls the cell count). AnnSpec
+    // pins recall; registering it here gives the driver a per-round
+    // check on the auto-sized path.
+    "q_ann_ivf_auto" -> ((s, d) =>
+      Ann.ivfTopKAuto(embCached(s, d), nQueries = 10, k = 5, nprobe = 2)),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
@@ -68,7 +87,7 @@ object AnnPack extends QueryPack {
 
   private def nearDupCached(s: SparkSession, d: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, d), {
-      val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb(s, d).cache(),
+      val (res, scaffolding) = Ann.hyperplaneNearDupStaged(embCached(s, d),
         bands = 12, bits = 3, threshold = 0.35, cap = 2000)
       val r = res.cache()
       r.count()

@@ -23,21 +23,30 @@ import org.apache.spark.sql.functions._
   *   measurable at scale via MICRO_CC;
   * - per-round lazy localCheckpoint truncates lineage to a materialized
   *   leaf (flat memory and plan depth across rounds); superseded rounds'
-  *   blocks unpersist deterministically, and [[labels]] frees ALL loop
-  *   scaffolding — including the final checkpoint — once the result
-  *   frame is cached and materialized (async-ContextCleaner debt made
-  *   bench timings of unrelated queries nondeterministic, round 7).
+  *   blocks unpersist deterministically, and [[labels]] frees the loop
+  *   scaffolding once the result frame is cached and materialized
+  *   (async-ContextCleaner debt made bench timings of unrelated queries
+  *   nondeterministic, round 7).
   *
-  * The returned frame is cached + materialized and its lineage is
-  * truncated through the final checkpoint: the CALLER (or Memo eviction)
-  * owns unpersisting it; it cannot be recomputed after eviction.
+  * The returned frame is cached + materialized; its recompute leaf is the
+  * final round's checkpoint blocks, which stay alive until the returned
+  * release() runs (bundle it with the result's lifecycle — Memo eviction
+  * in the q_dedup_clusters path), so a cache-evicted re-access recomputes
+  * instead of failing on a missing checkpoint block.
   */
 object ConnectedComponents {
 
   /** (node, root) labels for every node appearing in `pairs` (doc1, doc2);
-    * root = min node id of the component. Returns (labels, iterations).
+    * root = min node id of the component. Returns (labels, iterations,
+    * release): the labels frame is cached + materialized but its lineage
+    * still leads to the final round's localCheckpoint blocks, so those
+    * stay ALIVE until `release()` — a caller that unpersisted them
+    * immediately (the pre-r08 shape) left any later cache-evicted
+    * re-access to die with an opaque "checkpoint block not found" instead
+    * of recomputing. Call `release()` when every frame derived from the
+    * labels is itself materialized-or-done (e.g. at Memo eviction).
     */
-  def labels(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  def labels(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int, () => Unit) = {
     val edges = pairs
       .select(col("doc1"), col("doc2"))
       .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
@@ -75,11 +84,17 @@ object ConnectedComponents {
     }
     val result = cur.cache()
     // materialize the (component-scale, not corpus-scale) result NOW,
-    // then free every piece of loop scaffolding deterministically
+    // then free the loop scaffolding deterministically — EXCEPT the final
+    // round's checkpoint blocks, which remain the result's recompute leaf
+    // and are freed by the returned release() at end-of-lifecycle
     result.count()
-    prevCkpt.foreach(_.unpersist(blocking = false))
     labels0.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    (result, iter)
+    val finalCkpt = prevCkpt
+    val release = () => {
+      result.unpersist(blocking = false)
+      finalCkpt.foreach(_.unpersist(blocking = false))
+    }
+    (result, iter, release)
   }
 }

@@ -116,6 +116,11 @@ object EventsPack extends QueryPack {
           (col("dau") / col("wau")).as("stickiness"))
         .orderBy("day_ms")
     }),
+    // rows-only (no oracle): the bounded-state production variant of
+    // q_dau_wau — HLL sketches instead of exact per-window distinct
+    // state. DauWauApproxSpec pins the sketch error; registering it here
+    // makes the driver exercise the 100 TB path every round.
+    "q_dau_wau_approx" -> ((s, d) => dauWauApprox(Tables.events(s, d))),
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),

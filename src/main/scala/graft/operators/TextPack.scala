@@ -330,7 +330,9 @@ object TextPack extends QueryPack {
     * (q_dedup_clusters itself measured 2.19–8.11 s across driver runs).
     */
   private val clusterCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), (DataFrame, () => Unit)] {
+      case (df, release) => df.unpersist(); release()
+    }
 
   private def clustersCached(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s, d), {
@@ -339,7 +341,7 @@ object TextPack extends QueryPack {
       // propagation algorithm, its O(log diameter) convergence, and the
       // deterministic scaffolding eviction. cluster_id = min doc_id of
       // the component — deterministic, and the canonical survivor.
-      val (labels, _) =
+      val (labels, _, release) =
         ConnectedComponents.labels(jaccardPairs(s, d).select("doc1", "doc2"))
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       val result = labels.join(broadcast(sizes), "root")
@@ -347,13 +349,14 @@ object TextPack extends QueryPack {
           (col("doc_id") === col("root")).cast("int").as("is_canonical"))
         .cache()
       // materialize the (tiny: one row per doc in a dup component) final
-      // frame, then release the intermediate labels cache — the result
-      // is lineage-truncated through the loop's checkpoint, so Memo
-      // eviction owns its lifecycle (callers must not unpersist it).
+      // frame, then drop the labels CACHE blocks (cheap to rebuild — the
+      // loop's final checkpoint stays alive as the recompute leaf until
+      // Memo eviction runs release(), so an evicted result recomputes
+      // instead of failing on a missing checkpoint block).
       result.count()
       labels.unpersist(blocking = false)
-      result
-    })
+      (result, release)
+    })._1
 
   /** Session-memoized near-dup pairs: the shingle inverted-index self-join
     * is the most expensive text operator and feeds two queries

@@ -140,11 +140,12 @@ object MicroBench {
       val pairs = spark.range(n - 1)
         .select(col("id").as("doc1"), (col("id") + 1).as("doc2"))
       time(s"cc_path_n$n") {
-        val (labels, iters) = graft.operators.ConnectedComponents.labels(pairs, maxIter = 64)
+        val (labels, iters, release) =
+          graft.operators.ConnectedComponents.labels(pairs, maxIter = 64)
         val comps = labels.select("root").distinct().count()
         val rows = labels.count()
         println(s"[micro] cc_path: n=$n diameter=${n - 1} iterations=$iters components=$comps")
-        labels.unpersist(blocking = false)
+        release()
         rows
       }
       spark.stop(); return

@@ -32,7 +32,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }
     val expected = unionFind(n, edges)
-    val (labels, _) = ConnectedComponents.labels(
+    val (labels, _, release) = ConnectedComponents.labels(
       edges.toDF("doc1", "doc2"))
     try {
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -40,13 +40,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       got.foreach { case (node, root) =>
         assert(root == expected(node), s"node $node: got $root, want ${expected(node)}")
       }
-    } finally labels.unpersist()
+    } finally release()
   }
 
   test("path graph (worst-case diameter) converges in O(log d) rounds") {
     val n = 129L // diameter 128: plain propagation would need 128 rounds
     val pairs = spark.range(n - 1).select(col("id").as("doc1"), (col("id") + 1).as("doc2"))
-    val (labels, iters) = ConnectedComponents.labels(pairs, maxIter = 64)
+    val (labels, iters, release) = ConnectedComponents.labels(pairs, maxIter = 64)
     try {
       val roots = labels.select("root").distinct().collect().map(_.getLong(0))
       assert(roots.toSeq == Seq(0L), s"expected one component rooted at 0, got ${roots.toSeq}")
@@ -54,6 +54,6 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       // min-label + pointer jumping: reach better-than-doubles per round;
       // allow slack over ceil(log2(128)) = 7 for the final no-change round
       assert(iters <= 12, s"path-128 took $iters rounds — propagation is not logarithmic")
-    } finally labels.unpersist()
+    } finally release()
   }
 }
