@@ -49,6 +49,62 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_SCMP")) {
+      // stage-by-stage cost of q_strategy_comparison (same layer shapes
+      // as ExtrasPack): which of the three WindowExec passes / wide agg
+      // dominates the 1.3 s isolated warm time?
+      import graft.backtest.{Backtester, Metrics, Signals}
+      import graft.operators.Bars
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
+      val base = Signals.allThreePlain(Bars.ohlcvCached(spark, d, 60)).cache()
+      base.queryExecution.toRdd.count()
+      def lagLayer = base.select(
+        col("*") +:
+          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)).as("returns") +:
+          sfx.map { case (x, sc) =>
+            lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
+          }: _*)
+      def netLayer = lagLayer.select(
+        col("*") +: sfx.flatMap { case (x, sc) =>
+          val pos = col(sc).cast("double")
+          val prev = coalesce(col(s"prev_pos_$x"), lit(0.0))
+          val net = prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate
+          Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
+        }: _*)
+      def eqLayer = netLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          (sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
+            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8).as(s"log_equity_$x")
+        }: _*)
+      def peakLayer = eqLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          max(col(s"log_equity_$x")).over(cum).as(s"peak_$x")
+        }: _*)
+      def withDd = peakLayer.select(
+        col("*") +: sfx.map { case (x, _) =>
+          (exp(col(s"log_equity_$x") - col(s"peak_$x")) - 1).as(s"dd_$x")
+        }: _*)
+      val aggs = sfx.flatMap { case (x, _) =>
+        Metrics.aggExprs(col(s"net_$x"), col(s"position_$x"),
+          col(s"prev_pos_$x"), col(s"dd_$x"), s"_$x")
+      }
+      for (r <- 1 to 3) {
+        time(s"base_r$r")(base.queryExecution.toRdd.count())
+        time(s"lag_r$r")(lagLayer.queryExecution.toRdd.count())
+        time(s"net_r$r")(netLayer.queryExecution.toRdd.count())
+        time(s"eq_r$r")(eqLayer.queryExecution.toRdd.count())
+        time(s"peak_r$r")(peakLayer.queryExecution.toRdd.count())
+        time(s"dd_r$r")(withDd.queryExecution.toRdd.count())
+        time(s"agg_r$r") {
+          val wide = withDd.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+          wide.queryExecution.toRdd.count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_EXPLAIN")) {
       // formatted physical plans: MICRO_EXPLAIN=q_a,q_b
       for (nm <- sys.env("MICRO_EXPLAIN").split(",").map(_.trim).filter(_.nonEmpty)) {
