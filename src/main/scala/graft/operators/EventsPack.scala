@@ -13,6 +13,19 @@ object EventsPack extends QueryPack {
 
   private val GapNs = 30L * 60 * 1000000000L // 30-minute session gap
 
+  /** Session-memoized distinct (user_id, day) frame — the expensive pass
+    * shared by q_dau_wau and q_dau_wau_approx (result is at most
+    * |users|×|days| rows, tiny next to the event stream).
+    */
+  private val userDaysCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def userDaysCached(s: SparkSession, d: String): DataFrame =
+    userDaysCache.getOrElseUpdate((s, d),
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct().cache())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts")
@@ -98,14 +111,14 @@ object EventsPack extends QueryPack {
         .orderBy("cohort_week_ms", "week_offset")
     }),
     "q_dau_wau" -> ((s, d) => {
-      // daily/weekly active users: distinct (user, day) once, then WAU by
-      // joining each day against its trailing 7-day window — the day
-      // dimension is tiny and broadcast, so the expansion is 7× the
-      // per-day distinct set, linear in users. This exact form stays the
-      // oracled query; [[dauWauApprox]] is the bounded-state production
-      // variant for web-scale user counts.
-      val userDays = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
+      // daily/weekly active users: distinct (user, day) once (memoized —
+      // the approx variant rides the same frame), then WAU by joining
+      // each day against its trailing 7-day window — the day dimension
+      // is tiny and broadcast, so the expansion is 7× the per-day
+      // distinct set, linear in users. This exact form stays the oracled
+      // query; [[dauWauApprox]] is the bounded-state production variant
+      // for web-scale user counts.
+      val userDays = userDaysCached(s, d)
       val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
       val days = dau.select(col("day").as("d"))
       val wau = userDays.join(broadcast(days),
@@ -120,7 +133,7 @@ object EventsPack extends QueryPack {
     // q_dau_wau — HLL sketches instead of exact per-window distinct
     // state. DauWauApproxSpec pins the sketch error; registering it here
     // makes the driver exercise the 100 TB path every round.
-    "q_dau_wau_approx" -> ((s, d) => dauWauApprox(Tables.events(s, d))),
+    "q_dau_wau_approx" -> ((s, d) => dauWauApproxOn(userDaysCached(s, d))),
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),
@@ -167,9 +180,14 @@ object EventsPack extends QueryPack {
     * pins the sketch error on a known population; lgConfigK=14 →
     * relative standard error ≈ 1.04/√2^14 ≈ 0.8%).
     */
-  def dauWauApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame = {
-    val userDays = events
-      .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
+  def dauWauApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame =
+    dauWauApproxOn(events
+      .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct(), lgConfigK)
+
+  /** [[dauWauApprox]] over an already-distinct (user_id, day) frame —
+    * lets the pack share one memoized distinct pass with q_dau_wau.
+    */
+  def dauWauApproxOn(userDays: DataFrame, lgConfigK: Int = 14): DataFrame = {
     val daily = userDays.groupBy("day").agg(
       count(lit(1)).as("dau"),
       hll_sketch_agg(col("user_id"), lgConfigK).as("_sk"))
