@@ -25,7 +25,9 @@ object ExplainAudit {
     // round-7 join-back eliminations: single-lineage window forms
     // (q_risk_parity_opt already audited in the round-2 block)
     "q_funnel", "q_retention_cohorts", "q_train_test_split",
-    "q_clean_pipeline")
+    "q_clean_pipeline",
+    // round-8: the rows-only production variants the driver now runs
+    "q_dau_wau_approx", "q_var_cvar_approx", "q_ann_ivf_auto")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by
