@@ -33,8 +33,12 @@ class WindowLayeringSpec extends AnyFunSuite {
     // run over the ~symbol×5 aggregate). At tiny SFs AQE's runtime
     // empty-propagation can erase the post-filter windows entirely, so
     // the measured count only ever shrinks below this structural pin.
-    "q_feature_importance" -> 3
-
+    "q_feature_importance" -> 3,
+    // r08 production variants: approx VaR shares the symbol sort between
+    // the return lag and the GK-sketch percentile window; approx DAU/WAU
+    // is window-free (sketch aggregates only)
+    "q_var_cvar_approx" -> 2,
+    "q_dau_wau_approx" -> 0
   )
 
   test("executed plans stay at their dependency-minimal window layer counts") {
