@@ -49,6 +49,20 @@ object JdbcSink {
   def readTrades(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties)
 
+  /** Parallel range-partitioned read — the bulk-export shape (drain the
+    * operational store into the lake): `numPartitions` tasks each issue a
+    * WHERE range on `partitionColumn`, so the scan parallelism is bounded
+    * and explicit instead of one connection dragging the whole table.
+    * Bounds come from the store's min/max (a catalog statistic — pass
+    * them; don't scan to learn them).
+    */
+  def readTradesPartitioned(spark: SparkSession, url: String, table: String,
+                            lower: Long, upper: Long,
+                            partitionColumn: String = "ts_ms",
+                            numPartitions: Int = 8): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions,
+      new java.util.Properties)
+
   /** Latest N trades for a symbol (database_writer.py:165): symbol
     * predicate pushed into the store's SQL, ordered newest-first.
     */

@@ -48,4 +48,19 @@ class JdbcSinkSpec extends AnyFunSuite {
     JdbcSink.writeTrades(trades.limit(10), url, "trades", numWriters = 1)
     assert(JdbcSink.readTrades(spark, url, "trades").count() == trades.count() + 10)
   }
+
+  test("partitioned bulk-export read: bounded parallel ranges, same totals") {
+    val dir = Files.createTempDirectory("graft-jdbc-part").toString
+    val url = s"jdbc:derby:$dir/tradedb;create=true"
+    val trades = Normalizer.trades(Tables.events(spark, TestSpark.Sf))
+      .select("ts_ms", "symbol", "price", "volume")
+    JdbcSink.writeTrades(trades, url, "trades", numWriters = 2)
+    val bounds = trades.agg(min("ts_ms"), max("ts_ms")).collect()(0)
+    val part = JdbcSink.readTradesPartitioned(spark, url, "trades",
+      bounds.getLong(0), bounds.getLong(1) + 1, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == trades.count())
+    assert(part.agg(sum("ts_ms")).collect()(0).getLong(0) ==
+      trades.agg(sum("ts_ms")).collect()(0).getLong(0))
+  }
 }
