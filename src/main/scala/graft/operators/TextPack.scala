@@ -343,8 +343,12 @@ object TextPack extends QueryPack {
       // the component — deterministic, and the canonical survivor.
       val (labels, _, release) =
         ConnectedComponents.labels(jaccardPairs(s, d).select("doc1", "doc2"))
+      // no forced broadcast: the sizes frame has one row per component,
+      // and component count GROWS with the corpus — size-based planning/
+      // AQE broadcasts it while it fits and degrades to a shuffle join
+      // when a 100 TB corpus outgrows the driver
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
-      val result = labels.join(broadcast(sizes), "root")
+      val result = labels.join(sizes, "root")
         .select(col("doc_id"), col("root").as("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("root")).cast("int").as("is_canonical"))
         .cache()

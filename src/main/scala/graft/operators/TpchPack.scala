@@ -63,8 +63,14 @@ object TpchPack extends QueryPack {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"), col("o_orderpriority"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > CutTs)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // no forced broadcast on customer: it SCALES with SF (a hard hint
+      // is a driver OOM at warehouse scale). Size-based planning + AQE
+      // still broadcast it whenever it fits autoBroadcastJoinThreshold —
+      // the identical plan at bench scale, the survivable one at 100 TB.
+      // Forced hints are reserved for FIXED-cardinality dims
+      // (region=5, nation=25).
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority")
         .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
         .select(col("l_orderkey"), col("o_orderdate_ms"), col("o_orderpriority"),
@@ -82,7 +88,8 @@ object TpchPack extends QueryPack {
       val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        // supplier scales with SF — rely on size-based/AQE broadcast
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
@@ -101,8 +108,10 @@ object TpchPack extends QueryPack {
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
       val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      // customer scales with SF — rely on size-based/AQE broadcast;
+      // nation is fixed-25-rows, hint stays
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
