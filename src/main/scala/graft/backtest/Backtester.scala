@@ -1,7 +1,7 @@
 package graft.backtest
 
 import graft.functions.Port
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
 object Backtester {
   val DefaultCostRate: Double = 0.001 + 0.0005 // commission + slippage
   val InitialCash: Double = 1000000.0
+
+  /** The per-bar backtest expressions — ONE definition each. [[run]] and
+    * the wide three-strategy form (ExtrasPack q_strategy_comparison)
+    * both build from these, so an edit here cannot desync the two from
+    * each other or from the oracle (same hazard class the round-8 Risk
+    * refactor closed).
+    */
+  def returnsExpr(close: Column, prevClose: Column): Column =
+    coalesce(close / prevClose - 1, lit(0.0))
+
+  def tradeExpr(pos: Column, prevPos: Column): Column =
+    pos - coalesce(prevPos, lit(0.0))
+
+  def stratRetExpr(prevPos: Column, returns: Column): Column =
+    coalesce(prevPos, lit(0.0)) * returns
+
+  def costExpr(pos: Column, prevPos: Column, costRate: Double): Column =
+    abs(tradeExpr(pos, prevPos)) * costRate
+
+  /** Log-domain equity cumsum with each ln term quantized to the 1e-8
+    * grid BEFORE the running sum (see [[run]] for why).
+    */
+  def logEquityExpr(net: Column, cum: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(floor(log(lit(1.0) + greatest(net, lit(-0.9999))) * 1e8 + lit(0.5))
+      .cast("decimal(38,0)")).over(cum).cast("double") / 1e8
 
   /** Session-memoized ma-cross(10/50) backtest frame over 1-min bars —
     * the most shared subplan in the library (metrics, streaks, drawdown,
@@ -52,12 +77,9 @@ object Backtester {
       .select(col("*"),
         lag(col("position"), 1).over(w).as("_prev_pos"),
         lag(col("close"), 1).over(w).as("_prev_close"))
-      .withColumn("trade",
-        col("position") - coalesce(col("_prev_pos"), lit(0.0)))
-      .withColumn("returns",
-        coalesce(col("close") / col("_prev_close") - 1, lit(0.0)))
-      .withColumn("strategy_returns",
-        coalesce(col("_prev_pos"), lit(0.0)) * col("returns"))
+      .withColumn("trade", tradeExpr(col("position"), col("_prev_pos")))
+      .withColumn("returns", returnsExpr(col("close"), col("_prev_close")))
+      .withColumn("strategy_returns", stratRetExpr(col("_prev_pos"), col("returns")))
       .withColumn("costs", abs(col("trade")) * costRate)
       .withColumn("net_returns", col("strategy_returns") - col("costs"))
       // Equity stays in log domain: synthetic bar returns compound past
@@ -71,9 +93,7 @@ object Backtester {
       // bar's ln(1e-4) term the running sum sits near -1e3, where float
       // reassociation noise (~n·ulp) spans the 1e-8 snap step and the
       // two engines floored to different sides.
-      .withColumn("log_equity",
-        sum(floor(log(lit(1.0) + greatest(col("net_returns"), lit(-0.9999))) * 1e8 + lit(0.5))
-          .cast("decimal(38,0)")).over(cum).cast("double") / 1e8)
+      .withColumn("log_equity", logEquityExpr(col("net_returns"), cum))
       .drop("_prev_pos", "_prev_close")
   }
 }

@@ -123,8 +123,9 @@ object ExtrasPack extends QueryPack {
       // agg over the bar-scale frame, and the (strategy, metrics) rows
       // come from a stack() over the symbol-level aggregate — vs the
       // stacked-union form's 3× rows through two sorts and a shuffle.
-      // Formulas are token-identical to Backtester.run/Metrics.aggExprs,
-      // so the stacked-form oracle (BtSql) pins the values unchanged.
+      // Formulas come from Backtester's shared expression builders and
+      // Metrics.aggExprs (one definition per formula — r08), so the
+      // stacked-form oracle (BtSql) pins the values unchanged.
       // Window LAYERING (r07): interleaving withColumn projections
       // between window expressions blocks Spark's CollapseWindow rule —
       // the old foldLeft chain planned ELEVEN WindowExec operators over
@@ -138,21 +139,21 @@ object ExtrasPack extends QueryPack {
       val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
       val lagLayer = allThreeCached(s, d).select(
         col("*") +:
-          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)).as("returns") +:
+          Backtester.returnsExpr(col("close"), lag(col("close"), 1).over(w)).as("returns") +:
           sfx.map { case (x, sc) =>
             lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
           }: _*)
       val netLayer = lagLayer.select(
         col("*") +: sfx.flatMap { case (x, sc) =>
           val pos = col(sc).cast("double")
-          val prev = coalesce(col(s"prev_pos_$x"), lit(0.0))
-          val net = prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate
+          val prev = col(s"prev_pos_$x")
+          val net = Backtester.stratRetExpr(prev, col("returns")) -
+            Backtester.costExpr(pos, prev, Backtester.DefaultCostRate)
           Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
         }: _*)
       val eqLayer = netLayer.select(
         col("*") +: sfx.map { case (x, _) =>
-          (sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
-            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8).as(s"log_equity_$x")
+          Backtester.logEquityExpr(col(s"net_$x"), cum).as(s"log_equity_$x")
         }: _*)
       val peakLayer = eqLayer.select(
         col("*") +: sfx.map { case (x, _) =>
