@@ -1,0 +1,152 @@
+package graft
+
+import graft.streaming.PaperTrading
+import graft.streaming.PaperTrading._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class PaperTradingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val s0 = AccountState(100000.0, Map.empty, 0L, 0L)
+
+  test("broker step: market fill applies slippage on price and commission on value") {
+    val (st, rep) = execStep(s0,
+      OrderEvent("A1", 1L, 1L, "X", "buy", "market", 100.0, 0.0, 100.0))
+    val px = 100.0 * 1.0005
+    assert(rep.status == "FILLED")
+    assert(math.abs(rep.fillPrice - px) < 1e-12)
+    assert(math.abs(rep.commission - 100.0 * px * 0.001) < 1e-12)
+    assert(math.abs(st.cash - (100000.0 - 100.0 * px - rep.commission)) < 1e-9)
+    assert(st.positions("X") == 100.0)
+    val (st2, rep2) = execStep(st,
+      OrderEvent("A1", 2L, 2L, "X", "sell", "market", 100.0, 0.0, 101.0))
+    val spx = 101.0 * 0.9995
+    assert(math.abs(rep2.fillPrice - spx) < 1e-12)
+    assert(math.abs(st2.cash - (st.cash + 100.0 * spx - rep2.commission)) < 1e-9)
+    assert(st2.positions("X") == 0.0)
+  }
+
+  test("broker step: rejects on insufficient cash and insufficient position") {
+    val (st, rep) = execStep(s0,
+      OrderEvent("A1", 1L, 1L, "X", "buy", "market", 10000.0, 0.0, 100.0))
+    assert(rep.status == "REJECTED" && st.cash == 100000.0 && st.positions.isEmpty)
+    assert(st.nOrders == 1L && st.nTrades == 0L) // counted but not traded
+    val (_, rep2) = execStep(st,
+      OrderEvent("A1", 2L, 2L, "X", "sell", "market", 1.0, 0.0, 100.0))
+    assert(rep2.status == "REJECTED") // nothing held
+  }
+
+  test("broker step: limit orders fill at the limit price or stay unfilled") {
+    // slipped buy price 100.05 > limit 100 → unfilled (paper_trading.py:146)
+    val (_, r1) = execStep(s0,
+      OrderEvent("A1", 1L, 1L, "X", "buy", "limit", 10.0, 100.0, 100.0))
+    assert(r1.status == "UNFILLED" && r1.tradeId == 0L)
+    // limit above the slipped price → fills AT the limit, not the market
+    val (st2, r2) = execStep(s0,
+      OrderEvent("A1", 2L, 2L, "X", "buy", "limit", 10.0, 101.0, 100.0))
+    assert(r2.status == "FILLED" && r2.fillPrice == 101.0)
+    assert(math.abs(st2.cash - (100000.0 - 10.0 * 101.0 * 1.001)) < 1e-9)
+    // limit sell below the slipped price → fills at limit
+    val (_, r3) = execStep(st2,
+      OrderEvent("A1", 3L, 3L, "X", "sell", "limit", 10.0, 99.0, 100.0))
+    assert(r3.status == "FILLED" && r3.fillPrice == 99.0)
+  }
+
+  test("streaming broker matches the sequential fold across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val orders = Seq(
+      OrderEvent("A1", 1L, 1L, "X", "buy", "market", 100.0, 0.0, 100.0),
+      OrderEvent("A1", 2L, 2L, "Y", "buy", "market", 50.0, 0.0, 80.0),
+      OrderEvent("A1", 3L, 3L, "X", "sell", "market", 40.0, 0.0, 102.0),
+      OrderEvent("A1", 4L, 4L, "X", "buy", "limit", 10.0, 90.0, 100.0), // unfilled
+      OrderEvent("A1", 5L, 5L, "Y", "sell", "market", 60.0, 0.0, 81.0), // rejected
+      OrderEvent("A1", 6L, 6L, "Y", "sell", "market", 50.0, 0.0, 82.0))
+    // sequential reference fold — the reference's asyncio loop semantics
+    val expected = orders.scanLeft((s0, Option.empty[ExecReport])) {
+      case ((st, _), ev) =>
+        val (n, r) = execStep(st, ev); (n, Some(r))
+    }.flatMap(_._2)
+
+    val input = MemoryStream[OrderEvent]
+    val q = PaperTrading.broker(input.toDS()).writeStream
+      .format("memory").queryName("pt_broker").outputMode("append").start()
+    // split mid-stream: state must carry across the batch boundary
+    input.addData(orders.take(3): _*); q.processAllAvailable()
+    input.addData(orders.drop(3): _*); q.processAllAvailable()
+    val got = spark.table("pt_broker").as[ExecReport].collect().sortBy(_.orderId)
+    q.stop()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.status == e.status, s"order ${g.orderId}")
+      assert(math.abs(g.cash - e.cash) < 1e-9, s"order ${g.orderId}")
+      assert(math.abs(g.fillPrice - e.fillPrice) < 1e-12)
+      assert(g.tradeId == e.tradeId)
+      assert(g.position == e.position)
+    }
+  }
+
+  test("simulated feed is deterministic and resumes the walk across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val beats = (0L until 20L).map(i => Beat("AAPL", i, i * 1000))
+
+    def run(split: Int): Array[Tick] = {
+      val input = MemoryStream[Beat]
+      val name = s"pt_feed_$split"
+      val q = PaperTrading.simulatedTicks(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      input.addData(beats.take(split): _*); q.processAllAvailable()
+      input.addData(beats.drop(split): _*); q.processAllAvailable()
+      val t = spark.table(name).as[Tick].collect().sortBy(_.seq)
+      q.stop()
+      t
+    }
+
+    val a = run(5)
+    val b = run(13) // different batch boundary → identical walk
+    assert(a.length == 20 && b.length == 20)
+    a.zip(b).foreach { case (x, y) => assert(x.price == y.price) }
+    // the walk actually moves, around the hash-seeded start in [50, 200)
+    val p0 = initialPrice("AAPL")
+    assert(p0 >= 50.0 && p0 < 200.0)
+    assert(a.map(_.price).distinct.length == 20)
+    assert(a.forall(t => math.abs(t.price / p0 - 1.0) < 0.05))
+  }
+
+  test("end-to-end loop: feed -> momentum orders -> broker -> summary invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val symbols = Seq("AAPL", "MSFT", "GOOG")
+    val beats = for (i <- 0L until 200L; s <- symbols) yield Beat(s, i, i * 1000)
+
+    val input = MemoryStream[Beat]
+    val ticks = PaperTrading.simulatedTicks(input.toDS())
+    val orders = PaperTrading.momentumOrders(ticks, "PAPER_001", 10.0)
+    val q = PaperTrading.broker(orders).writeStream
+      .format("memory").queryName("pt_loop").outputMode("append").start()
+    beats.grouped(150).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+
+    val reports = spark.table("pt_loop")
+    assert(reports.count() > 0, "strategy should trade on a 0.1%-vol walk with a 0.1% band")
+    // mark at each symbol's final simulated price (replayable feed)
+    val lastPx = symbols.map { s =>
+      val p = (0L until 200L).foldLeft(initialPrice(s))((px, i) => nextPrice(px, s, i))
+      (s, p)
+    }.toDF("symbol", "price")
+    val sm = PaperTrading.accountSummary(reports, lastPx).collect()
+    assert(sm.length == 1)
+    val row = sm.head
+    val cash = row.getAs[Double]("cash")
+    val pv = row.getAs[Double]("portfolio_value")
+    assert(row.getAs[Double]("pnl") == pv - InitialCash)
+    // accounting invariant: portfolio value == initial - all costs ± mtm;
+    // with a 0.1% band the loop can't lose more than fees on 200 ticks
+    assert(cash <= InitialCash + 1e-9 || reports.where("side = 'sell'").count() > 0)
+    assert(math.abs(pv - InitialCash) < InitialCash * 0.10)
+    // num_orders counts every submitted order (fills, rejects, unfilled)
+    assert(row.getAs[Long]("num_orders") == reports.count())
+  }
+}
