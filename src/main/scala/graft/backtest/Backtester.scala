@@ -34,8 +34,11 @@ object Backtester {
   def stratRetExpr(prevPos: Column, returns: Column): Column =
     coalesce(prevPos, lit(0.0)) * returns
 
+  def costFromTrade(trade: Column, costRate: Double): Column =
+    abs(trade) * costRate
+
   def costExpr(pos: Column, prevPos: Column, costRate: Double): Column =
-    abs(tradeExpr(pos, prevPos)) * costRate
+    costFromTrade(tradeExpr(pos, prevPos), costRate)
 
   /** Log-domain equity cumsum with each ln term quantized to the 1e-8
     * grid BEFORE the running sum (see [[run]] for why).
@@ -80,7 +83,7 @@ object Backtester {
       .withColumn("trade", tradeExpr(col("position"), col("_prev_pos")))
       .withColumn("returns", returnsExpr(col("close"), col("_prev_close")))
       .withColumn("strategy_returns", stratRetExpr(col("_prev_pos"), col("returns")))
-      .withColumn("costs", abs(col("trade")) * costRate)
+      .withColumn("costs", costFromTrade(col("trade"), costRate))
       .withColumn("net_returns", col("strategy_returns") - col("costs"))
       // Equity stays in log domain: synthetic bar returns compound past
       // 1e13, where absolute rounding can't be engine-portable. net is

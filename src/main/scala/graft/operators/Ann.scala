@@ -131,8 +131,18 @@ object Ann {
     val r = res.cache()
     r.count()
     scaffolding.foreach(_.unpersist(blocking = false))
+    // the result cache itself is Memo-tracked: repeated calls don't leak
+    // past invalidateAll, and a mutable-input session can't re-serve a
+    // stale pair table from the CacheManager (same contract as
+    // AnnPack.embCache)
+    liveResults.put(r, r)
     r
   }
+
+  /** Caches handed out by the self-cleaning entry point, keyed by the
+    * frame itself (no dedup — lifecycle tracking only).
+    */
+  private val liveResults = graft.Memo.map[DataFrame, DataFrame](_.unpersist())
 
   /** [[hyperplaneNearDup]] plus its cache scaffolding (the signature and
     * size-filtered bucket frames) so a caller that materializes the

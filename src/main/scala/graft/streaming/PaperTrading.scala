@@ -45,7 +45,7 @@ object PaperTrading {
   }
 
   private def unit(h: Long): Double =
-    ((h >>> 11).toDouble / (1L << 53).toDouble) + 1e-12 // (0,1], ln-safe
+    ((h >>> 11) + 1).toDouble / (1L << 53).toDouble // (0,1], ln-safe: log(u) <= 0 always
 
   /** Deterministic standard normal for (symbol, seq) via Box-Muller. */
   def gaussian(symbol: String, seq: Long): Double = {
@@ -104,10 +104,10 @@ object PaperTrading {
                         limitPrice: Double, marketPrice: Double)
   case class AccountState(cash: Double, positions: Map[String, Double],
                           nOrders: Long, nTrades: Long)
-  case class ExecReport(accountId: String, orderId: Long, tradeId: Long, tsMs: Long,
-                        symbol: String, side: String, status: String, quantity: Double,
-                        fillPrice: Double, commission: Double, cash: Double,
-                        position: Double)
+  case class ExecReport(accountId: String, orderId: Long, execSeq: Long, tradeId: Long,
+                        tsMs: Long, symbol: String, side: String, status: String,
+                        quantity: Double, fillPrice: Double, commission: Double,
+                        cash: Double, position: Double)
 
   /** Pure single-order transition — the PaperBroker._execute_order
     * contract (paper_trading.py:126-190):
@@ -137,8 +137,8 @@ object PaperTrading {
 
     def report(status: String, next: AccountState, fillPx: Double, comm: Double,
                tradeId: Long): (AccountState, ExecReport) =
-      (next, ExecReport(ev.accountId, ev.orderId, tradeId, ev.tsMs, ev.symbol, ev.side,
-        status, ev.quantity, fillPx, comm, next.cash,
+      (next, ExecReport(ev.accountId, ev.orderId, counted.nOrders, tradeId, ev.tsMs,
+        ev.symbol, ev.side, status, ev.quantity, fillPx, comm, next.cash,
         next.positions.getOrElse(ev.symbol, 0.0)))
 
     if (!fillable) report("UNFILLED", counted, 0.0, 0.0, 0L)
@@ -177,7 +177,10 @@ object PaperTrading {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (_: String, evs: Iterator[OrderEvent], gs: GroupState[AccountState]) => {
           var st = gs.getOption.getOrElse(AccountState(initialCash, Map.empty, 0L, 0L))
-          val out = evs.toSeq.sortBy(e => (e.tsMs, e.orderId)).map { ev =>
+          // (tsMs, orderId) alone is NOT total across symbols (rateFeed
+          // gives every symbol the same seq per beat); symbol breaks the
+          // tie so multi-symbol execution order is deterministic
+          val out = evs.toSeq.sortBy(e => (e.tsMs, e.orderId, e.symbol)).map { ev =>
             val (next, rep) = execStep(st, ev, commission, slippage)
             st = next
             rep
@@ -197,6 +200,11 @@ object PaperTrading {
     * breaks `band` below. Reference price rebases on each action, so the
     * strategy emits alternating buy/sell market orders. orderId is the
     * tick seq (unique per symbol stream).
+    *
+    * OPEN-LOOP: this stage shards per symbol and cannot see broker
+    * outcomes, so it assumes every order fills — size `qty` so a fill
+    * can never be cash-rejected (qty * maxPrice * nSymbols well under
+    * the account's cash), or use [[engineLoop]], which closes the loop.
     */
   def momentumOrders(ticks: Dataset[Tick], accountId: String, qty: Double,
                      band: Double = 0.001): Dataset[OrderEvent] = {
@@ -225,6 +233,62 @@ object PaperTrading {
         })
   }
 
+  // ---------------------------------------------------------- engine loop
+
+  case class EngineState(account: AccountState, strat: Map[String, StratState])
+
+  /** Closed-loop engine: strategy + broker fused in ONE account-keyed
+    * stage, the exact analog of the reference loop where
+    * `generate_orders(prices, self.broker.account)` reads the LIVE
+    * account (paper_trading.py:340-352) — the strategy's holding updates
+    * only when the broker actually FILLS, so a cash rejection can never
+    * desync the strategy's position belief from the ledger (the hazard
+    * the sharded open-loop [[momentumOrders]]→[[broker]] chain accepts
+    * for scale-out). One account = one key = inherently sequential (cash
+    * is shared across symbols); distinct accounts run in parallel.
+    */
+  def engineLoop(ticks: Dataset[Tick], accountId: String, qty: Double,
+                 band: Double = 0.001,
+                 initialCash: Double = InitialCash,
+                 commission: Double = DefaultCommission,
+                 slippage: Double = DefaultSlippage): Dataset[ExecReport] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_ => accountId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (acct: String, ts: Iterator[Tick], gs: GroupState[EngineState]) => {
+          var st = gs.getOption.getOrElse(
+            EngineState(AccountState(initialCash, Map.empty, 0L, 0L), Map.empty))
+          val out = ts.toSeq.sortBy(t => (t.seq, t.symbol)).flatMap { t =>
+            val ss = st.strat.getOrElse(t.symbol, StratState(Double.NaN, 0.0))
+            if (ss.ref.isNaN) {
+              st = st.copy(strat = st.strat.updated(t.symbol, StratState(t.price, ss.holding)))
+              None
+            } else {
+              val order =
+                if (ss.holding == 0.0 && t.price > ss.ref * (1.0 + band))
+                  Some(OrderEvent(acct, t.seq, t.tsMs, t.symbol, "buy", "market",
+                    qty, 0.0, t.price))
+                else if (ss.holding > 0.0 && t.price < ss.ref * (1.0 - band))
+                  Some(OrderEvent(acct, t.seq, t.tsMs, t.symbol, "sell", "market",
+                    ss.holding, 0.0, t.price))
+                else None
+              order.map { ev =>
+                val (next, rep) = execStep(st.account, ev, commission, slippage)
+                // rebase the reference on any attempt; hold position
+                // belief to the LEDGER's answer, not the intent
+                val held = if (rep.status == "FILLED") rep.position else ss.holding
+                st = EngineState(next, st.strat.updated(t.symbol, StratState(t.price, held)))
+                rep
+              }
+            }
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   // ------------------------------------------------------------- summary
 
   /** Account summary over the execution-report sink
@@ -239,11 +303,14 @@ object PaperTrading {
     // the account level picks the globally-latest cash and marks the
     // positions. Unpriced symbols mark at 0 (prices.get(symbol, 0),
     // paper_trading.py:37).
+    // execSeq is the account's own execution counter — strictly
+    // increasing, so latest-state picks are total-ordered even when
+    // (tsMs, orderId) ties across symbols
     reports
       .groupBy("accountId", "symbol")
-      .agg(max(struct(col("tsMs"), col("orderId"))).as("last_key"),
-        max_by(col("cash"), struct(col("tsMs"), col("orderId"))).as("last_cash"),
-        max_by(col("position"), struct(col("tsMs"), col("orderId"))).as("position"),
+      .agg(max(col("execSeq")).as("last_key"),
+        max_by(col("cash"), col("execSeq")).as("last_cash"),
+        max_by(col("position"), col("execSeq")).as("position"),
         count(lit(1)).as("n_orders"),
         sum(when(col("status") === "FILLED", 1).otherwise(0)).as("n_trades"))
       .join(broadcast(lastPrices), Seq("symbol"), "left")

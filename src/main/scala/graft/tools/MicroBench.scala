@@ -60,23 +60,26 @@ object MicroBench {
       val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
       val base = Signals.allThreePlain(Bars.ohlcvCached(spark, d, 60)).cache()
       base.queryExecution.toRdd.count()
+      // the stages use Backtester's shared expression builders — the
+      // profiler must time the PRODUCTION expressions, not a copy that
+      // silently drifts when the builders change
       def lagLayer = base.select(
         col("*") +:
-          coalesce(col("close") / lag(col("close"), 1).over(w) - 1, lit(0.0)).as("returns") +:
+          Backtester.returnsExpr(col("close"), lag(col("close"), 1).over(w)).as("returns") +:
           sfx.map { case (x, sc) =>
             lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
           }: _*)
       def netLayer = lagLayer.select(
         col("*") +: sfx.flatMap { case (x, sc) =>
           val pos = col(sc).cast("double")
-          val prev = coalesce(col(s"prev_pos_$x"), lit(0.0))
-          val net = prev * col("returns") - abs(pos - prev) * Backtester.DefaultCostRate
+          val prev = col(s"prev_pos_$x")
+          val net = Backtester.stratRetExpr(prev, col("returns")) -
+            Backtester.costExpr(pos, prev, Backtester.DefaultCostRate)
           Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
         }: _*)
       def eqLayer = netLayer.select(
         col("*") +: sfx.map { case (x, _) =>
-          (sum(floor(log(lit(1.0) + greatest(col(s"net_$x"), lit(-0.9999))) * 1e8 + lit(0.5))
-            .cast("decimal(38,0)")).over(cum).cast("double") / 1e8).as(s"log_equity_$x")
+          Backtester.logEquityExpr(col(s"net_$x"), cum).as(s"log_equity_$x")
         }: _*)
       def peakLayer = eqLayer.select(
         col("*") +: sfx.map { case (x, _) =>

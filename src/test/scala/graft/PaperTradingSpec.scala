@@ -115,6 +115,34 @@ class PaperTradingSpec extends AnyFunSuite {
     assert(a.forall(t => math.abs(t.price / p0 - 1.0) < 0.05))
   }
 
+  test("closed-loop engine: a rejected buy leaves no phantom position belief") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // AX sorts before BY at equal seq, so AX's buy consumes the cash and
+    // BY's same-beat buy must REJECT; on the drop, closed-loop BY knows
+    // it holds nothing and stays silent (open-loop would emit a sell the
+    // broker then rejects)
+    val ticks = Seq(
+      Tick("AX", 0L, 0L, 100.0), Tick("BY", 0L, 0L, 100.0),
+      Tick("AX", 1L, 1000L, 101.0), Tick("BY", 1L, 1000L, 101.0),
+      Tick("AX", 2L, 2000L, 99.0), Tick("BY", 2L, 2000L, 99.0))
+    val input = MemoryStream[Tick]
+    val q = PaperTrading.engineLoop(input.toDS(), "PAPER_001", qty = 600.0)
+      .writeStream.format("memory").queryName("pt_engine").outputMode("append").start()
+    input.addData(ticks.take(4): _*); q.processAllAvailable()
+    input.addData(ticks.drop(4): _*); q.processAllAvailable()
+    val reps = spark.table("pt_engine").as[ExecReport].collect().sortBy(_.execSeq)
+    q.stop()
+    // 600 * 101 * 1.0005 * 1.001 ≈ 60691 — the second buy exceeds the
+    // remaining ~39300 cash
+    assert(reps.map(r => (r.symbol, r.side, r.status)).toSeq == Seq(
+      ("AX", "buy", "FILLED"), ("BY", "buy", "REJECTED"), ("AX", "sell", "FILLED")))
+    // the ledger invariant open-loop can't give: no sell is ever
+    // rejected, because holding tracks fills, not intent
+    assert(reps.filter(_.side == "sell").forall(_.status == "FILLED"))
+    assert(reps.last.position == 0.0)
+  }
+
   test("end-to-end loop: feed -> momentum orders -> broker -> summary invariant") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
