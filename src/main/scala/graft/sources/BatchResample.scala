@@ -28,6 +28,26 @@ object BatchResample {
                     seconds: Long): Unit =
     writeBars(Bars.ohlcv(Tables.ticks(spark, inDir), seconds), outPath)
 
+  /** resample_file for a raw normalized tick file (resampler.py:156-160
+    * branches on the suffix): format dispatch goes through FileSource —
+    * ONE explicit schema across csv/json/parquet, no inference scan (on
+    * a 100 TB archive `inferSchema` is a silent second full pass) — then
+    * one distributed read → OHLCV → partitioned-bar write regardless of
+    * input format. FileSource ticks carry ts_ms; Bars buckets on the
+    * epoch-ns `ts` contract, so the adapter widens exactly once here.
+    */
+  def resampleFile(spark: SparkSession, inPath: String, outPath: String,
+                   seconds: Long): Unit = {
+    val raw =
+      if (inPath.endsWith(".csv") || inPath.endsWith(".csv.gz"))
+        FileSource.readTicksCsv(spark, inPath)
+      else if (inPath.endsWith(".json") || inPath.endsWith(".json.gz"))
+        FileSource.readTicksJson(spark, inPath)
+      else FileSource.readTicksParquet(spark, inPath)
+    val ticks = raw.withColumn("ts", col("ts_ms") * 1000000L).drop("ts_ms")
+    writeBars(Bars.ohlcv(ticks, seconds), outPath)
+  }
+
   /** Existing bar layout → coarser bars (resampler.py:283
     * downsample_ohlcv as a batch job), preserving the partitioned layout.
     */

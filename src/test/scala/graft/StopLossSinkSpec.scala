@@ -78,6 +78,28 @@ class BatchResampleSpec extends AnyFunSuite {
     assert(b5.count() == d5.count())
     assert(math.abs(closeSum(b5) - closeSum(d5)) < 1e-6)
   }
+
+  test("resample_file dispatches on suffix: csv and parquet inputs give identical bars") {
+    import graft.operators.Bars
+    import graft.sources.{BatchResample, FileSource}
+    val dir = Files.createTempDirectory("graft-resample-file").toString
+    val ticks = Normalizer.trades(Tables.events(spark, TestSpark.Sf))
+      .select("ts_ms", "symbol", "price", "volume")
+    FileSource.writeTicksCsv(ticks, s"$dir/in.csv")
+    ticks.write.mode("overwrite").parquet(s"$dir/in.parquet")
+    BatchResample.resampleFile(spark, s"$dir/in.csv", s"$dir/bars_csv", 60)
+    BatchResample.resampleFile(spark, s"$dir/in.parquet", s"$dir/bars_pq", 60)
+    val a = BatchResample.readBars(spark, s"$dir/bars_csv")
+      .orderBy("symbol", "bucket_ms").collect()
+    val b = BatchResample.readBars(spark, s"$dir/bars_pq")
+      .orderBy("symbol", "bucket_ms").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // csv ingest is single-pass: the explicit schema means no inference scan
+    val csvPlan = FileSource.readTicksCsv(spark, s"$dir/in.csv")
+      .queryExecution.executedPlan.toString
+    assert(csvPlan.contains("csv"), csvPlan.take(300))
+  }
 }
 
 class ParquetSinkSpec extends AnyFunSuite {
