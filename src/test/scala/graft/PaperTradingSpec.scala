@@ -87,6 +87,65 @@ class PaperTradingSpec extends AnyFunSuite {
     }
   }
 
+  test("broker property: any order stream at any batch split matches the sequential fold") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // small account so random streams actually hit rejections
+    val cash0 = 5000.0
+    val genOrder = for {
+      sym <- Gen.oneOf("X", "Y", "Z")
+      side <- Gen.oneOf("buy", "sell")
+      typ <- Gen.oneOf("market", "limit")
+      qty <- Gen.choose(1, 20)
+      px <- Gen.choose(5.0, 15.0)
+      lim <- Gen.choose(0.97, 1.03)
+    } yield (sym, side, typ, qty.toDouble, px, px * lim)
+    val genCase = for {
+      n <- Gen.choose(4, 16)
+      os <- Gen.listOfN(n, genOrder)
+      split <- Gen.choose(1, n)
+    } yield (os, split)
+    var trial = 0
+    val prop = Prop.forAll(genCase) { case (os, split) =>
+      // tsMs deliberately ties in pairs so the symbol tie-break is live
+      val orders = os.zipWithIndex.map { case ((sym, side, typ, q, px, lim), i) =>
+        OrderEvent("A1", i.toLong, (i / 2).toLong, sym, side, typ, q, lim, px)
+      }
+      val seqState = AccountState(cash0, Map.empty, 0L, 0L)
+      trial += 1
+      val input = MemoryStream[OrderEvent]
+      val name = s"pt_prop_$trial"
+      val q = PaperTrading.broker(input.toDS(), initialCash = cash0).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      input.addData(orders.take(split): _*); q.processAllAvailable()
+      if (orders.drop(split).nonEmpty) {
+        input.addData(orders.drop(split): _*); q.processAllAvailable()
+      }
+      val got = spark.table(name).as[ExecReport].collect().sortBy(_.execSeq)
+      q.stop()
+      // one caveat: the stream executes each batch's slice in its own
+      // sorted order, so the fold must too — resort expected by the
+      // stream's actual execution sequence
+      val expByBatch = {
+        val (b1, b2) = orders.splitAt(split)
+        val exec = b1.sortBy(e => (e.tsMs, e.orderId, e.symbol)) ++
+          b2.sortBy(e => (e.tsMs, e.orderId, e.symbol))
+        exec.scanLeft((seqState, Option.empty[ExecReport])) {
+          case ((st, _), ev) => val (n2, r) = execStep(st, ev); (n2, Some(r))
+        }.flatMap(_._2)
+      }
+      got.length == expByBatch.length && got.zip(expByBatch).forall { case (g, e) =>
+        g.status == e.status && g.tradeId == e.tradeId &&
+          math.abs(g.cash - e.cash) < 1e-9 && g.position == e.position &&
+          math.abs(g.fillPrice - e.fillPrice) < 1e-12
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simulated feed is deterministic and resumes the walk across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
