@@ -49,6 +49,22 @@ object ExplainAudit {
     self + below
   }
 
+  /** Every node of the EXECUTED plan, descending AQE query stages (but
+    * not InMemoryRelation cached lineage — those operators ran at cache
+    * fill, not in this query). Shared by the engine-wide PlanGuardSpec.
+    */
+  def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectNodes(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectNodes(a.executedPlan)
+      case _ => p.children.flatMap(collectNodes)
+    }
+    p +: below
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Headliners
