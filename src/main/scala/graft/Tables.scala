@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Pruned readers over the test-schema parquet tables plus the derived
   * market-data views every operator shares.
@@ -23,7 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+
+  /** Feed-boundary timestamp normalization (reference etl/normalizer.py:28-38
+    * sniffs epoch-s/epoch-ms numerics and ISO strings the same way): whatever
+    * encoding the feed ships — epoch-ns BIGINT (nanos parquet under
+    * nanosAsLong), TIMESTAMP / TIMESTAMP_NTZ (micros parquet), DATE, or an
+    * ISO-8601 string — downstream operators see ONE canonical epoch-ns
+    * LongType. Session timezone is pinned UTC (GraftSession), so NTZ and
+    * string wall-clocks convert as UTC instants, matching DuckDB's
+    * `epoch_ns(ts)` on the same file. Anything else fails loudly here, at
+    * the boundary, instead of 56 queries deep at analysis time.
+    */
+  def epochNs(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
+    case LongType          => df
+    case IntegerType       => df.withColumn(c, col(c).cast(LongType))
+    case TimestampType     => df.withColumn(c, unix_micros(col(c)) * lit(1000L))
+    case TimestampNTZType  => df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
+    case DateType          => df.withColumn(c, unix_date(col(c)).cast(LongType) * lit(86400000000000L))
+    case StringType        => df.withColumn(c, unix_micros(to_timestamp(col(c))) * lit(1000L))
+    case other => throw new IllegalArgumentException(
+      s"$c: expected epoch-ns BIGINT, TIMESTAMP, DATE or ISO string at the feed boundary, got $other")
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    epochNs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
