@@ -157,11 +157,30 @@ object BacktestPack extends QueryPack {
       // The quantized columns project ONCE before the aggregate (the agg
       // expressions otherwise re-evaluate floor·cast·decimal per use —
       // xq appears in four of the six moments).
+      //
+      // n comes from the tiny broadcast `counts` aggregate, NOT a
+      // max-over-symbol window: the window's hash-partition-by-symbol
+      // left the expensive stage with one non-empty partition per symbol
+      // (5-way parallelism for the 54 BigDecimal sums — measured 2x the
+      // whole query's floor). The round-robin repartition then spreads
+      // the decimal crunch across every core; exact integer sums are
+      // order- and grouping-independent, so the result is bit-identical.
+      // Hash-repartition on (symbol, rn) rather than round-robin: content-
+      // addressed placement is deterministic under task retries. The
+      // partition count is pinned (REPARTITION_BY_NUM) because AQE
+      // coalesces by byte size and these rows are byte-small but
+      // BigDecimal-CPU-heavy — it measured the stage back down to 6
+      // tasks otherwise.
+      // At deploy scale the same logic holds: symbols ≪ cores is exactly
+      // when the window form starves the cluster, and the extra shuffle
+      // is one bar-level pass (bounded), not tick-level.
       val withIv = feats
-        .withColumn("n", max(col("rn")).over(Window.partitionBy("symbol")))
+        .join(broadcast(counts), "symbol")
         .withColumn("iv",
           greatest(lit(0.0), lit(5.0) - floor((col("n") - col("rn")) / 252.0)).cast("long"))
         .filter(col("iv") <= 4)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("symbol"), col("rn"))
         .select(col("symbol") +: col("iv") +: col("yq") +: col("fwd") +:
           FeatureCols.map(f => col(f)) ++: FeatureCols.map(f => q(col(f), 1e6).as(s"xq_$f")): _*)
       val momAggs = FeatureCols.flatMap { f =>

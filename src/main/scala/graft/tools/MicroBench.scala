@@ -49,6 +49,40 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_PLANexec")) {
+      // split a registered query's cost into driver-side plan+codegen vs
+      // cluster execution: build once, time executedPlan materialization,
+      // then time toRdd.count twice on the SAME frame (re-execution
+      // reuses the compiled plan). MICRO_PLANexec=q_feature_importance
+      val nm = sys.env("MICRO_PLANexec")
+      graft.SparkEntry.queries(nm)(spark, d).queryExecution.toRdd.count() // session+cache warm
+      for (r <- 1 to 3) {
+        val df = graft.SparkEntry.queries(nm)(spark, d)
+        time(s"${nm}_plan_r$r") { df.queryExecution.executedPlan; 0L }
+        time(s"${nm}_exec_r$r")(df.queryExecution.toRdd.count())
+        time(s"${nm}_reexec_r$r")(df.queryExecution.toRdd.count())
+      }
+      // per-stage wall breakdown of one fresh run: where do the seconds go?
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, String)]
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+          stages.synchronized {
+            stages += ((i.stageId, ms, i.numTasks, i.name.takeWhile(_ != '\n').take(90)))
+          }
+        }
+      })
+      time(s"${nm}_listened")(
+        graft.SparkEntry.queries(nm)(spark, d).queryExecution.toRdd.count())
+      Thread.sleep(500)
+      stages.sortBy(-_._2).take(15).foreach { case (id, ms, nt, n) =>
+        println(f"[stage] id=$id%-4d ${ms / 1000.0}%7.2f s  tasks=$nt%-3d $n")
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_SCMP")) {
       // stage-by-stage cost of q_strategy_comparison (same layer shapes
       // as ExtrasPack): which of the three WindowExec passes / wide agg
