@@ -97,36 +97,21 @@ object AnnPack extends QueryPack {
       r
     })
 
-  def oracles: Map[String, String] = Map(
-    "q_ann_cosine_topk" ->
-      """WITH c AS (
+  /** The 2-round k-means IVF mirror, parameterized on the cell-count
+    * expression — `"8"` for the pinned q_ann_ivf_topk row, a scalar
+    * subquery over count(*) for the sqrt(n) library default
+    * (q_ann_ivf_auto). Everything else — seeds = the `cells` lowest
+    * vec_ids, two assignment rounds, snapped-rank probes, nprobe=2,
+    * k=5 — is shared, so the two mirrors cannot drift apart.
+    */
+  private def ivfOracleSql(cellsExpr: String): String =
+    s"""WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |  FROM embeddings, range(1, 65) t(i)
         |),
         |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
-        |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
-        |dots AS (
-        |  SELECT q.q_id, c.vec_id, sum(q.qv * c.v) AS dot
-        |  FROM q JOIN c ON q.pos = c.pos AND c.vec_id != q.q_id
-        |  GROUP BY 1, 2
-        |),
-        |cos AS (
-        |  SELECT d.q_id, d.vec_id,
-        |         floor(d.dot / (qn.nrm * cn.nrm) * 1e6 + 0.5) / 1e6 AS cosine
-        |  FROM dots d JOIN nm qn ON d.q_id = qn.vec_id JOIN nm cn ON d.vec_id = cn.vec_id
-        |)
-        |SELECT q_id, vec_id, cosine, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM cos)
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-    "q_ann_ivf_topk" ->
-      """WITH c AS (
-        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM embeddings, range(1, 65) t(i)
-        |),
-        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
-        |seedc AS (SELECT vec_id AS cell, pos, v AS cv FROM c WHERE vec_id < 8),
-        |seedn AS (SELECT vec_id AS cell, nrm AS cn FROM nm WHERE vec_id < 8),
+        |seedc AS (SELECT vec_id AS cell, pos, v AS cv FROM c WHERE vec_id < $cellsExpr),
+        |seedn AS (SELECT vec_id AS cell, nrm AS cn FROM nm WHERE vec_id < $cellsExpr),
         |a1d AS (SELECT c.vec_id, s.cell, sum(c.v * s.cv) AS d
         |        FROM c JOIN seedc s ON c.pos = s.pos GROUP BY 1, 2),
         |a1 AS (SELECT vec_id, cell FROM (
@@ -171,7 +156,35 @@ object AnnPack extends QueryPack {
         |SELECT q_id, vec_id, cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM cos)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_cosine_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
+        |dots AS (
+        |  SELECT q.q_id, c.vec_id, sum(q.qv * c.v) AS dot
+        |  FROM q JOIN c ON q.pos = c.pos AND c.vec_id != q.q_id
+        |  GROUP BY 1, 2
+        |),
+        |cos AS (
+        |  SELECT d.q_id, d.vec_id,
+        |         floor(d.dot / (qn.nrm * cn.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM dots d JOIN nm qn ON d.q_id = qn.vec_id JOIN nm cn ON d.vec_id = cn.vec_id
+        |)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cos)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf_topk" -> ivfOracleSql("8"),
+    "q_ann_ivf_auto" -> ivfOracleSql(
+      // cells = max(1, round(sqrt(n))) — Ann.defaultCells, with n the
+      // exact corpus count (math.round = floor(x+0.5) for positive x)
+      "(SELECT greatest(1, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM embeddings)"),
     "q_dedup_embedding" ->
       """WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
