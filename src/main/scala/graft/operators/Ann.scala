@@ -200,11 +200,47 @@ object Ann {
     * job the earlier rounds always paid.
     */
   def ivfTopKAuto(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int,
-                  corpusSizeHint: Option[Long] = None): DataFrame = {
-    val n = corpusSizeHint
-      .orElse(emb.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+                  corpusSizeHint: Option[Long] = None): DataFrame =
+    ivfTopK(emb, nQueries, k, defaultCells(corpusSize(emb, corpusSizeHint)), nprobe)
+
+  /** Corpus size without a guaranteed count job: caller hint (a catalog
+    * / ingest statistic at deploy scale) → plan statistics → count().
+    */
+  def corpusSize(emb: DataFrame, hint: Option[Long] = None): Long =
+    hint.orElse(emb.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
       .getOrElse(emb.count())
-    ivfTopK(emb, nQueries, k, defaultCells(n), nprobe)
+
+  /** Semantic cluster audit: per-cell membership count plus snapped
+    * mean/min cosine-to-centroid over the sqrt(n)-style k-means cells —
+    * the corpus diversity profile behind cluster-balanced sampling of
+    * training data (oversample sparse semantic regions, downsample
+    * dense ones).
+    *
+    * Determinism/parity: each member's centroid cosine quantizes to a
+    * 1e-6 integer (q6, exact long) BEFORE aggregating, so the per-cell
+    * sum is order-independent and mean/min derive from exact integers
+    * with one identical IEEE division + snap on both engines — a float
+    * avg() would hash-flip on partial-sum order.
+    *
+    * Scale: centroids are ~sqrt(n) rows (broadcast — 31k cells × 64
+    * floats ≈ 8 MB at 10^9 vectors); members never pair with anything
+    * but their own centroid, so the audit is one linear pass + a
+    * cells-sized aggregate.
+    */
+  def semanticClusters(emb: DataFrame, cells: Int): DataFrame = {
+    val (assigned, cent) = kmeansCells(emb, cells)
+    emb.join(assigned, "vec_id")
+      .join(broadcast(cent), "cell")
+      .withColumn("q6",
+        floor(dot(col("e"), col("ce")) / (col("nrm") * col("cn")) * 1e6 + lit(0.5)).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("q6")).as("sq6"), min(col("q6")).as("mn6"))
+      .select(
+        col("cell").cast("long").as("cell"),
+        col("n_members"),
+        Port.r(col("sq6") / (col("n_members") * 1e6), 6).as("mean_cos"),
+        (col("mn6").cast("double") / 1e6).as("min_cos"))
+      .orderBy("cell")
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, exact cosine

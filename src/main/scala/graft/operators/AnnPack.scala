@@ -59,6 +59,12 @@ object AnnPack extends QueryPack {
     // check on the auto-sized path.
     "q_ann_ivf_auto" -> ((s, d) =>
       Ann.ivfTopKAuto(embCached(s, d), nQueries = 10, k = 5, nprobe = 2)),
+    // corpus diversity profile over the sqrt(n) k-means cells — the
+    // cluster-balanced-sampling primitive (see Ann.semanticClusters)
+    "q_semantic_clusters" -> ((s, d) => {
+      val emb = embCached(s, d)
+      Ann.semanticClusters(emb, Ann.defaultCells(Ann.corpusSize(emb)))
+    }),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
@@ -97,14 +103,21 @@ object AnnPack extends QueryPack {
       r
     })
 
-  /** The 2-round k-means IVF mirror, parameterized on the cell-count
-    * expression — `"8"` for the pinned q_ann_ivf_topk row, a scalar
-    * subquery over count(*) for the sqrt(n) library default
-    * (q_ann_ivf_auto). Everything else — seeds = the `cells` lowest
-    * vec_ids, two assignment rounds, snapped-rank probes, nprobe=2,
-    * k=5 — is shared, so the two mirrors cannot drift apart.
+  /** The shared 2-round k-means mirror prefix (CTEs c..cn2),
+    * parameterized on the cell-count expression — `"8"` for the pinned
+    * q_ann_ivf_topk row, a scalar subquery over count(*) for the sqrt(n)
+    * library default (q_ann_ivf_auto, q_semantic_clusters). Seeds = the
+    * `cells` lowest vec_ids, two assignment rounds, snapped-rank
+    * tiebreaks — every consumer appends its own tail, so the mirrors
+    * cannot drift apart on the clustering itself.
     */
-  private def ivfOracleSql(cellsExpr: String): String =
+  /** cells = max(1, round(sqrt(n))) — Ann.defaultCells, with n the exact
+    * corpus count (math.round = floor(x+0.5) for positive x).
+    */
+  private val AutoCellsSql =
+    "(SELECT greatest(1, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM embeddings)"
+
+  private def kmeansCteSql(cellsExpr: String): String =
     s"""WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |  FROM embeddings, range(1, 65) t(i)
@@ -131,7 +144,11 @@ object AnnPack extends QueryPack {
         |  WHERE rk = 1),
         |cent2 AS (SELECT a2.cell, c.pos, sum(c.v) / count(*) AS cv
         |          FROM c JOIN a2 ON c.vec_id = a2.vec_id GROUP BY 1, 2),
-        |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent2 GROUP BY 1),
+        |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent2 GROUP BY 1)""".stripMargin
+
+  /** IVF top-k tail over the shared k-means prefix: nprobe=2, k=5. */
+  private def ivfOracleSql(cellsExpr: String): String =
+    kmeansCteSql(cellsExpr) + s""",
         |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
         |qn AS (SELECT vec_id AS q_id, nrm AS qnorm FROM nm WHERE vec_id < 10),
         |pd AS (SELECT q.q_id, t.cell, sum(q.qv * t.cv) AS d
@@ -181,10 +198,21 @@ object AnnPack extends QueryPack {
         |  FROM cos)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_ivf_topk" -> ivfOracleSql("8"),
-    "q_ann_ivf_auto" -> ivfOracleSql(
-      // cells = max(1, round(sqrt(n))) — Ann.defaultCells, with n the
-      // exact corpus count (math.round = floor(x+0.5) for positive x)
-      "(SELECT greatest(1, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM embeddings)"),
+    "q_ann_ivf_auto" -> ivfOracleSql(AutoCellsSql),
+    "q_semantic_clusters" -> (kmeansCteSql(AutoCellsSql) + """,
+        |cd AS (SELECT c.vec_id, a.cell, sum(c.v * t.cv) AS d
+        |       FROM c JOIN a2 a ON c.vec_id = a.vec_id
+        |       JOIN cent2 t ON t.cell = a.cell AND t.pos = c.pos
+        |       GROUP BY 1, 2),
+        |q6s AS (SELECT cd.cell,
+        |               CAST(floor(cd.d / (n.nrm * x.cn) * 1e6 + 0.5) AS BIGINT) AS q6
+        |        FROM cd JOIN nm n ON cd.vec_id = n.vec_id
+        |        JOIN cn2 x ON cd.cell = x.cell)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |       count(*) AS n_members,
+        |       floor(CAST(sum(q6) AS DOUBLE) / (count(*) * 1e6) * 1e6 + 0.5) / 1e6 AS mean_cos,
+        |       CAST(min(q6) AS DOUBLE) / 1e6 AS min_cos
+        |FROM q6s GROUP BY cell ORDER BY cell""".stripMargin),
     "q_dedup_embedding" ->
       """WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v

@@ -127,4 +127,24 @@ class AnnSpec extends AnyFunSuite {
     assert(b1 == b7, "bruteTopK result depends on input partitioning")
     assert(i1 == i7, "ivfTopK result depends on input partitioning")
   }
+
+  test("semanticClusters partitions the corpus and is split-independent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 240).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    def run(parts: Int) = {
+      val emb = Ann.withNorm(rows.toDF("vec_id", "e").repartition(parts)).cache()
+      try Ann.semanticClusters(emb, cells = 9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      finally emb.unpersist()
+    }
+    val a = run(1)
+    // every vector lands in exactly one cell, means/mins are valid cosines
+    assert(a.map(_._2).sum == 240L, "cells must partition the corpus")
+    assert(a.forall { case (_, _, mean, mn) =>
+      mn >= -1.0000005 && mean <= 1.0000005 && mn <= mean })
+    // exact-integer aggregation: result independent of input splits
+    assert(a == run(5), "semanticClusters result depends on input partitioning")
+  }
 }
