@@ -210,6 +210,24 @@ object Ann {
     hint.orElse(emb.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
       .getOrElse(emb.count())
 
+  /** Session-memoized k-means (assignments, centroids) keyed by the
+    * corpus plan + cell count — q_ann_ivf_auto, the semantic audit and
+    * the cluster-balanced sample all cluster the same corpus at the same
+    * sqrt(n) cells, so one clustering is computed per session instead of
+    * three, and the interior a2/c2 caches are Memo-registered (bare
+    * per-call caches lingered for the async ContextCleaner — the same
+    * nondeterministic-bench-neighborhood debt r07 removed from dedup).
+    */
+  private val kmeansCache =
+    graft.Memo.map[(org.apache.spark.sql.SparkSession, String, Int), (DataFrame, DataFrame)] {
+      case (a, c) => a.unpersist(); c.unpersist()
+    }
+
+  def kmeansCellsCached(emb: DataFrame, cells: Int): (DataFrame, DataFrame) =
+    kmeansCache.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.logical.canonicalized.toString, cells),
+      kmeansCells(emb, cells))
+
   /** Semantic cluster audit: per-cell membership count plus snapped
     * mean/min cosine-to-centroid over the sqrt(n)-style k-means cells —
     * the corpus diversity profile behind cluster-balanced sampling of
@@ -228,7 +246,7 @@ object Ann {
     * cells-sized aggregate.
     */
   def semanticClusters(emb: DataFrame, cells: Int): DataFrame = {
-    val (assigned, cent) = kmeansCells(emb, cells)
+    val (assigned, cent) = kmeansCellsCached(emb, cells)
     emb.join(assigned, "vec_id")
       .join(broadcast(cent), "cell")
       .withColumn("q6",
@@ -243,12 +261,37 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Cluster-balanced sample: up to `perCell` members from every k-means
+    * cell, picked by a deterministic content hash — the subset selection
+    * the [[semanticClusters]] audit informs (equal representation across
+    * semantic regions regardless of their density).
+    *
+    * Two-level rank (local winners per input split, then global), same
+    * argument as bruteTopK: any split's per-(cell,split) top-perCell
+    * contains every global top-perCell member, so a skewed cell never
+    * sorts in one task and the result is split-independent.
+    */
+  def clusterBalancedSample(emb: DataFrame, cells: Int, perCell: Int): DataFrame = {
+    val (assigned, _) = kmeansCellsCached(emb, cells)
+    assigned
+      .withColumn("hk", md5(col("vec_id").cast("string").cast("binary")))
+      .withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("cell", "_split").orderBy(col("hk"), col("vec_id"))))
+      .filter(col("_lrk") <= perCell)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("hk"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("rk"))
+      .orderBy("cell", "rk")
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest cells, exact cosine
     * inside them. `emb` needs (vec_id, e, nrm); queries are the rows with
     * vec_id < nQueries (broadcast-size by contract).
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, cells: Int, nprobe: Int): DataFrame = {
-    val (assigned, cent) = kmeansCells(emb, cells)
+    val (assigned, cent) = kmeansCellsCached(emb, cells)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val probe = q.crossJoin(broadcast(cent))

@@ -65,6 +65,11 @@ object AnnPack extends QueryPack {
       val emb = embCached(s, d)
       Ann.semanticClusters(emb, Ann.defaultCells(Ann.corpusSize(emb)))
     }),
+    // the sample those cells inform: ≤16 hash-picked members per cell
+    "q_sample_semantic" -> ((s, d) => {
+      val emb = embCached(s, d)
+      Ann.clusterBalancedSample(emb, Ann.defaultCells(Ann.corpusSize(emb)), perCell = 16)
+    }),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
@@ -213,6 +218,13 @@ object AnnPack extends QueryPack {
         |       floor(CAST(sum(q6) AS DOUBLE) / (count(*) * 1e6) * 1e6 + 0.5) / 1e6 AS mean_cos,
         |       CAST(min(q6) AS DOUBLE) / 1e6 AS min_cos
         |FROM q6s GROUP BY cell ORDER BY cell""".stripMargin),
+    "q_sample_semantic" -> (kmeansCteSql(AutoCellsSql) + """
+        |SELECT cell, vec_id, rk FROM (
+        |  SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+        |         row_number() OVER (PARTITION BY cell
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM a2)
+        |WHERE rk <= 16 ORDER BY cell, rk""".stripMargin),
     "q_dedup_embedding" ->
       """WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
