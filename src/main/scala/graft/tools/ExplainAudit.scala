@@ -27,7 +27,9 @@ object ExplainAudit {
     "q_funnel", "q_retention_cohorts", "q_train_test_split",
     "q_clean_pipeline",
     // round-8: the rows-only production variants the driver now runs
-    "q_dau_wau_approx", "q_var_cvar_approx", "q_ann_ivf_auto")
+    "q_dau_wau_approx", "q_var_cvar_approx", "q_ann_ivf_auto",
+    // round-9: the semantic-cluster family over the shared k-means
+    "q_semantic_clusters", "q_sample_semantic")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by
