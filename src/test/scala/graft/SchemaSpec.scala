@@ -78,6 +78,13 @@ class SchemaSpec extends AnyFunSuite {
     assert(problems.isEmpty, s"\ntestdata schema drift:\n  ${problems.mkString("\n  ")}")
   }
 
+  test("embeddings are 64-dimensional (the IVF/ANN oracles unroll range(1,65))") {
+    val dims = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"embedding dims ${dims.mkString(",")} != 64 — every ANN oracle SQL must change with it")
+  }
+
   test("canonical view: events.ts and ticks.ts are epoch-ns LongType") {
     assert(Tables.events(spark, sf).schema("ts").dataType == LongType)
     val t = Tables.ticks(spark, sf).schema
