@@ -53,8 +53,18 @@ object DedupPack extends QueryPack {
   def fnv64(s: String): Long =
     s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xff)) * 0x100000001b3L)
 
-  /** 64-bit SimHash per doc over whitespace tokens (with multiplicity). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** 64-bit SimHash per doc over whitespace tokens (with multiplicity) —
+    * the native codegen'd expression (graft.functions.SimHash64Expr); the
+    * former typed mapPartitions kernel survives as [[simhashKernel]], the
+    * spec's independent cross-check.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("simhash"))
+
+  /** Reference kernel for the SimHash expression (DedupSpec asserts the
+    * codegen'd path is bit-identical to this per-row Scala fold).
+    */
+  def simhashKernel(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

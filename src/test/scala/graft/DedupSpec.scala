@@ -37,4 +37,22 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupPack.fnv64("spark") == DedupPack.fnv64("spark"))
     assert(DedupPack.fnv64("spark") != DedupPack.fnv64("sparl"))
   }
+
+  test("native SimHash expression is bit-identical to the Scala kernel") {
+    import spark.implicits._
+    // adversarial split(" ") semantics: empty string, all-spaces, leading/
+    // trailing/consecutive spaces, multibyte UTF-8 — plus the real corpus
+    val edge = Seq("", " ", "  ", "a", " a", "a ", "a  ", "a b", "a  b",
+      "a  b  ", "héllo wörld", "日本 語 テスト", "x " * 50)
+      .zipWithIndex.map { case (t, i) => (1000L + i, t) }
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    for (docs <- Seq(edge, corpus)) {
+      val expr = DedupPack.simhash(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val kern = DedupPack.simhashKernel(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(expr == kern, "codegen'd SimHash diverged from the reference kernel")
+    }
+  }
 }
