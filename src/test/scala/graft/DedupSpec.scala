@@ -54,5 +54,23 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(expr == kern, "codegen'd SimHash diverged from the reference kernel")
     }
+    // interpreted path (no codegen): direct expression eval must match the
+    // kernel too — codegen fallback cannot flip signatures
+    def kernelOf(t: String): Long = {
+      val counts = new Array[Int](64)
+      t.split(" ").foreach { tok =>
+        val h = DedupPack.fnv64(tok)
+        (0 until 64).foreach(i =>
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, i) => if (counts(i) > 0) s | (1L << i) else s)
+    }
+    for (t <- Seq("", " ", "a  b  ", "héllo wörld", "the quick brown fox")) {
+      val e = graft.functions.SimHash64Expr(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) == kernelOf(t), s"interpreted SimHash diverged on '$t'")
+    }
   }
 }
