@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{StatefulPositions, StreamingBars}
+import graft.streaming.{StatefulPositions, StreamingBars, StreamingSessions}
 import graft.streaming.StatefulPositions.{PositionState, SignalEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -31,6 +31,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("open") == 10.0)
     assert(rows(0).getAs[Double]("close") == 12.0)
     assert(rows(0).getAs[Double]("volume") == 3.0)
+  }
+
+  test("streaming sessionization closes sessions at the gap and emits on watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamingSessions.sessions(events, gap = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    // user 1: two sessions (9s gaps inside, 20s gap between);
+    // user 2: one session; the far-future event pushes the watermark
+    // past every close so append mode emits them all
+    input.addData(
+      (new Timestamp(0L), 1L), (new Timestamp(9000L), 1L), (new Timestamp(18000L), 1L),
+      (new Timestamp(38000L), 1L), (new Timestamp(40000L), 1L),
+      (new Timestamp(5000L), 2L))
+    q.processAllAvailable()
+    input.addData((new Timestamp(500000L), 99L))
+    q.processAllAvailable()
+    val rows = spark.table("ssess").orderBy("user_id", "session_start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    q.stop()
+    // strict-gap contract: a sequential fold over the same events
+    val expected = Seq(
+      (1L, 0L, 0L, 18000L, 3L, 18000L),      // 0,9,18s chain within 10s gaps
+      (1L, 38000L, 38000L, 40000L, 2L, 2000L), // next session after 20s silence
+      (2L, 5000L, 5000L, 5000L, 1L, 0L))
+    assert(rows.toSeq == expected, s"got ${rows.toSeq}")
   }
 
   test("stateful position tracking: step transition accounting") {
