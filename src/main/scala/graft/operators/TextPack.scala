@@ -304,6 +304,31 @@ object TextPack extends QueryPack {
           graft.functions.Port.r(max(col("nll")), 6).as("max_neg_logprob"))
         .orderBy("doc_id")
     }),
+    "q_tfidf_topterms" -> ((s, d) => {
+      // characteristic terms per document: top-3 tokens by tf·idf — the
+      // keyword-extraction primitive of a corpus pipeline. TF and DF are
+      // hash aggregates over one token explode; the DF join is broadcast
+      // at this vocab and becomes a shuffle join at web-corpus vocab
+      // (same adjudication as q_unigram_logprob's vocab join). The rank
+      // windows over one doc's distinct tokens — bounded by doc length —
+      // and ranks the 1e-6-SNAPPED score (ties by token) so both engines
+      // order identical values.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df")).cache()
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", graft.functions.Port.r(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("tok"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    }),
     "q_vocab_topk" -> ((s, d) =>
       // corpus vocabulary: top-10 tokens per source — one hash aggregate
       // with map-side combine, rank only over the (small) per-source
@@ -432,6 +457,22 @@ object TextPack extends QueryPack {
         |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob,
         |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |         floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+        |)
+        |SELECT doc_id, tok, tf, df, tfidf, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_tokens,
