@@ -28,8 +28,9 @@ object ExplainAudit {
     "q_clean_pipeline",
     // round-8: the rows-only production variants the driver now runs
     "q_dau_wau_approx", "q_var_cvar_approx", "q_ann_ivf_auto",
-    // round-9: the semantic-cluster family over the shared k-means
-    "q_semantic_clusters", "q_sample_semantic")
+    // round-9: the semantic-cluster family over the shared k-means,
+    // and the tf-idf term extractor
+    "q_semantic_clusters", "q_sample_semantic", "q_tfidf_topterms")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

@@ -61,6 +61,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == expected, s"got ${rows.toSeq}")
   }
 
+  test("streaming sessionization drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamingSessions.sessions(events, gap = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("memory").queryName("slate").outputMode("append").start()
+    input.addData((new Timestamp(0L), 1L))
+    q.processAllAvailable() // watermark advances to -5s... then:
+    input.addData((new Timestamp(100000L), 2L))
+    q.processAllAvailable() // watermark now 95s: user 1's session closed
+    // this event is 80s behind the watermark — must be dropped, not
+    // resurrect user 1's already-emitted session
+    input.addData((new Timestamp(15000L), 1L))
+    q.processAllAvailable()
+    input.addData((new Timestamp(300000L), 99L))
+    q.processAllAvailable()
+    val u1 = spark.table("slate").filter(col("user_id") === 1L).collect()
+    q.stop()
+    assert(u1.length == 1, s"late event must not extend or duplicate the closed session: ${u1.toSeq}")
+    assert(u1.head.getAs[Long]("n_events") == 1L)
+  }
+
   test("stateful position tracking: step transition accounting") {
     val s0 = PositionState(0.0, StatefulPositions.InitialCash, 0.0)
     val (s1, u1) = StatefulPositions.step(s0, SignalEvent("A", 1L, 100.0, 1))
