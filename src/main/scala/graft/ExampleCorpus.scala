@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline example — the corpus-side companion
+  * of [[Example]]: ingest → exact dedup → quality gate → near-dup
+  * clusters → semantic diversity audit → cluster-balanced sample → mix
+  * plan. Every step is a registered, oracle-checked query; this main
+  * just chains them the way a corpus job would.
+  * `runMain graft.ExampleCorpus [sfDir]`.
+  */
+object ExampleCorpus {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get("graft-example-corpus")
+    val q = SparkEntry.queries
+
+    println("[1/7] Corpus...")
+    val docs = Tables.documents(spark, d)
+    println(s"  ${docs.count()} documents, ${docs.select("lang").distinct().count()} languages")
+
+    println("[2/7] Exact dedup (md5 canonical text)...")
+    val exact = q("q_dedup_exact_docs")(spark, d)
+    println(s"  ${exact.count()} unique contents, " +
+      s"${exact.agg(sum(col("n_dups") - 1)).head.getLong(0)} exact dups dropped")
+
+    println("[3/7] Quality gate (length/punct/stopword composite)...")
+    val qual = q("q_quality_score")(spark, d)
+    println(s"  ${qual.filter(col("quality") >= 0.5).count()} docs at quality >= 0.5")
+
+    println("[4/7] Near-duplicate clusters (n-gram jaccard -> connected components)...")
+    val clusters = q("q_dedup_clusters")(spark, d)
+    println(s"  ${clusters.count()} docs in non-trivial clusters")
+
+    println("[5/7] Semantic diversity audit (sqrt-n k-means cells)...")
+    q("q_semantic_clusters")(spark, d).show(5, truncate = false)
+
+    println("[6/7] Cluster-balanced sample...")
+    println(s"  ${q("q_sample_semantic")(spark, d).count()} sampled vectors")
+
+    println("[7/7] Token-budget mix plan per source:")
+    q("q_corpus_mix")(spark, d).show(truncate = false)
+
+    spark.stop()
+  }
+}
