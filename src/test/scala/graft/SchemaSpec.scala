@@ -120,6 +120,29 @@ class SchemaSpec extends AnyFunSuite {
     assert(Tables.epochNs(dateDf, "ts").as[Long].head() == 1717200000L * 1000000000L)
   }
 
+  test("property: every encoding of a random µs instant normalizes to the same ns") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // epoch-µs range 1970..2200 (timestamp_micros-representable, µs-exact
+    // so the string encoding round-trips losslessly)
+    val genUs = Gen.choose(0L, 7258118400000000L)
+    val prop = Prop.forAll(Gen.listOfN(8, genUs)) { uss: List[Long] =>
+      val expected = uss.map(_ * 1000L)
+      def ns(df: org.apache.spark.sql.DataFrame): List[Long] =
+        Tables.epochNs(df, "ts").select("ts").as[Long].collect().toList
+      val base = uss.toDF("us")
+      val long = ns(expected.toDF("ts"))
+      val tsT = ns(base.select(timestamp_micros(col("us")).as("ts")))
+      val ntz = ns(base.select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+      val str = ns(base.select(date_format(timestamp_micros(col("us")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts")))
+      long == expected && tsT == expected && ntz == expected && str == expected
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("epochNs fails loudly at the boundary on an unsupported type") {
     import spark.implicits._
     val bad = Seq(1.5).toDF("ts")
