@@ -22,7 +22,7 @@ object ExampleCorpus {
     println("[2/7] Exact dedup (md5 canonical text)...")
     val exact = q("q_dedup_exact_docs")(spark, d)
     println(s"  ${exact.count()} unique contents, " +
-      s"${exact.agg(sum(col("n_dups") - 1)).head.getLong(0)} exact dups dropped")
+      s"${exact.agg(coalesce(sum(col("n_dups") - 1), lit(0L))).head.getLong(0)} exact dups dropped")
 
     println("[3/7] Quality gate (length/punct/stopword composite)...")
     val qual = q("q_quality_score")(spark, d)

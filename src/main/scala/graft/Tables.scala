@@ -37,13 +37,18 @@ object Tables {
     */
   def epochNs(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
     case LongType          => df
-    case IntegerType       => df.withColumn(c, col(c).cast(LongType))
+    // A 32-bit int can only represent ~2.1s past the epoch as nanos, so an
+    // IntegerType feed column is necessarily epoch-SECONDS (valid through
+    // 2038) — the same magnitude reasoning as the reference's epoch-s/ms
+    // sniffing (etl/normalizer.py:28-38). A plain Long cast here would
+    // silently collapse every row to a 1970 instant.
+    case IntegerType       => df.withColumn(c, col(c).cast(LongType) * lit(1000000000L))
     case TimestampType     => df.withColumn(c, unix_micros(col(c)) * lit(1000L))
     case TimestampNTZType  => df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
     case DateType          => df.withColumn(c, unix_date(col(c)).cast(LongType) * lit(86400000000000L))
     case StringType        => df.withColumn(c, unix_micros(to_timestamp(col(c))) * lit(1000L))
     case other => throw new IllegalArgumentException(
-      s"$c: expected epoch-ns BIGINT, TIMESTAMP, DATE or ISO string at the feed boundary, got $other")
+      s"$c: expected epoch-ns BIGINT, epoch-s INT, TIMESTAMP, DATE or ISO string at the feed boundary, got $other")
   }
 
   def events(s: SparkSession, d: String): DataFrame =

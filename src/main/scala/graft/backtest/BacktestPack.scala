@@ -126,81 +126,101 @@ object BacktestPack extends QueryPack {
       // a value near a 1e-6 snap boundary could flip the integer rank
       // between engines or RUNS. Instead features quantize to 1e-6 and
       // forward returns to 1e-8, and all co-moments are EXACT integer
-      // sums (decimal(38,0) / HUGEINT) — order-independent, so any
-      // aggregation shape equals the oracle's direct per-fold sums.
+      // sums — order-independent, so any aggregation shape equals the
+      // oracle's direct per-fold HUGEINT sums.
       //
-      // Aggregation shape: each row belongs to fold k's training window
+      // Shape (r10 rewrite): the wide form — six moment aggregates PER
+      // feature column, prefix-summed per feature, stacked at the end —
+      // executed in 0.09 s but spent 1.5-3 s of DRIVER time per call:
+      // ~130 aggregate expressions + 108 window sums + 9 corr columns
+      // made every AQE stage re-optimization walk a huge plan (measured
+      // with MICRO_PLANexec: stages 0.8 s wall, re-exec of the same
+      // frame 0.09 s, the rest Catalyst/AQE on the fat plan — and in
+      // the bench neighborhood, that driver work is what inherited the
+      // GC debt). So: MELT FIRST. stack() unpivots the 9 features to
+      // (feature, x, xq) rows — a narrow 9× map-side expansion of a
+      // bar-scale frame — and ONE set of 14 moment aggregates groups by
+      // (symbol, iv, feature). The plan is ~10× smaller, the fold
+      // arithmetic identical, and the old repartition stage (which
+      // existed to spread 54 BigDecimal sums over all cores) disappears
+      // with the decimals themselves: one less full shuffle of the
+      // feature frame, which is ALSO the better posture at 100 TB.
+      //
+      // Exactness: quantized values live in LONGS. |xq|,|yq| < 2^31 —
+      // |feature| < 2147 on the 1e-6 grid, |fwd| < 21.47 on 1e-8 —
+      // makes every product fit a long with 2× headroom, so the hot
+      // path is codegen'd primitive arithmetic with zero allocation;
+      // rows outside the gate take an exact decimal fallback
+      // (null-skipped sum — free when, as always for dimensionless
+      // financial features, no row overflows). Products split at 2^31:
+      // p = (p >> 31)·2^31 + (p & (2^31-1)) exactly for any long
+      // (arithmetic shift floor-divides, the mask is the exact
+      // non-negative remainder), so each product sum is two primitive
+      // long sums (hi, lo) — overflow-safe to ~4e9 rows per (symbol,
+      // fold, feature) group, far past bar-scale depth.
+      //
+      // Fold arithmetic: each row belongs to fold k's training window
       // iff rn <= train_size_k, and the cuts are 252 apart — so rows
-      // bucket by the FIRST fold that includes them (iv), the 54 moments
-      // aggregate per (symbol, iv) in one codegen'd hash aggregate with
-      // map-side combine (48k rows -> ~30), and fold k's moments are the
-      // interval prefix sums at iv == k over that tiny frame. No 5x
-      // fold-duplication of the bar stream (r06 join shape), no
-      // bar-scale WindowExec (the 54-running-sum form ran 1.5-2.5 s in
-      // the interpreted window path); the heavy pass is a hash agg.
+      // bucket by the FIRST fold that includes them (iv), the moments
+      // aggregate per (symbol, iv, feature) with map-side combine, and
+      // fold k's moments are the interval prefix sums at iv == k over
+      // that ~225-row frame.
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val zero = lit(0).cast(dec)
-      def q(c: org.apache.spark.sql.Column, scale: Double) =
-        floor(c * scale + lit(0.5)).cast(dec)
+      val M = 2147483648L
+      def qL(c: org.apache.spark.sql.Column, scale: Double) =
+        floor(c * scale + lit(0.5)).cast("long")
       // rn (original bar index) and fwd come precomputed on the memoized
       // feature frame — no bar-scale window pass in this query at all
       val feats = MlFeatures.cached(s, d)
-        .withColumn("yq", q(col("fwd"), 1e8))
+        .withColumn("yq", qL(col("fwd"), 1e8))
       // Per-symbol depth n == max(rn) over the cached frame itself (the
       // feature filter drops only the rn<50 warmup prefix, never the
       // tail), so no separate bars aggregate + broadcast join-back.
-      // The symbol×fold frame below still needs n as a tiny aggregate —
-      // also off the cached frame, not a second bars lineage.
       val counts = feats.groupBy("symbol").agg(max(col("rn")).as("n"))
       // iv = first fold whose training window contains this row:
       // rn <= n - (5-k)*252  ⇔  k >= 5 - (n-rn)/252
-      // The quantized columns project ONCE before the aggregate (the agg
-      // expressions otherwise re-evaluate floor·cast·decimal per use —
-      // xq appears in four of the six moments).
-      //
-      // n comes from the tiny broadcast `counts` aggregate, NOT a
-      // max-over-symbol window: the window's hash-partition-by-symbol
-      // left the expensive stage with one non-empty partition per symbol
-      // (5-way parallelism for the 54 BigDecimal sums — measured 2x the
-      // whole query's floor). The round-robin repartition then spreads
-      // the decimal crunch across every core; exact integer sums are
-      // order- and grouping-independent, so the result is bit-identical.
-      // Hash-repartition on (symbol, rn) rather than round-robin: content-
-      // addressed placement is deterministic under task retries. The
-      // partition count is pinned (REPARTITION_BY_NUM) because AQE
-      // coalesces by byte size and these rows are byte-small but
-      // BigDecimal-CPU-heavy — it measured the stage back down to 6
-      // tasks otherwise.
-      // At deploy scale the same logic holds: symbols ≪ cores is exactly
-      // when the window form starves the cluster, and the extra shuffle
-      // is one bar-level pass (bounded), not tick-level.
-      val withIv = feats
+      val stackCols = FeatureCols.map(f => s"'$f', `$f`, `xq_$f`").mkString(", ")
+      val melted = feats
         .join(broadcast(counts), "symbol")
         .withColumn("iv",
           greatest(lit(0.0), lit(5.0) - floor((col("n") - col("rn")) / 252.0)).cast("long"))
         .filter(col("iv") <= 4)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("symbol"), col("rn"))
         .select(col("symbol") +: col("iv") +: col("yq") +: col("fwd") +:
-          FeatureCols.map(f => col(f)) ++: FeatureCols.map(f => q(col(f), 1e6).as(s"xq_$f")): _*)
-      val momAggs = FeatureCols.flatMap { f =>
-        val nb = col(f).isNotNull && col("fwd").isNotNull
-        val xq = col(s"xq_$f")
+          FeatureCols.map(f => col(f)) ++: FeatureCols.map(f => qL(col(f), 1e6).as(s"xq_$f")): _*)
+        .select(col("symbol"), col("iv"), col("yq"), col("fwd"),
+          expr(s"stack(${FeatureCols.size}, $stackCols) as (feature, x, xq)"))
+      val nb = col("x").isNotNull && col("fwd").isNotNull
+      val xq = col("xq")
+      val yq = col("yq")
+      val bx = abs(xq) < M
+      val by = abs(yq) < M
+      def prod(name: String, a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) = {
+        val p = a * b
         Seq(
-          sum(when(nb, 1L).otherwise(0L)).as(s"n_$f"),
-          sum(when(nb, xq).otherwise(zero)).as(s"sx_$f"),
-          sum(when(nb, col("yq")).otherwise(zero)).as(s"sy_$f"),
-          sum(when(nb, xq * col("yq")).otherwise(zero)).as(s"sxy_$f"),
-          sum(when(nb, xq * xq).otherwise(zero)).as(s"sxx_$f"),
-          sum(when(nb, col("yq") * col("yq")).otherwise(zero)).as(s"syy_$f"))
+          sum(when(nb && g, shiftright(p, 31)).otherwise(0L)).as(s"${name}_hi"),
+          sum(when(nb && g, p.bitwiseAND(lit(M - 1))).otherwise(0L)).as(s"${name}_lo"),
+          sum(when(nb && !g, a.cast(dec) * b.cast(dec))).as(s"${name}_ov"))
       }
-      val momAgg = withIv.groupBy("symbol", "iv").agg(momAggs.head, momAggs.tail: _*)
-      val cumIv = Window.partitionBy("symbol").orderBy("iv")
+      val momAggs = Seq(
+        sum(when(nb, 1L).otherwise(0L)).as("n_obs"),
+        sum(when(nb && bx, xq).otherwise(0L)).as("sx_l"),
+        sum(when(nb && !bx, xq.cast(dec))).as("sx_ov"),
+        sum(when(nb && by, yq).otherwise(0L)).as("sy_l"),
+        sum(when(nb && !by, yq.cast(dec))).as("sy_ov")) ++
+        prod("sxy", xq, yq, bx && by) ++
+        prod("sxx", xq, xq, bx) ++
+        prod("syy", yq, yq, by)
+      val momAgg = melted.groupBy("symbol", "iv", "feature")
+        .agg(momAggs.head, momAggs.tail: _*)
+      val cumIv = Window.partitionBy("symbol", "feature").orderBy("iv")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val momNames = FeatureCols.flatMap(f =>
-        Seq(s"n_$f", s"sx_$f", s"sy_$f", s"sxy_$f", s"sxx_$f", s"syy_$f"))
+      val momNames = Seq("n_obs", "sx_l", "sx_ov", "sy_l", "sy_ov") ++
+        Seq("sxy", "sxx", "syy").flatMap(m => Seq(s"${m}_hi", s"${m}_lo", s"${m}_ov"))
       val cumMoms = momAgg.select(
-        col("symbol") +: col("iv") +: momNames.map(m => sum(col(m)).over(cumIv).as(m)): _*)
+        col("symbol") +: col("iv") +: col("feature") +:
+          momNames.map(m => sum(col(m)).over(cumIv).as(m)): _*)
       val folds = counts
         .select(col("symbol").as("f_symbol"), col("n"),
           explode(sequence(lit(0), lit(4))).as("split_id"))
@@ -209,19 +229,22 @@ object BacktestPack extends QueryPack {
         .select(col("f_symbol"), col("split_id").cast("long").as("split_id"))
       val atCut = cumMoms.join(broadcast(folds),
         cumMoms("symbol") === folds("f_symbol") && cumMoms("iv") === folds("split_id"))
-      val corrCols = FeatureCols.map { f =>
-        val n = col(s"n_$f")
-        val num = (n * col(s"sxy_$f") - col(s"sx_$f") * col(s"sy_$f")).cast("double")
-        val denx = greatest(n * col(s"sxx_$f") - col(s"sx_$f") * col(s"sx_$f"), zero).cast("double")
-        val deny = greatest(n * col(s"syy_$f") - col(s"sy_$f") * col(s"sy_$f"), zero).cast("double")
-        (num / nullif(sqrt(denx * deny), lit(0.0))).as(s"c_$f")
-      }
-      val withCorr = atCut.select(col("symbol") +: col("split_id") +: corrCols: _*)
-      val stackExpr = s"stack(${FeatureCols.size}, " +
-        FeatureCols.map(f => s"'$f', c_$f").mkString(", ") + ") as (feature, c)"
-      withCorr.select(col("symbol"), col("split_id"), expr(stackExpr))
-        .withColumn("corr_fwd", Port.r(col("c"), 6))
-        .withColumn("importance", Port.r(abs(col("c")), 6))
+      // exact-integer reconstruction at the ~225-row fold frame:
+      // hi·2^31 + lo + overflow-tail — the same integers the oracle's
+      // direct HUGEINT sums produce, then the identical float corr ops
+      def tot(name: String) =
+        (col(s"${name}_hi").cast(dec) * lit(M) + col(s"${name}_lo").cast(dec)) +
+          coalesce(col(s"${name}_ov"), zero)
+      val n = col("n_obs")
+      val sx = col("sx_l").cast(dec) + coalesce(col("sx_ov"), zero)
+      val sy = col("sy_l").cast(dec) + coalesce(col("sy_ov"), zero)
+      val num = (n * tot("sxy") - sx * sy).cast("double")
+      val denx = greatest(n * tot("sxx") - sx * sx, zero).cast("double")
+      val deny = greatest(n * tot("syy") - sy * sy, zero).cast("double")
+      val c = num / nullif(sqrt(denx * deny), lit(0.0))
+      atCut
+        .select(col("symbol"), col("split_id"), col("feature"),
+          Port.r(c, 6).as("corr_fwd"), Port.r(abs(c), 6).as("importance"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("symbol", "split_id")
             .orderBy(col("importance").desc, col("feature"))).cast("long"))

@@ -219,13 +219,21 @@ object Ann {
     * nondeterministic-bench-neighborhood debt r07 removed from dedup).
     */
   private val kmeansCache =
-    graft.Memo.map[(org.apache.spark.sql.SparkSession, String, Int), (DataFrame, DataFrame)] {
+    graft.Memo.map[(org.apache.spark.sql.SparkSession,
+                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+                   (DataFrame, DataFrame)] {
       case (a, c) => a.unpersist(); c.unpersist()
     }
 
+  /** Keyed on the canonicalized plan OBJECT (structural equality — the
+    * definition `sameResult` uses), not its toString: plan rendering is
+    * truncated by spark.sql.debug.maxToStringFields ("... N more
+    * fields"), so two distinct corpora could collide to one string key
+    * and silently serve clustering computed over the wrong corpus.
+    */
   def kmeansCellsCached(emb: DataFrame, cells: Int): (DataFrame, DataFrame) =
     kmeansCache.getOrElseUpdate(
-      (emb.sparkSession, emb.queryExecution.logical.canonicalized.toString, cells),
+      (emb.sparkSession, emb.queryExecution.logical.canonicalized, cells),
       kmeansCells(emb, cells))
 
   /** Semantic cluster audit: per-cell membership count plus snapped

@@ -111,21 +111,26 @@ object EventsPack extends QueryPack {
         .orderBy("cohort_week_ms", "week_offset")
     }),
     "q_dau_wau" -> ((s, d) => {
-      // daily/weekly active users: distinct (user, day) once (memoized —
-      // the approx variant rides the same frame), then WAU by joining
-      // each day against its trailing 7-day window — the day dimension
-      // is tiny and broadcast, so the expansion is 7× the per-day
-      // distinct set, linear in users. This exact form stays the oracled
-      // query; [[dauWauApprox]] is the bounded-state production variant
-      // for web-scale user counts.
-      val userDays = userDaysCached(s, d)
-      val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-      val days = dau.select(col("day").as("d"))
-      val wau = userDays.join(broadcast(days),
-          col("day") >= col("d") - 6 && col("day") <= col("d"))
-        .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
-      dau.join(wau, col("day") === col("d")).drop("d")
-        .select((col("day") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+      // daily/weekly active users in ONE pass: each distinct (user, day)
+      // row (memoized — the approx variant rides the same frame) is
+      // exploded to the 7 trailing windows it contributes to (a narrow
+      // 7× map-side expansion, linear in users), then a single
+      // aggregation per window-day gives WAU = distinct users and DAU =
+      // the offset-0 rows (each (user, day) is distinct, so counting
+      // offset 0 IS the daily distinct count). Window-days with no
+      // actual activity (dau = 0 ghosts past a gap or the corpus edge)
+      // drop out, matching the day set of the dau⋈wau formulation this
+      // replaced — which paid a separate DAU shuffle plus a join. This
+      // exact form stays the oracled query; [[dauWauApprox]] is the
+      // bounded-state production variant for web-scale user counts.
+      userDaysCached(s, d)
+        .select(col("user_id"), col("day"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .groupBy("d")
+        .agg(count(when(col("day") === col("d"), 1)).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .filter(col("dau") > 0)
+        .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
           (col("dau") / col("wau")).as("stickiness"))
         .orderBy("day_ms")
     }),

@@ -293,8 +293,12 @@ object TextPack extends QueryPack {
       // join at this vocab size (a shuffle join at web-corpus vocab).
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
-      val total = vocab.agg(sum(col("c")).as("n_total"))
+      // total tokens straight off the token stream (== sum of vocab
+      // counts) so vocab is referenced exactly once and needs no cache —
+      // a bare per-call .cache() here lingered in executor storage for
+      // the async ContextCleaner (the r07 bench-neighborhood debt).
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
       toks.join(broadcast(vocab), "tok")
         .crossJoin(broadcast(total))
         .withColumn("nll", -log(col("c").cast("double") / col("n_total")))
@@ -316,7 +320,10 @@ object TextPack extends QueryPack {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df")).cache()
+      // no .cache(): dfreq is referenced exactly once (inside broadcast),
+      // so a cache buys nothing and would linger until the async
+      // ContextCleaner ran (the r07 bench-neighborhood debt class)
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(dfreq), "tok")
         .crossJoin(broadcast(nDocs))

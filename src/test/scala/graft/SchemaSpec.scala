@@ -118,6 +118,12 @@ class SchemaSpec extends AnyFunSuite {
 
     val dateDf = Seq("2024-06-01").toDF("s").select(to_date(col("s")).as("ts"))
     assert(Tables.epochNs(dateDf, "ts").as[Long].head() == 1717200000L * 1000000000L)
+
+    // a 32-bit int can only be epoch-SECONDS (ms/ns overflow Int) — a
+    // plain Long cast would have read this as 1.7s past the 1970 epoch
+    val intDf = Seq(1717200000).toDF("ts")
+    assert(intDf.schema("ts").dataType == IntegerType)
+    assert(Tables.epochNs(intDf, "ts").as[Long].head() == 1717200000L * 1000000000L)
   }
 
   test("property: every encoding of a random µs instant normalizes to the same ns") {
