@@ -279,7 +279,7 @@ object BacktestPack extends QueryPack {
   )
 
   /** The q_ml_features feature columns, in output order. */
-  private val FeatureCols = Seq("returns_1d", "returns_5d", "rsi", "bb_upper",
+  private[backtest] val FeatureCols = Seq("returns_1d", "returns_5d", "rsi", "bb_upper",
     "bb_lower", "sma_fast", "sma_slow", "volume_sma_ratio", "volatility")
 
   /** DuckDB mirror of [[MlFeatures.compute]] (final CTE: mlf) — shared by
