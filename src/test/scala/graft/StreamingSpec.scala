@@ -61,6 +61,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == expected, s"got ${rows.toSeq}")
   }
 
+  test("property: sessionization matches the sequential fold across random batch splits") {
+    // the StreamingEma-style replay fuzz: random per-user event times,
+    // fed in event-time order but split at RANDOM micro-batch
+    // boundaries, must produce exactly the sessions of a sequential
+    // strict-gap fold — watermark-boundary merges (a session straddling
+    // a batch split, a gap-exactly-at-boundary) are generated, not
+    // hand-picked. In-order feed means no event is ever late, so the
+    // fold is the complete oracle.
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val GapMs = 10000L
+    val genCase = for {
+      nUsers <- Gen.choose(1, 3)
+      times <- Gen.listOfN(nUsers,
+        Gen.nonEmptyListOf(Gen.choose(0L, 120000L)).map(_.take(12)))
+      nSplits <- Gen.choose(0, 3)
+      splits <- Gen.listOfN(nSplits, Gen.choose(0, times.map(_.size).sum))
+    } yield (times, splits)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prop = Prop.forAll(genCase) { case (times, splits) =>
+      val events = times.zipWithIndex
+        .flatMap { case (ts, u) => ts.map(t => (t, u.toLong + 1)) }
+        .sortBy(x => (x._1, x._2))
+      val name = s"ssess_prop_${counter.incrementAndGet()}"
+      val input = MemoryStream[(Timestamp, Long)]
+      val q = StreamingSessions.sessions(
+          input.toDF().toDF("ts", "user_id"), gap = "10 seconds", watermark = "5 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // random batch boundaries over the in-order stream
+      val cuts = (splits.map(_.min(events.size)) :+ 0 :+ events.size).distinct.sorted
+      cuts.zip(cuts.tail).foreach { case (a, b) =>
+        val batch = events.slice(a, b)
+        if (batch.nonEmpty) {
+          input.addData(batch.map { case (t, u) => (new Timestamp(t), u) }: _*)
+          q.processAllAvailable()
+        }
+      }
+      input.addData((new Timestamp(10000000L), 999L)) // close every session
+      q.processAllAvailable()
+      val got = spark.table(name).filter(col("user_id") =!= 999L)
+        .orderBy("user_id", "session_start_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      q.stop()
+      // sequential strict-gap fold: same session iff diff < gap
+      val expected = events.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+        val ts = es.map(_._1).sorted
+        val sess = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head < GapMs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }.map(_.reverse).reverse
+        sess.map(s => (u, s.head, s.head, s.last, s.length.toLong, s.last - s.head))
+      }.sortBy(x => (x._1, x._2))
+      got == expected
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming sessionization drops events later than the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
