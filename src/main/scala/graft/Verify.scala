@@ -4,12 +4,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // extra args (dev-time only; the driver passes exactly two) restrict
+    // the dump to the named queries for quick single-oracle iteration
+    val (sfDir, outDir, only) = args.toList match {
+      case sf :: out :: rest => (sf, out, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [queryName...]")
+    }
     // same session config + parallelism default as every other entry
     // point (GraftSession.cpus; SPARK_GRAFT_CPUS overrides)
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

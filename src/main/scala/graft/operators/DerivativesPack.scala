@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.{BlackScholes, Port}
+import graft.functions.{BlackScholes, ImpliedVol, Port}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,32 @@ object DerivativesPack extends QueryPack {
           (col("vega_e6") / 1e6).as("net_vega"))
         .orderBy("book")
     }),
+    "q_implied_vol" -> ((s, d) => {
+      // Implied volatility round-trip (the inverse of q_black_scholes;
+      // round-9 verdict's one noted derivatives gap): market premium :=
+      // the BS price at the grid's true sigma, snapped to 1e-6 so both
+      // engines seed the inversion with bit-identical targets, then
+      // inverted by the fixed-iteration bisection expression. The gate
+      // keeps rows with >= 0.5% of spot in time value — computed from the
+      // snapped target and +/- arithmetic only (no exp in the predicate,
+      // so the kept row set cannot ulp-flip) — dropping deep-ITM /
+      // short-dated rows where sigma barely moves the price and IV is
+      // ill-conditioned in any engine.
+      val tgt = BlackScholes.withPricing(grid(s, d))
+        .select(col("id"), col("s"), col("k"), col("t"),
+          col("sigma").as("sigma_true"),
+          (col("id") % 2 === 0).as("is_call"),
+          Port.r(when(col("id") % 2 === 0, col("call")).otherwise(col("put")), 6).as("target"))
+      tgt
+        .filter((col("target") - greatest(
+            when(col("is_call"), col("s") - col("k")).otherwise(col("k") - col("s")),
+            lit(0.0))) / col("s") >= 0.005)
+        .select(col("id"), col("s"), col("k"), col("t"),
+          col("is_call").cast("int").as("is_call"),
+          col("target"), col("sigma_true"),
+          Port.r(ImpliedVol(col("s"), col("k"), col("t"), col("is_call"), col("target")), 6).as("iv"))
+        .orderBy("id")
+    }),
     "q_futures_calc" -> ((s, d) =>
       // contracts derive from orders: entry := totalprice/100 at order date,
       // current := entry*(1±drift by priority), size 50, qty 1+key%10.
@@ -273,6 +299,22 @@ object DerivativesPack extends QueryPack {
          |       o.gamma_e6 / 1e6 AS net_gamma,
          |       o.vega_e6 / 1e6 AS net_vega
          |FROM optbook o JOIN futbook f ON o.book = f.book ORDER BY o.book""".stripMargin,
+    "q_implied_vol" ->
+      s"""WITH $GridCte,
+         |${BlackScholes.pricedSql},
+         |tgt AS (
+         |  SELECT id, s, k, t, sigma AS sigma_true, (id % 2 = 0) AS is_call,
+         |         ${Port.rsql("CASE WHEN id % 2 = 0 THEN call ELSE put END", 6)} AS target
+         |  FROM priced
+         |),
+         |gated AS (
+         |  SELECT * FROM tgt
+         |  WHERE (target - greatest(CASE WHEN is_call THEN s - k ELSE k - s END, 0.0)) / s >= 0.005
+         |),
+         |${ImpliedVol.bisectSql("gated", Seq("id", "sigma_true"))}
+         |SELECT id, s, k, t, CAST(is_call AS INT) AS is_call, target, sigma_true,
+         |       ${Port.rsql("iv", 6)} AS iv
+         |FROM bs_iv ORDER BY id""".stripMargin,
     "q_futures_calc" ->
       """WITH f AS (
         |  SELECT o_orderkey AS id,

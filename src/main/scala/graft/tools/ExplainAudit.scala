@@ -30,7 +30,9 @@ object ExplainAudit {
     "q_dau_wau_approx", "q_var_cvar_approx", "q_ann_ivf_auto",
     // round-9: the semantic-cluster family over the shared k-means,
     // and the tf-idf term extractor
-    "q_semantic_clusters", "q_sample_semantic", "q_tfidf_topterms")
+    "q_semantic_clusters", "q_sample_semantic", "q_tfidf_topterms",
+    // round-10: the bisection implied-vol expression (must codegen)
+    "q_implied_vol")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

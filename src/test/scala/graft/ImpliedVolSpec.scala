@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{BlackScholes, ImpliedVol, ImpliedVolExpr, NormCdf}
+import graft.operators.DerivativesPack
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the implied-vol inversion (ImpliedVol.scala) three ways:
+  *
+  *  1. round-trip recovery: q_implied_vol's iv must equal the sigma the
+  *     target premium was priced at (the root is sigma_true shifted only
+  *     by the 1e-6 target snap over vega, well inside 1e-5);
+  *  2. kernel totality on the clamp boundaries bisection was chosen for
+  *     (clamped Newton ping-pongs on low-vega rows; bisection must return
+  *     the bracket edge, not oscillate);
+  *  3. interpreted-eval parity: Expression.eval must agree with the
+  *     codegen'd query path (same pin the SimHash expression carries).
+  */
+class ImpliedVolSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_implied_vol recovers the pricing sigma within 1e-5 on every kept row") {
+    val rows = DerivativesPack.queries("q_implied_vol")(spark, sf)
+      .select(col("iv"), col("sigma_true")).collect()
+    assert(rows.nonEmpty)
+    val worst = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    assert(worst <= 1e-5, s"worst |iv - sigma_true| = $worst")
+  }
+
+  test("the gate keeps only rows with real time value (inversion well-conditioned)") {
+    val df = DerivativesPack.queries("q_implied_vol")(spark, sf)
+    val n = df.count()
+    val total = Tables.part(spark, sf).count()
+    assert(n > 0 && n < total, s"gate kept $n of $total — expected a strict subset")
+  }
+
+  test("bisection is total at the sigma bounds instead of ping-ponging") {
+    // target below price(lo): root is outside the bracket; bisection must
+    // collapse to lo (Newton with clamps oscillates lo <-> hi here).
+    val below = ImpliedVol.bisect(100.0, 100.0, 1.0, true, 0.0)
+    assert(math.abs(below - ImpliedVol.Lo) < 1e-9, s"got $below")
+    // target above price(hi): collapses to hi.
+    val above = ImpliedVol.bisect(100.0, 100.0, 1.0, true, 99.0)
+    assert(math.abs(above - ImpliedVol.Hi) < 1e-9, s"got $above")
+  }
+
+  test("interpreted eval matches the direct kernel (codegen/eval parity)") {
+    val cases = Seq(
+      (100.0, 100.0, 1.0, true, 10.0),
+      (100.0, 110.0, 0.5, false, 12.0),
+      (1500.0, 1350.0, 2.0, true, 260.0))
+    for ((s, k, t, c, tgt) <- cases) {
+      val expr = ImpliedVolExpr(Literal(s), Literal(k), Literal(t), Literal(c), Literal(tgt))
+      val viaEval = expr.eval(InternalRow.empty).asInstanceOf[Double]
+      assert(viaEval == ImpliedVol.bisect(s, k, t, c, tgt))
+      // and the recovered vol reprices to the target within bracket resolution
+      val reprice = ImpliedVol.price(s, k, t, math.exp(t * -0.02), viaEval, c)
+      assert(math.abs(reprice - tgt) < 1e-6, s"reprice $reprice vs $tgt")
+    }
+  }
+
+  test("null inputs propagate null") {
+    val expr = ImpliedVolExpr(Literal(100.0), Literal.create(null, DoubleType),
+      Literal(1.0), Literal(true), Literal(10.0))
+    assert(expr.eval(InternalRow.empty) == null)
+  }
+}
