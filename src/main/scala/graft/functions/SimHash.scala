@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -7,93 +9,88 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash of a string as a native Catalyst expression: FNV-1a
-  * hashes per whitespace token, one signed vote per bit, sign of each
-  * vote total becomes the signature bit.
+/** 56-bit SimHash of a string as a native Catalyst expression: md5 per
+  * whitespace token, one signed vote per bit of the digest's first 56
+  * bits, sign of each vote total becomes the signature bit.
   *
-  * Replaces the typed `mapPartitions` kernel (DedupPack.simhash) — the
-  * last per-row Scala kernel outside whole-stage codegen: the typed
-  * boundary paid an encoder round-trip per document, where this emits
-  * one fused byte-walk inside the stage.
+  * The token hash is md5's first 14 hex digits — the SAME portable
+  * integer both engines compute identically that the MinHash permutation
+  * family bakes on (`'0x' || substr(md5(tok), 1, 14)` in DuckDB), which
+  * is what lets q_dedup_simhash graduate from rows-only to a hash-exact
+  * DuckDB oracle (the pre-r10 64-bit FNV-1a byte fold had no SQL
+  * counterpart because no fixed-iteration unroll covers variable-length
+  * tokens).
   *
-  * Token semantics mirror Java `String.split(" ")` on the original
-  * kernel exactly, so signatures are bit-identical (DedupSpec pins the
-  * hamming-bound behavior): interior empty tokens between consecutive
-  * spaces ARE hashed (FNV basis), trailing empty tokens are dropped, and
-  * the empty string yields one empty token. Splitting at the 0x20 byte
-  * is UTF-8-safe (continuation bytes are >= 0x80).
+  * Token semantics are DuckDB's `string_split(text, ' ')` exactly: EVERY
+  * 0x20-delimited segment is hashed, including interior AND trailing
+  * empties, and the empty string yields one empty token (Scala mirror:
+  * `split(" ", -1)`). Splitting at the 0x20 byte is UTF-8-safe
+  * (continuation bytes are >= 0x80).
+  *
+  * Still one codegen'd pass per document — the md5 is a per-token static
+  * call into a thread-local digest (no per-row allocation beyond the
+  * digest's own), not a UDF boundary; at corpus scale the expression
+  * rides the scan stage like every other row-local function.
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash56Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash56"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[UTF8String].getBytes
-    var end = b.length
-    while (end > 0 && b(end - 1) == 0x20) end -= 1
-    val counts = new Array[Int](64)
-    if (!(b.length > 0 && end == 0)) { // all-spaces input → zero tokens
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i <= end) {
-        if (i == end || b(i) == 0x20) {
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-            j += 1
-          }
-          h = 0xcbf29ce484222325L
-        } else h = (h ^ (b(i) & 0xff)) * 0x100000001b3L
-        i += 1
-      }
-    }
-    var sh = 0L
-    var j = 0
-    while (j < 64) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
-    sh
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash56.simhash(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val counts = ctx.addMutableState("int[]", "simhashCounts", v => s"$v = new int[64];")
-    nullSafeCodeGen(ctx, ev, s => {
-      val b = ctx.freshName("bytes")
-      val end = ctx.freshName("end")
-      val h = ctx.freshName("h")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val sh = ctx.freshName("sh")
-      s"""
-         |byte[] $b = $s.getBytes();
-         |int $end = $b.length;
-         |while ($end > 0 && $b[$end - 1] == 0x20) $end--;
-         |java.util.Arrays.fill($counts, 0);
-         |if (!($b.length > 0 && $end == 0)) {
-         |  long $h = 0xcbf29ce484222325L;
-         |  for (int $i = 0; $i <= $end; $i++) {
-         |    if ($i == $end || $b[$i] == 0x20) {
-         |      for (int $j = 0; $j < 64; $j++) {
-         |        if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
-         |      }
-         |      $h = 0xcbf29ce484222325L;
-         |    } else {
-         |      $h = ($h ^ ($b[$i] & 0xff)) * 0x100000001b3L;
-         |    }
-         |  }
-         |}
-         |long $sh = 0L;
-         |for (int $j = 0; $j < 64; $j++) {
-         |  if ($counts[$j] > 0) $sh |= (1L << $j);
-         |}
-         |${ev.value} = $sh;
-       """.stripMargin
-    })
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash56.simhash($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+  override protected def withNewChildInternal(newChild: Expression): SimHash56Expr =
     copy(child = newChild)
 }
 
-object SimHash64 {
+object SimHash56 {
+  val Bits = 56
+
+  private val state = new ThreadLocal[(MessageDigest, Array[Byte], Array[Int])] {
+    override def initialValue(): (MessageDigest, Array[Byte], Array[Int]) =
+      (MessageDigest.getInstance("MD5"), new Array[Byte](16), new Array[Int](Bits))
+  }
+
+  /** First 56 bits of md5 over `b[from, from+len)` — the integer DuckDB
+    * spells `('0x' || substr(md5(tok), 1, 14))::BIGINT`.
+    */
+  def hash56(md: MessageDigest, out: Array[Byte], b: Array[Byte], from: Int, len: Int): Long = {
+    md.reset()
+    md.update(b, from, len)
+    md.digest(out, 0, 16)
+    ((out(0) & 0xffL) << 48) | ((out(1) & 0xffL) << 40) | ((out(2) & 0xffL) << 32) |
+      ((out(3) & 0xffL) << 24) | ((out(4) & 0xffL) << 16) | ((out(5) & 0xffL) << 8) |
+      (out(6) & 0xffL)
+  }
+
+  def simhash(s: UTF8String): Long = {
+    val (md, buf, counts) = state.get()
+    java.util.Arrays.fill(counts, 0)
+    val b = s.getBytes
+    val n = b.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val h = hash56(md, buf, b, start, i - start)
+        var j = 0
+        while (j < Bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < Bits) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
+    sh
+  }
+
   def apply(text: Column): Column =
-    Bridge.toColumn(SimHash64Expr(Bridge.toExpression(text)))
+    Bridge.toColumn(SimHash56Expr(Bridge.toExpression(text)))
 }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * modmul overflow-free in longs via a 2^28 split (a·hi ≤ 2^59,
   * partial results ≤ 2^59 — never near 2^63); DuckDB does it directly
   * in HUGEINT. Band keys are the plain concatenation of the 4 row
-  * minhashes — no engine-specific hash anywhere. SimHash stays
-  * rows-only (defined by a 64-bit FNV token fold; `DedupSpec` pins the
-  * native expression against the reference kernel).
+  * minhashes — no engine-specific hash anywhere. SimHash (r10) is
+  * oracled on the same md5-first-14-hex token integer: the vote/sign
+  * fold becomes a tokens x 56-bit cross join + sign aggregate in SQL,
+  * so both pipelines are hash-exact end to end; `DedupSpec` additionally
+  * pins the native expression against an independent Scala kernel.
   *
   * Scale shape: signatures are fixed-width per doc (32 hashes), LSH
   * shuffles on (band, signature) buckets — linear in corpus size, never
@@ -88,42 +90,26 @@ object DedupPack extends QueryPack {
         max(when(col("rib") === 2, col("mh"))),
         max(when(col("rib") === 3, col("mh")))).as("sig"))
 
-  /** FNV-1a 64-bit (the documented portable token hash for SimHash). */
-  def fnv64(s: String): Long =
-    s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xff)) * 0x100000001b3L)
-
-  /** 64-bit SimHash per doc over whitespace tokens (with multiplicity) —
-    * the native codegen'd expression (graft.functions.SimHash64Expr); the
-    * former typed mapPartitions kernel survives as [[simhashKernel]], the
-    * spec's independent cross-check.
+  /** 56-bit SimHash per doc over whitespace tokens (with multiplicity) —
+    * the native codegen'd expression (graft.functions.SimHash56Expr).
+    * The md5-first-14-hex token hash is the same portable integer the
+    * MinHash permutations bake on, so the full simhash pipeline has a
+    * DuckDB mirror (see the oracle below); DedupSpec pins the expression
+    * against an independent `split(" ", -1)` + MessageDigest kernel on
+    * adversarial inputs plus the real corpus.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("simhash"))
+    docs.select(col("doc_id"), graft.functions.SimHash56(col("text")).as("simhash"))
 
-  /** Reference kernel for the SimHash expression (DedupSpec asserts the
-    * codegen'd path is bit-identical to this per-row Scala fold).
+  /** Session-memoized simhash signatures (self-joined by the band query;
+    * a bare per-call .cache() here would linger for the async
+    * ContextCleaner — the r07 bench-neighborhood debt class).
     */
-  def simhashKernel(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val counts = new Array[Int](64)
-        text.split(" ").foreach { t =>
-          val h = fnv64(t)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-            i += 1
-          }
-        }
-        var sh = 0L
-        var i = 0
-        while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
-        (id, sh)
-      })
-      .toDF("doc_id", "simhash")
-  }
+  private val simhashCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def simhashCached(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, d), simhash(Tables.documents(s, d)).cache())
 
   /** Session-memoized LSH candidate pairs (band-bucket collisions with
     * match counts) — referenced twice by the verification join below; a
@@ -169,17 +155,18 @@ object DedupPack extends QueryPack {
         .orderBy("doc1", "doc2")
     }),
     "q_dedup_simhash" -> ((s, d) => {
-      val sh = simhash(Tables.documents(s, d)).cache()
+      // 4 bands x 14 bits over the 56-bit signature (pigeonhole: any pair
+      // within hamming 3 shares a band; the <= 6 emit bound keeps the
+      // same candidate-then-verify posture as before)
+      val sh = simhashCached(s, d)
       val bands = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
-        .withColumn("key", expr("(simhash >> (band * 16)) & 65535"))
-      val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("sh1"), col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("sh2"), col("band"), col("key"))
+        .withColumn("key", expr("(simhash >> (band * 14)) & 16383"))
+      val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
+      val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
       a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
-        .select("doc1", "doc2", "sh1", "sh2").distinct()
-        .withColumn("hamming", expr("bit_count(sh1 ^ sh2)").cast("long"))
+        .select("doc1", "doc2", "simhash1", "simhash2").distinct()
+        .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
         .filter(col("hamming") <= 6)
-        .select(col("doc1"), col("doc2"), hex(col("sh1")).as("simhash1"),
-          hex(col("sh2")).as("simhash2"), col("hamming"))
         .orderBy("doc1", "doc2")
     })
   )
@@ -229,6 +216,44 @@ object DedupPack extends QueryPack {
          |)
          |SELECT doc1, doc2, n_bands_matched, inter, sz1, sz2, jaccard
          |FROM j WHERE jaccard >= 0.5 ORDER BY doc1, doc2""".stripMargin
-    }
+    },
+    "q_dedup_simhash" ->
+      // the vote/sign fold as relational algebra: every token's 56-bit
+      // md5 prefix votes on each bit (tokens x 56 cross join), sign of
+      // the vote totals reassembles the signature; bands and the
+      // hamming bound then mirror the Spark pipeline 1:1. xor(a, b)
+      // because DuckDB's ^ is exponentiation.
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM toks
+        |),
+        |bits AS (SELECT range AS bit FROM range(56)),
+        |votes AS (
+        |  SELECT doc_id, bit,
+        |         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN bits GROUP BY 1, 2
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1
+        |),
+        |bands AS (
+        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 14)) & 16383 AS key
+        |  FROM sig CROSS JOIN (SELECT range AS band FROM range(4)) b
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |                  a.simhash AS simhash1, b.simhash AS simhash2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc1, doc2, simhash1, simhash2,
+        |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(simhash1, simhash2)) <= 6
+        |ORDER BY doc1, doc2""".stripMargin
   )
 }

@@ -33,14 +33,25 @@ class DedupSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("fnv64 is stable") {
-    assert(DedupPack.fnv64("spark") == DedupPack.fnv64("spark"))
-    assert(DedupPack.fnv64("spark") != DedupPack.fnv64("sparl"))
+  /** Independent reference kernel for SimHash56: `split(" ", -1)` is the
+    * Scala spelling of DuckDB's string_split semantics (ALL segments,
+    * trailing empties kept, "" -> [""]), md5 via a fresh MessageDigest —
+    * none of the expression's byte-walk or thread-local state.
+    */
+  private def kernelOf(t: String): Long = {
+    val counts = new Array[Int](56)
+    t.split(" ", -1).foreach { tok =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val h = (0 until 7).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (0 until 56).foreach(i =>
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1)
+    }
+    (0 until 56).foldLeft(0L)((s, i) => if (counts(i) > 0) s | (1L << i) else s)
   }
 
   test("native SimHash expression is bit-identical to the Scala kernel") {
     import spark.implicits._
-    // adversarial split(" ") semantics: empty string, all-spaces, leading/
+    // adversarial split semantics: empty string, all-spaces, leading/
     // trailing/consecutive spaces, multibyte UTF-8 — plus the real corpus
     val edge = Seq("", " ", "  ", "a", " a", "a ", "a  ", "a b", "a  b",
       "a  b  ", "héllo wörld", "日本 語 テスト", "x " * 50)
@@ -48,29 +59,26 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val corpus = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
     for (docs <- Seq(edge, corpus)) {
-      val expr = DedupPack.simhash(docs).collect()
+      val viaExpr = DedupPack.simhash(docs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-      val kern = DedupPack.simhashKernel(docs).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(expr == kern, "codegen'd SimHash diverged from the reference kernel")
+      val viaKernel = docs.collect()
+        .map(r => (r.getAs[Long]("doc_id"), kernelOf(r.getAs[String]("text")))).toMap
+      assert(viaExpr == viaKernel, "codegen'd SimHash diverged from the reference kernel")
     }
     // interpreted path (no codegen): direct expression eval must match the
     // kernel too — codegen fallback cannot flip signatures
-    def kernelOf(t: String): Long = {
-      val counts = new Array[Int](64)
-      t.split(" ").foreach { tok =>
-        val h = DedupPack.fnv64(tok)
-        (0 until 64).foreach(i =>
-          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1)
-      }
-      (0 until 64).foldLeft(0L)((s, i) => if (counts(i) > 0) s | (1L << i) else s)
-    }
     for (t <- Seq("", " ", "a  b  ", "héllo wörld", "the quick brown fox")) {
-      val e = graft.functions.SimHash64Expr(
+      val e = graft.functions.SimHash56Expr(
         org.apache.spark.sql.catalyst.expressions.Literal(
           org.apache.spark.unsafe.types.UTF8String.fromString(t),
           org.apache.spark.sql.types.StringType))
       assert(e.eval(null) == kernelOf(t), s"interpreted SimHash diverged on '$t'")
     }
+  }
+
+  test("simhash signatures stay within 56 bits") {
+    val sigs = DedupPack.simhash(
+      Tables.documents(spark, TestSpark.Sf)).collect().map(_.getLong(1))
+    assert(sigs.forall(s => s >= 0L && s < (1L << 56)))
   }
 }
