@@ -79,18 +79,31 @@ def events_copy(t, k):
     })
 
 
+def part_copy(t, k):
+    # scales the derivatives option grid (q_black_scholes/q_implied_vol
+    # derive s/k/t/sigma from p_partkey/p_retailprice): offset keys keep
+    # the id-derived grid parameters cycling, the price nudge avoids
+    # 10-way identical spots
+    cols = {c: t[c] for c in t.column_names}
+    cols["p_partkey"] = pa.array(
+        [v + k * OFF for v in t["p_partkey"].to_pylist()], pa.int64())
+    cols["p_retailprice"] = pa.array(
+        [v + k * 1e-4 for v in t["p_retailprice"].to_pylist()], pa.float64())
+    return pa.table(cols)
+
+
 def main():
     import os
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("documents", docs_copy), ("embeddings", emb_copy),
-                     ("events", events_copy)]:
+                     ("events", events_copy), ("part", part_copy)]:
         t = pq.read_table(f"{SRC}/{name}.parquet")
         scaled = copies(t, fn)
         pq.write_table(scaled, f"{OUT}/{name}.parquet")
         print(f"{name}: {t.num_rows} -> {scaled.num_rows}")
     # the TPC-H tables are not part of the rehearsal set; symlink them so
     # Tables.load works if a query touches one
-    for name in ["region", "nation", "customer", "supplier", "part",
+    for name in ["region", "nation", "customer", "supplier",
                  "orders", "lineitem"]:
         dst = f"{OUT}/{name}.parquet"
         if not os.path.exists(dst):
