@@ -38,6 +38,15 @@ class DedupEvictionSpec extends AnyFunSuite {
       s"repeat q_dedup_embedding calls grew persistent RDDs: $afterOnce -> $persistentCount")
   }
 
+  test("simhash signature memo is per-session, not per-call (r10 promotion)") {
+    val q = SparkEntry.queries("q_dedup_simhash")
+    q(spark, TestSpark.Sf).collect()
+    val afterOnce = persistentCount
+    q(spark, TestSpark.Sf).collect()
+    assert(persistentCount == afterOnce,
+      s"repeat q_dedup_simhash calls grew persistent RDDs: $afterOnce -> $persistentCount")
+  }
+
   test("memo invalidation unpersists the dedup results and the build re-runs") {
     val rows = SparkEntry.queries("q_dedup_clusters")(spark, TestSpark.Sf).collect()
     val before = persistentCount
