@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductExpr, NormCdfExpr}
+import graft.functions.{DotProductExpr, ImpliedVolExpr, NormCdfExpr, SimHash56Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,6 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "dot_product takes exactly two arguments")
         DotProductExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash56"),
+      new ExpressionInfo(classOf[SimHash56Expr].getName, "simhash56"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "simhash56 takes exactly one argument")
+        SimHash56Expr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bs_implied_vol"),
+      new ExpressionInfo(classOf[ImpliedVolExpr].getName, "bs_implied_vol"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 5,
+          "bs_implied_vol(s, k, t, is_call, target) takes exactly five arguments")
+        ImpliedVolExpr(children(0), children(1), children(2), children(3), children(4))
       }))
   }
 }

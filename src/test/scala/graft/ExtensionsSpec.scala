@@ -24,6 +24,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(2.0D, 3.0D), array(5.0D, 7.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(d == 31.0)
+      // SQL-resolved simhash must equal the Column-API expression
+      val sh = s.sql("SELECT simhash56('the quick brown fox') AS h")
+        .collect()(0).getLong(0)
+      assert(sh == graft.functions.SimHash56.simhash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+      // SQL-resolved implied vol round-trips a known premium
+      val iv = s.sql(
+        "SELECT bs_implied_vol(100.0D, 100.0D, 1.0D, true, 10.0D) AS iv")
+        .collect()(0).getDouble(0)
+      assert(iv == graft.functions.ImpliedVol.bisect(100.0, 100.0, 1.0, true, 10.0))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
