@@ -19,6 +19,27 @@ object BacktestPack extends QueryPack {
   private def btMaCross(s: SparkSession, d: String): DataFrame =
     Backtester.maCrossCached(s, d)
 
+  /** Session-memoized portfolio term frame for q_portfolio_multi_asset:
+    * feeds both the chunk-offset aggregate and the final join — uncached
+    * the whole hourly backtest chain would run twice, and a bare
+    * per-call .cache() would sit outside Memo eviction.
+    */
+  private val portTermsCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def portTermsCached(s: SparkSession, d: String): DataFrame =
+    portTermsCache.getOrElseUpdate((s, d), {
+      val bt = Backtester.run(Signals.maCrossPlain(Bars.ohlcvCached(s, d, 3600)))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      bt.groupBy("bucket_ms")
+        .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
+        .withColumn("term",
+          floor(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))) * 1e8 + lit(0.5))
+            .cast(dec38))
+        .withColumn("chunk", expr("bucket_ms div 86400000"))
+        .cache()
+    })
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Oracle-pinned queries pin the PLAIN signal forms explicitly: the
@@ -84,21 +105,12 @@ object BacktestPack extends QueryPack {
       // term is quantized to the 1e-8 grid first, so intra sums and
       // chunk offsets are exact longs — the two-level association is
       // then EQUAL to the oracle's flat scan, not merely within snap.
-      val bt = Backtester.run(Signals.maCrossPlain(Bars.ohlcvCached(s, d, 3600)))
-      // cache barrier: port feeds both the offsets aggregate and the
-      // final join — uncached, the whole backtest chain runs twice
       // terms cumulate as decimal(38,0), matching Backtester.run's stated
       // overflow posture: with ANSI off a long sum would WRAP silently at
       // some scale, a decimal sum nulls — wrong-but-visible beats
       // wrong-and-silent (unreachable at hourly counts, consistent always)
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val port = bt.groupBy("bucket_ms")
-        .agg(Port.r(sum(col("net_returns")) / 5, 8).as("port_net"))
-        .withColumn("term",
-          floor(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))) * 1e8 + lit(0.5))
-            .cast(dec38))
-        .withColumn("chunk", expr("bucket_ms div 86400000"))
-        .cache()
+      val port = portTermsCached(s, d)
       val intra = Window.partitionBy("chunk").orderBy("bucket_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
       val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))

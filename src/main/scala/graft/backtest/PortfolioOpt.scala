@@ -168,26 +168,40 @@ object PortfolioOpt {
     * objective (ties → lowest grid_id). Returns the winning composition
     * in long form with its contributions.
     */
+  /** Session-memoized risk-contribution grid (feeds both the argmin and
+    * the final join below; memoized rather than bare-per-call-cached so
+    * Memo.invalidateAll owns eviction).
+    */
+  private val rcCache =
+    graft.Memo.map[(DataFrame, Int), DataFrame](_.unpersist())
+
+  private def rcGridCached(spark: SparkSession, bars: DataFrame,
+                           quarters: Int): DataFrame =
+    rcCache.getOrElseUpdate((bars, quarters), {
+      val rets = retsCached(bars)
+      val cov = covCached(bars)
+      val symbols = symbolUniverse(muFromRets(rets))
+      val grid = weightGrid(spark, symbols, quarters)
+      val g2 = grid.select(col("grid_id"), col("symbol").as("symbol2"), col("weight").as("w2"))
+      val marginal = g2.join(broadcast(cov), "symbol2")
+        .groupBy(col("grid_id"), col("symbol1"))
+        .agg(sum(col("w2") * col("cov_ann_raw")).as("marg"))
+      val withW = marginal.join(
+        grid.select(col("grid_id"), col("symbol").as("symbol1"), col("weight")),
+        Seq("grid_id", "symbol1"))
+      // σ_p as a whole-grid-row window sum, not groupBy + join-back: the
+      // join form planned withW's three-shuffle lineage twice
+      withW
+        .withColumn("pv", sqrt(sum(col("weight") * col("marg"))
+          .over(Window.partitionBy("grid_id"))))
+        .withColumn("rc", col("weight") * col("marg") / col("pv"))
+        .cache()
+    })
+
   def riskParityOptimize(spark: SparkSession, bars: DataFrame,
                          quarters: Int = 4): DataFrame = {
-    val rets = retsCached(bars)
-    val cov = covCached(bars)
-    val symbols = symbolUniverse(muFromRets(rets))
-    val grid = weightGrid(spark, symbols, quarters)
-    val g2 = grid.select(col("grid_id"), col("symbol").as("symbol2"), col("weight").as("w2"))
-    val marginal = g2.join(broadcast(cov), "symbol2")
-      .groupBy(col("grid_id"), col("symbol1"))
-      .agg(sum(col("w2") * col("cov_ann_raw")).as("marg"))
-    val withW = marginal.join(
-      grid.select(col("grid_id"), col("symbol").as("symbol1"), col("weight")),
-      Seq("grid_id", "symbol1"))
-    // σ_p as a whole-grid-row window sum, not groupBy + join-back: the
-    // join form planned withW's three-shuffle lineage twice
-    val rc = withW
-      .withColumn("pv", sqrt(sum(col("weight") * col("marg"))
-        .over(Window.partitionBy("grid_id"))))
-      .withColumn("rc", col("weight") * col("marg") / col("pv"))
-      .cache()
+    val symbols = symbolUniverse(muFromRets(retsCached(bars)))
+    val rc = rcGridCached(spark, bars, quarters)
     val target = 1.0 / symbols.length
     val best = rc.groupBy("grid_id")
       .agg(Port.r(sum((col("rc") - target) * (col("rc") - target)), 2).as("objective"))

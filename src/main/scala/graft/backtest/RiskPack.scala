@@ -36,6 +36,25 @@ object RiskPack extends QueryPack {
         percentile(col("r"), lit(0.05)), percentile(col("r"), lit(0.01)),
         Risk.annStatsAggs).cache())
 
+  /** Session-memoized per-(symbol, day) net/drawdown aggregate — fans out
+    * into the two alert families of q_risk_alert_log (a bare per-call
+    * .cache() here would sit outside Memo eviction).
+    */
+  private val dailyRiskCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def dailyRiskCached(s: SparkSession, d: String): DataFrame =
+    dailyRiskCache.getOrElseUpdate((s, d), {
+      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      btMaCross(s, d)
+        .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
+        .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
+        .groupBy("symbol", "day_ms")
+        .agg(sum(col("net_returns")).as("day_net"), min(col("dd")).as("day_min_dd"))
+        .cache()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_var_cvar" -> ((s, d) =>
       riskStats(s, d).select("symbol", "var_95", "var_99", "cvar_95", "n")
@@ -86,14 +105,7 @@ object RiskPack extends QueryPack {
       // per-alert rows, the reference's alert history frame
       // (risk_monitor.py:278 get_alerts_df; levels: drawdown :175
       // critical past 1.5x threshold, daily loss :211 critical past 2x)
-      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val daily = btMaCross(s, d)
-        .withColumn("dd", exp(col("log_equity") - max(col("log_equity")).over(cum)) - 1)
-        .withColumn("day_ms", expr("bucket_ms div 86400000") * 86400000L)
-        .groupBy("symbol", "day_ms")
-        .agg(sum(col("net_returns")).as("day_net"), min(col("dd")).as("day_min_dd"))
-        .cache()
+      val daily = dailyRiskCached(s, d)
       val lossAlerts = daily.filter(col("day_net") < -0.05).select(
         col("symbol"), col("day_ms"), lit("daily_loss").as("metric"),
         Port.r(-col("day_net"), 8).as("value"), lit(0.05).as("threshold"),
