@@ -111,6 +111,26 @@ object Ann {
         }).as("h"))
   }
 
+  /** Standard LSH index sizing for the hyperplane near-dup blocking:
+    * bits = the smallest b in [3, 16] with 2^b · 64 >= n, so the EXPECTED
+    * bucket size stays ~64 as the corpus grows; bands grow 2 per extra
+    * bit to hold near-dup recall as per-band selectivity sharpens
+    * (p_band = p_bit^bits). The r10 30× rehearsal measured why fixed
+    * (bits=3, bands=12) cannot ship: at 60k vectors every one of the 8
+    * buckets per band blows past the 2000-pair cap and recall collapses
+    * to ZERO — a fixed signature width is a scale cliff, not a constant.
+    *
+    * Pure integer arithmetic (no log2: JVM `log(x)/log(2)` lands above
+    * the exact value on powers of two while libm log2 is exact, so a
+    * float formula could disagree with the DuckDB mirror at the
+    * boundary); the oracle selects the same minimal b from a generated
+    * series.
+    */
+  def autoLshParams(n: Long): (Int, Int) = {
+    val bits = (3 to 16).find(b => (1L << b) * 64 >= n).getOrElse(16)
+    (bits, 12 + 2 * (bits - 3))
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane LSH blocking:
     * each vector gets one `bits`-bit bucket per band (sign of the dot with
     * each plane), candidates are same-(band, bucket) pairs in any band,

@@ -85,9 +85,10 @@ object AnnPack extends QueryPack {
   )
 
   /** Session-memoized embedding near-dup pairs via random-hyperplane LSH
-    * blocking (12 bands × 3 bits, bucket cap 2000 — data-independent
-    * bounded cells, unlike label blocking whose cell size is unbounded at
-    * scale). The result (candidate pairs that verified, tiny) is cached
+    * blocking (bits/bands auto-sized from the corpus count —
+    * Ann.autoLshParams — with a 2000-entry bucket cap as the degenerate-
+    * direction guard; data-independent bounded cells, unlike label
+    * blocking whose cell size is unbounded at scale). The result (candidate pairs that verified, tiny) is cached
     * and materialized ONCE per session, then the pipeline's four interior
     * cached frames are freed deterministically — they otherwise lingered
     * for the async ContextCleaner and their cleanup landed on whichever
@@ -98,8 +99,15 @@ object AnnPack extends QueryPack {
 
   private def nearDupCached(s: SparkSession, d: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, d), {
-      val (res, scaffolding) = Ann.hyperplaneNearDupStaged(embCached(s, d),
-        bands = 12, bits = 3, threshold = 0.35, cap = 2000)
+      val emb = embCached(s, d)
+      // EXACT count, not corpusSize's plan-stats shortcut: bits must
+      // equal the oracle's count(*)-derived value bit-for-bit (a stale
+      // stat that flips bits would bucket differently than the mirror);
+      // emb is the session-cached frame, so this count is one cheap
+      // cached-scan per session
+      val (bits, bands) = Ann.autoLshParams(emb.count())
+      val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb,
+        bands = bands, bits = bits, threshold = 0.35, cap = 2000)
       val r = res.cache()
       r.count()
       // plain cached frames with live lineage: safe to free (a cache-
@@ -231,13 +239,24 @@ object AnnPack extends QueryPack {
         |  FROM embeddings, range(1, 65) t(i)
         |),
         |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+        |params AS (
+        |  -- Ann.autoLshParams mirror: minimal b in [3,16] with 2^b*64 >= n,
+        |  -- pure integer comparison (no log2 — float log boundaries differ
+        |  -- between libm and the JVM on exact powers of two)
+        |  SELECT min(b) AS bits, 12 + 2 * (min(b) - 3) AS bands
+        |  FROM (SELECT unnest(generate_series(3, 16)) AS b),
+        |       (SELECT count(*) AS n FROM embeddings)
+        |  WHERE (1::BIGINT << b) * 64 >= n
+        |),
         |hp AS (
         |  SELECT band, bit, pos,
-        |         CAST((1103515245 * ((1103515245 * (((band*3 + bit) * 64) + pos) + 12345) % 2147483648)
+        |         CAST((1103515245 * ((1103515245 * (((band * bits + bit) * 64) + pos) + 12345) % 2147483648)
         |               + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5 AS h
-        |  FROM (SELECT unnest(generate_series(0, 11)) AS band) b
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS bit) t
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS band) b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) t
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+        |  CROSS JOIN params
+        |  WHERE band < bands AND bit < bits
         |),
         |bdots AS (
         |  SELECT c.vec_id, hp.band, hp.bit, sum(c.v * hp.h) AS d

@@ -18,6 +18,38 @@ class AnnSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("adaptive LSH sizing recalls planted near-dups at a corpus size where fixed bits=3 collapsed") {
+    // r10 regression test: at 30x sf0.1 (60k vectors) the fixed 3-bit
+    // signature put EVERY vector into one of 8 per-band buckets, all
+    // past the 2000 cap -> zero pairs. autoLshParams must keep expected
+    // bucket size ~64, so the cap never engages on non-degenerate data.
+    assert(Ann.autoLshParams(200) == (3, 12))   // small corpora unchanged
+    assert(Ann.autoLshParams(2000) == (5, 16))
+    assert(Ann.autoLshParams(60000) == (10, 26))
+    // 4096 deterministic vectors + 50 planted pairs (n=4146: bits=7, bands=20)
+    val n = 4096
+    val dim = 64
+    def lcg(seed: Long): Long = (seed * 1103515245L + 12345L) % 2147483648L
+    val base = (0 until n).map { i =>
+      var s = i.toLong * 7919 + 17
+      val v = Array.fill(dim) { s = lcg(s); s.toDouble / 2147483648.0 - 0.5 }
+      (i.toLong, v.toSeq)
+    }
+    val planted = (0 until 50).map { p =>
+      val src = base(p * 80)._2.toArray
+      // near-identical copy: one component nudged by 1e-3 (cosine ~ 1)
+      src(p % dim) += 1e-3
+      ((100000 + p).toLong, src.toSeq)
+    }
+    val emb = Ann.withNorm((base ++ planted).toDF("vec_id", "e"))
+    val (bits, bands) = Ann.autoLshParams(emb.count())
+    assert(bits == 7 && bands == 20)
+    val pairs = Ann.hyperplaneNearDup(emb, bands, bits, threshold = 0.9, cap = 2000)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = (0 until 50).map(p => (p * 80L, 100000L + p)).filterNot(pairs.contains)
+    assert(missed.isEmpty, s"adaptive LSH missed planted near-dup pairs: $missed")
+  }
+
   test("native dot product equals the zip_with fold bit-for-bit (codegen + interpreted)") {
     val df = Seq(
       (Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.125)),
