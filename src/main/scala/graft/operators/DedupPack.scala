@@ -111,6 +111,29 @@ object DedupPack extends QueryPack {
   private def simhashCached(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate((s, d), simhash(Tables.documents(s, d)).cache())
 
+  /** Near-dup pairs over a (doc_id, simhash) frame: 4 bands x 14 bits
+    * over the 56-bit signature (pigeonhole: any pair within hamming 3
+    * shares a band; the <= 6 emit bound keeps the candidate-then-verify
+    * posture), with the BucketCap guard per (band, key) — a web-scale
+    * identical-signature group must not turn the band self-join
+    * quadratic (see BucketCap).
+    */
+  def simhashPairs(sh: DataFrame): DataFrame = {
+    val bandsRaw = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", expr("(simhash >> (band * 14)) & 16383"))
+    val bands = bandsRaw
+      .join(bandsRaw.groupBy("band", "key").agg(count(lit(1)).as("bsz")),
+        Seq("band", "key"))
+      .filter(col("bsz") <= BucketCap)
+    val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2", "simhash1", "simhash2").distinct()
+      .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc1", "doc2")
+  }
+
   /** Session-memoized LSH candidate pairs (band-bucket collisions with
     * match counts) — referenced twice by the verification join below; a
     * bare per-call .cache() here lingered for the async ContextCleaner
@@ -120,15 +143,36 @@ object DedupPack extends QueryPack {
   private val candCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
+  /** Bucket cap for the band self-joins (minhash AND simhash): identical
+    * signatures form one bucket, and at web scale a boilerplate/empty-doc
+    * group repeated millions of times would make the same-sig self-join
+    * quadratic (the r10 30× rehearsal measured exactly this failure mode
+    * collapse the embedding LSH — this is the same guard the hyperplane
+    * path always had). Dropping a > cap bucket only hides EXACT-signature
+    * mass — whole-corpus exact dup groups are q_dedup_exact_docs' job;
+    * a near-dup of the group still collides in its other bands/buckets.
+    */
+  val BucketCap = 2000L
+
+  /** Band-bucket collision candidates over a (doc_id, band, sig)
+    * signature frame, with the BucketCap guard applied per (band, sig).
+    */
+  def lshCandidates(sigRaw: DataFrame): DataFrame = {
+    val sig = sigRaw
+      .join(sigRaw.groupBy("band", "sig").agg(count(lit(1)).as("bsz")),
+        Seq("band", "sig"))
+      .filter(col("bsz") <= BucketCap)
+    val a = sig.select(col("doc_id").as("doc1"), col("band"), col("sig"))
+    val b = sig.select(col("doc_id").as("doc2"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
+  }
+
   private def candsCached(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate((s, d), {
-      val sig = bandSignatures(minhashFromShingles(TextPack.shinglesCached(s, d)))
-      val a = sig.select(col("doc_id").as("doc1"), col("band"), col("sig"))
-      val b = sig.select(col("doc_id").as("doc2"), col("band"), col("sig"))
-      a.join(b, Seq("band", "sig")).filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
-        .cache()
-    })
+    candCache.getOrElseUpdate((s, d),
+      lshCandidates(
+        bandSignatures(minhashFromShingles(TextPack.shinglesCached(s, d))))
+        .cache())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => {
@@ -154,21 +198,7 @@ object DedupPack extends QueryPack {
         .select("doc1", "doc2", "n_bands_matched", "inter", "sz1", "sz2", "jaccard")
         .orderBy("doc1", "doc2")
     }),
-    "q_dedup_simhash" -> ((s, d) => {
-      // 4 bands x 14 bits over the 56-bit signature (pigeonhole: any pair
-      // within hamming 3 shares a band; the <= 6 emit bound keeps the
-      // same candidate-then-verify posture as before)
-      val sh = simhashCached(s, d)
-      val bands = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
-        .withColumn("key", expr("(simhash >> (band * 14)) & 16383"))
-      val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
-      val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
-      a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
-        .select("doc1", "doc2", "simhash1", "simhash2").distinct()
-        .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
-        .filter(col("hamming") <= 6)
-        .orderBy("doc1", "doc2")
-    })
+    "q_dedup_simhash" -> ((s, d) => simhashPairs(simhashCached(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -192,9 +222,12 @@ object DedupPack extends QueryPack {
          |         || ',' || CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 3 THEN mh END) AS VARCHAR) AS sig
          |  FROM mh GROUP BY 1, 2
          |),
+         |bsizes AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
          |cand AS (
          |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_bands_matched
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  JOIN bsizes z ON z.band = a.band AND z.sig = a.sig
+         |  WHERE z.bsz <= $BucketCap
          |  GROUP BY 1, 2
          |),
          |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM shd GROUP BY doc_id),
@@ -223,7 +256,7 @@ object DedupPack extends QueryPack {
       // the vote totals reassembles the signature; bands and the
       // hamming bound then mirror the Spark pipeline 1:1. xor(a, b)
       // because DuckDB's ^ is exponentiation.
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |),
         |th AS (
@@ -244,11 +277,14 @@ object DedupPack extends QueryPack {
         |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 14)) & 16383 AS key
         |  FROM sig CROSS JOIN (SELECT range AS band FROM range(4)) b
         |),
+        |bsizes AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
         |                  a.simhash AS simhash1, b.simhash AS simhash2
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |  JOIN bsizes z ON z.band = a.band AND z.key = a.key
+        |  WHERE z.bsz <= $BucketCap
         |)
         |SELECT doc1, doc2, simhash1, simhash2,
         |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming

@@ -76,6 +76,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket cap keeps a degenerate identical-signature group from going quadratic") {
+    import spark.implicits._
+    // 2500 byte-identical docs (one shared simhash -> one bucket of 2500
+    // in every band, past the 2000 cap) + one planted near-dup pair of
+    // DISTINCT docs. Uncapped, the group alone emits 2500*2499/2 ≈ 3.1M
+    // pairs; capped, it emits none (exact-dup mass is
+    // q_dedup_exact_docs' job) and the planted pair must survive.
+    val boiler = (0L until 2500L).map(i => (i, "lorem ipsum dolor sit amet " * 4))
+    // the planted pair's text is distinct from the boilerplate, so its
+    // bucket has size 2 — the cap must leave it untouched (signature
+    // equality makes the pair's survival deterministic; hamming between
+    // 1-token-different SHORT docs is not, so that variant can't be a
+    // stable pin)
+    val planted = Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs = (boiler ++ planted).toDF("doc_id", "text")
+    val pairs = DedupPack.simhashPairs(DedupPack.simhash(docs))
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9000L, 9001L)), "planted small-bucket pair lost")
+    assert(pairs.length < 100, s"degenerate group leaked ${pairs.length} pairs")
+    // same guard on the minhash band join: identical signature frames
+    val sigs = (0L until 2500L).flatMap(i => (0 until 8).map(b => (i, b, "42,42,42,42")))
+      .toDF("doc_id", "band", "sig")
+    assert(DedupPack.lshCandidates(sigs).count() == 0)
+  }
+
   test("simhash signatures stay within 56 bits") {
     val sigs = DedupPack.simhash(
       Tables.documents(spark, TestSpark.Sf)).collect().map(_.getLong(1))
