@@ -103,6 +103,28 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupPack.lshCandidates(sigs).count() == 0)
   }
 
+  test("property: expression matches the kernel on random strings with random spacing") {
+    // deterministic fuzz of the string_split contract: random token
+    // streams with random-length space runs, random leading/trailing
+    // spaces, occasional multibyte tokens and empty strings — the
+    // interpreted expression must equal the independent kernel on all
+    var seed = 987654321L
+    def next(n: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val alphabet = Array("tok", "a", "xyzzy", "日本語", "héllo", "9", "")
+    for (_ <- 1 to 300) {
+      val parts = (0 until next(12)).map(_ => alphabet(next(alphabet.length)))
+      val t = parts.mkString(" " * (1 + next(3))) + (" " * next(3))
+      val e = graft.functions.SimHash56Expr(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) == kernelOf(t), s"diverged on ${t.length}-char input '$t'")
+    }
+  }
+
   test("simhash signatures stay within 56 bits") {
     val sigs = DedupPack.simhash(
       Tables.documents(spark, TestSpark.Sf)).collect().map(_.getLong(1))

@@ -63,6 +63,38 @@ class ImpliedVolSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random in-bracket premiums round-trip through the bisection") {
+    // deterministic LCG fuzz over the whole operating envelope: any
+    // premium generated from a sigma inside [lo, hi] must invert back to
+    // it within bracket resolution * a conditioning factor (price is
+    // monotone, so the root is unique; tolerance scales with 1/vega via
+    // the reprice check instead of a sigma delta, which would blow up on
+    // flat low-vega rows)
+    var seed = 20260814L
+    def next(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    for (_ <- 1 to 500) {
+      val s = 10.0 + next() * 1990.0
+      val k = s * (0.5 + next() * 1.0)
+      val t = 0.05 + next() * 2.95
+      val sigma = 0.02 + next() * 2.0
+      val isCall = next() < 0.5
+      val disc = math.exp(t * -0.02)
+      val target = ImpliedVol.price(s, k, t, disc, sigma, isCall)
+      val iv = ImpliedVol.bisect(s, k, t, isCall, target)
+      val reprice = ImpliedVol.price(s, k, t, disc, iv, isCall)
+      // price-space round trip: |reprice - target| <= vega * bracket
+      // resolution + float noise, with an absolute floor for vega ~ 0
+      val vega = s * NormCdf.pdf(
+        (math.log(s / k) + (0.02 + iv * iv * 0.5) * t) / (iv * math.sqrt(t))) * math.sqrt(t)
+      val tol = math.max(1e-9 * s, vega * 5e-11 + 1e-9)
+      assert(math.abs(reprice - target) <= tol,
+        s"s=$s k=$k t=$t sigma=$sigma call=$isCall: reprice off by ${math.abs(reprice - target)} (tol $tol)")
+    }
+  }
+
   test("null inputs propagate null") {
     val expr = ImpliedVolExpr(Literal(100.0), Literal.create(null, DoubleType),
       Literal(1.0), Literal(true), Literal(10.0))
