@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.TextPack,
     graft.operators.AnnPack,
     graft.operators.DedupPack,
-    graft.operators.CorpusPack
+    graft.operators.CorpusPack,
+    graft.operators.SpanPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
