@@ -46,8 +46,8 @@ object SpanPack extends QueryPack {
     * span via gaps-and-islands: a new span starts where the running max
     * of previous span-ends leaves a gap.
     *
-    * Scale shape: one hash aggregate over the shingle stream (count
-    * distinct docs per shingle — linear, shuffle on shingle), one join
+    * Scale shape: one hash aggregate over the shingle stream (min/max
+    * doc per shingle — linear, shuffle on shingle), one join
     * back (output bounded by the position stream: each position carries
     * exactly one shingle, so no candidate blow-up however common a
     * shingle is — unlike pair generation, coverage is linear BY
@@ -62,9 +62,11 @@ object SpanPack extends QueryPack {
 
   /** Kernel over an explicit (doc_id, pos, shingle) stream. */
   def dupSpansFrom(pos3: DataFrame): DataFrame = {
+    // "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    // a plain single-phase hash aggregate, no distinct expansion
     val dup = pos3.groupBy("shingle")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("shingle")
     val cov = pos3.join(dup, "shingle").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -178,7 +180,7 @@ object SpanPack extends QueryPack {
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |),
         |p3 AS (SELECT doc_id, pos, shingle FROM sh WHERE shingle IS NOT NULL),
-        |dup AS (SELECT shingle FROM p3 GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT shingle FROM p3 GROUP BY shingle HAVING min(doc_id) <> max(doc_id)),
         |cov AS (SELECT doc_id, pos FROM p3 JOIN dup USING (shingle)),
         |isl AS (
         |  SELECT doc_id, pos,

@@ -86,6 +86,39 @@ class SpanPackSpec extends AnyFunSuite {
     assert(again.toSeq === SpanPack.packContextsFrom(docs).collect().map(_.toSeq).toSeq)
   }
 
+  test("property: dup spans equal a brute-force sequential reference on random corpora") {
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new Random(seed)
+      // tiny vocab + short docs -> dense cross-doc trigram collisions,
+      // exercising merge/gap/boundary paths hard
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (1 to 60).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val brute: Set[(Long, Long, Long, Long)] = {
+        val tris = docs.flatMap { case (id, text) =>
+          text.split(" ", -1).sliding(3).zipWithIndex.collect {
+            case (w, p) if w.size == 3 => (id, p.toLong, w.mkString(" "))
+          }
+        }
+        val dupSh = tris.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+        tris.filter(t => dupSh(t._3)).groupBy(_._1).flatMap { case (id, occ) =>
+          val covered = occ.flatMap(t => t._2 to t._2 + 2).toSet
+          // contiguous covered runs = maximal spans
+          covered.toSeq.sorted.foldLeft(List.empty[(Long, Long)]) {
+            case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.map { case (s0, e0) => (id, s0, e0, e0 - s0 + 1) }
+        }.toSet
+      }
+      val got = SpanPack.dupSpansFrom(pos3(docs.toDF("doc_id", "text")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === brute, s"seed=$seed")
+    }
+  }
+
   test("property: two-level prefix sum equals the sequential single-window scan") {
     for (seed <- Seq(11, 23, 31)) {
       val docs = randomDocs(seed, n = 150 + seed)
