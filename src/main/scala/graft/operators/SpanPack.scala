@@ -161,44 +161,98 @@ object SpanPack extends QueryPack {
       .orderBy("source", "start_off")
   }
 
+  /** Corpus-level duplication report: per source, how much token mass
+    * sits inside duplicated spans (the headline number of every dedup
+    * paper — what a span-removal pass would delete), plus how many docs
+    * carry any duplicated run. Ratios are single IEEE divisions of
+    * exact integer sums. Left join: a source whose docs share nothing
+    * still reports zeros.
+    */
+  def dupStats(s: SparkSession, d: String): DataFrame = {
+    val perDoc = dupSpans(s, d).groupBy("doc_id")
+      .agg(sum(col("span_len")).as("doc_dup_tokens"))
+    val docs = Tables.documents(s, d).select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_dup_tokens").isNotNull).cast("long")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(coalesce(col("doc_dup_tokens"), lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("total_tokens"), col("dup_tokens"),
+        (col("dup_tokens") / col("total_tokens")).as("dup_ratio"),
+        (col("n_dup_docs") / col("n_docs")).as("dup_doc_share"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans" -> ((s, d) => dupSpans(s, d)),
+    "q_dup_stats" -> ((s, d) => dupStats(s, d)),
     "q_pack_contexts" -> ((s, d) => packContexts(s, d)))
 
+  /** Shared dup-span CTE chain (final CTE: sp = covered positions with
+    * span ids). generate_subscripts is 1-based; Spark's posexplode is
+    * 0-based, so the mirror shifts pos by -1 to emit identical offsets.
+    */
+  private val DupSpanCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, pos,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |),
+      |p3 AS (SELECT doc_id, pos, shingle FROM sh WHERE shingle IS NOT NULL),
+      |dup AS (SELECT shingle FROM p3 GROUP BY shingle HAVING min(doc_id) <> max(doc_id)),
+      |cov AS (SELECT doc_id, pos FROM p3 JOIN dup USING (shingle)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM cov
+      |),
+      |sp AS (
+      |  SELECT doc_id, pos,
+      |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |  FROM isl
+      |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // generate_subscripts is 1-based; Spark's posexplode is 0-based, so
-    // the mirror shifts pos by -1 to emit identical span offsets.
     "q_dup_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id, pos,
-        |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |),
-        |p3 AS (SELECT doc_id, pos, shingle FROM sh WHERE shingle IS NOT NULL),
-        |dup AS (SELECT shingle FROM p3 GROUP BY shingle HAVING min(doc_id) <> max(doc_id)),
-        |cov AS (SELECT doc_id, pos FROM p3 JOIN dup USING (shingle)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |         max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
-        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |  FROM cov
-        |),
-        |sp AS (
-        |  SELECT doc_id, pos,
-        |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-        |  FROM isl
-        |)
-        |SELECT doc_id,
-        |       CAST(min(pos) AS BIGINT) AS span_start,
-        |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
-        |       CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_len
-        |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $DupSpanCte
+         |SELECT doc_id,
+         |       CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+         |       CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_len
+         |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin,
+    "q_dup_stats" ->
+      s"""WITH $DupSpanCte,
+         |spans AS (
+         |  SELECT doc_id, max(pos) + 2 - min(pos) + 1 AS span_len
+         |  FROM sp GROUP BY doc_id, span_id
+         |),
+         |perdoc AS (SELECT doc_id, sum(span_len) AS doc_dup_tokens FROM spans GROUP BY doc_id),
+         |dt AS (
+         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN p.doc_dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(coalesce(p.doc_dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         |       CAST(sum(coalesce(p.doc_dup_tokens, 0)) AS BIGINT)
+         |         / CAST(sum(n_tokens) AS BIGINT) AS dup_ratio,
+         |       CAST(sum(CASE WHEN p.doc_dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         / count(*) AS dup_doc_share
+         |FROM dt LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // the oracle computes the offsets as ONE sequential window per
     // source — hash equality against it proves the engine's two-level
     // parallel prefix sum exact

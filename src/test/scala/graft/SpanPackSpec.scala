@@ -55,6 +55,23 @@ class SpanPackSpec extends AnyFunSuite {
     assert(spans.toSeq === Seq((0L, 7L)))
   }
 
+  test("dup stats aggregate the span table consistently") {
+    val spans = SpanPack.dupSpans(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val byDoc = spans.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val stats = SpanPack.dupStats(spark, TestSpark.Sf).collect()
+    assert(stats.nonEmpty)
+    val totalDup = stats.map(_.getAs[Long]("dup_tokens")).sum
+    assert(totalDup === byDoc.values.sum, "source-level dup mass must equal the span table's")
+    assert(stats.map(_.getAs[Long]("n_dup_docs")).sum === byDoc.size.toLong)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("dup_ratio") ===
+        r.getAs[Long]("dup_tokens").toDouble / r.getAs[Long]("total_tokens"))
+    }
+  }
+
   private def randomDocs(seed: Int, n: Int): DataFrame = {
     val rnd = new Random(seed)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
