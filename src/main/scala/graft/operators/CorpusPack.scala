@@ -176,6 +176,36 @@ object CorpusPack extends QueryPack {
           (col("cum_docs") / col("src_docs")).as("cum_share"))
         .orderBy("source", "bin")
     }),
+    "q_length_quantiles" -> ((s, d) => {
+      // Exact per-source token-length quantiles (percentile_disc
+      // semantics: smallest value whose cumulative count reaches
+      // ceil(p·n)) — the sequence-length planning numbers behind context
+      // sizing and truncation budgets. Scale shape: aggregate to the
+      // VALUE histogram first (source × distinct length — bounded by max
+      // doc length, dimension-sized), then cumsum + rank-select over
+      // that tiny frame. A row_number over raw docs would serialize each
+      // source through one task at 100 TB; the histogram form never
+      // windows over row-scale data. Rank arithmetic is exact integers:
+      // ceil(p·n) = (p_num·n + p_num) div p_den.
+      val hist = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+      val ws = Window.partitionBy("source")
+      hist
+        .withColumn("n_docs", sum(col("c")).over(ws))
+        .withColumn("cum", sum(col("c")).over(ws.orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          min(when(col("cum") >= expr("(n_docs + 1) div 2"),
+            col("n_tokens"))).as("p50_tokens"),
+          min(when(col("cum") >= expr("(9 * n_docs + 9) div 10"),
+            col("n_tokens"))).as("p90_tokens"),
+          min(when(col("cum") >= expr("(99 * n_docs + 99) div 100"),
+            col("n_tokens"))).as("p99_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy("source")
+    }),
     "q_corpus_mix" -> ((s, d) => {
       // Token-budget mix planner (data-mixing step of corpus prep):
       // spend 60% of the corpus' whitespace tokens, target a uniform
@@ -265,6 +295,25 @@ object CorpusPack extends QueryPack {
          |WHERE substr(md5(d.text), 1, 8) < r.thr
          |ORDER BY d.doc_id""".stripMargin
     },
+    "q_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |h AS (SELECT source, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT source, n_tokens, c,
+        |         sum(c) OVER (PARTITION BY source) AS n_docs,
+        |         sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum
+        |  FROM h
+        |)
+        |SELECT source,
+        |       CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN n_tokens END) AS BIGINT) AS p50_tokens,
+        |       CAST(min(CASE WHEN cum >= (9 * n_docs + 9) // 10 THEN n_tokens END) AS BIGINT) AS p90_tokens,
+        |       CAST(min(CASE WHEN cum >= (99 * n_docs + 99) // 100 THEN n_tokens END) AS BIGINT) AS p99_tokens,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM cw GROUP BY source ORDER BY source""".stripMargin,
     "q_length_histogram" ->
       """WITH binned AS (
         |  SELECT source, n_chars // 100 AS bin, count(*) AS n_docs

@@ -73,4 +73,26 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("final_alloc")).sum <= budget)
   }
+
+  test("length quantiles equal brute-force percentile_disc per source") {
+    val lens = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def disc(xs: Seq[Long], num: Long, den: Long): Long = {
+      val n = xs.size.toLong
+      val rank = (num * n + num) / den // ceil(p*n) with p = num/den
+      xs((rank - 1).toInt)
+    }
+    val rows = CorpusPack.queries("q_length_quantiles")(s, d).collect()
+    assert(rows.length === lens.size)
+    rows.foreach { r =>
+      val xs = lens(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === xs.size.toLong)
+      assert(r.getAs[Long]("p50_tokens") === disc(xs, 1, 2))
+      assert(r.getAs[Long]("p90_tokens") === disc(xs, 9, 10))
+      assert(r.getAs[Long]("p99_tokens") === disc(xs, 99, 100))
+      assert(r.getAs[Long]("max_tokens") === xs.max)
+    }
+  }
 }
