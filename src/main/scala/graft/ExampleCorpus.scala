@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline example — the corpus-side companion
-  * of [[Example]]: ingest → exact dedup → quality gate → near-dup
-  * clusters → semantic diversity audit → cluster-balanced sample → mix
-  * plan. Every step is a registered, oracle-checked query; this main
+  * of [[Example]]: ingest → exact dedup → duplicated-span audit →
+  * quality gate → near-dup clusters → semantic diversity audit →
+  * cluster-balanced sample → length planning → mix plan → context
+  * packing. Every step is a registered, oracle-checked query; this main
   * just chains them the way a corpus job would.
   * `runMain graft.ExampleCorpus [sfDir]`.
   */
@@ -15,31 +16,45 @@ object ExampleCorpus {
     val spark = GraftSession.get("graft-example-corpus")
     val q = SparkEntry.queries
 
-    println("[1/7] Corpus...")
+    println("[1/10] Corpus...")
     val docs = Tables.documents(spark, d)
     println(s"  ${docs.count()} documents, ${docs.select("lang").distinct().count()} languages")
 
-    println("[2/7] Exact dedup (md5 canonical text)...")
+    println("[2/10] Exact dedup (md5 canonical text)...")
     val exact = q("q_dedup_exact_docs")(spark, d)
     println(s"  ${exact.count()} unique contents, " +
       s"${exact.agg(coalesce(sum(col("n_dups") - 1), lit(0L))).head.getLong(0)} exact dups dropped")
 
-    println("[3/7] Quality gate (length/punct/stopword composite)...")
+    println("[3/10] Duplicated-span audit (substring-level dedup)...")
+    val dstats = q("q_dup_stats")(spark, d)
+      .agg(coalesce(sum(col("dup_tokens")), lit(0L)).as("dup"),
+        coalesce(sum(col("total_tokens")), lit(0L)).as("tot")).head()
+    println(s"  ${dstats.getLong(0)} of ${dstats.getLong(1)} tokens inside duplicated runs")
+
+    println("[4/10] Quality gate (length/punct/stopword composite)...")
     val qual = q("q_quality_score")(spark, d)
     println(s"  ${qual.filter(col("quality") >= 0.5).count()} docs at quality >= 0.5")
 
-    println("[4/7] Near-duplicate clusters (n-gram jaccard -> connected components)...")
+    println("[5/10] Near-duplicate clusters (n-gram jaccard -> connected components)...")
     val clusters = q("q_dedup_clusters")(spark, d)
     println(s"  ${clusters.count()} docs in non-trivial clusters")
 
-    println("[5/7] Semantic diversity audit (sqrt-n k-means cells)...")
+    println("[6/10] Semantic diversity audit (sqrt-n k-means cells)...")
     q("q_semantic_clusters")(spark, d).show(5, truncate = false)
 
-    println("[6/7] Cluster-balanced sample...")
+    println("[7/10] Cluster-balanced sample...")
     println(s"  ${q("q_sample_semantic")(spark, d).count()} sampled vectors")
 
-    println("[7/7] Token-budget mix plan per source:")
+    println("[8/10] Sequence-length planning (exact per-source quantiles):")
+    q("q_length_quantiles")(spark, d).show(5, truncate = false)
+
+    println("[9/10] Token-budget mix plan per source:")
     q("q_corpus_mix")(spark, d).show(truncate = false)
+
+    println("[10/10] Context packing (512-token training layout)...")
+    val packed = q("q_pack_contexts")(spark, d)
+    println(s"  ${packed.count()} docs packed, " +
+      s"${packed.filter(col("split") === 1).count()} split across a context boundary")
 
     spark.stop()
   }
