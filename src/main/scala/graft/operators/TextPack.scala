@@ -265,6 +265,30 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_dedup_incremental" -> ((s, d) => {
+      // Ingestion-time dedup: the question a production pipeline asks on
+      // every new crawl — which of the NEWEST arrivals (here the top
+      // ~20% of the ingestion-id range, threshold in exact integer
+      // arithmetic) near-duplicate a doc already in the standing corpus,
+      // and which standing doc is the best match. Rides the memoized
+      // symmetric pair table, so the marginal cost is a directional
+      // filter + per-new-doc rank — the asymmetric (batch vs corpus)
+      // posture that stays linear in the batch at any corpus size.
+      val pairs = jaccardPairs(s, d)
+      val thr = Tables.documents(s, d)
+        .agg(expr("(8 * max(doc_id)) div 10").as("thr"))
+      val dirs = pairs.select(col("doc1").as("doc_id"), col("doc2").as("match_doc"),
+        col("inter"), col("sz1").as("sz_doc"), col("sz2").as("sz_match"), col("jaccard"))
+        .unionByName(pairs.select(col("doc2").as("doc_id"), col("doc1").as("match_doc"),
+          col("inter"), col("sz2").as("sz_doc"), col("sz1").as("sz_match"), col("jaccard")))
+      dirs.crossJoin(broadcast(thr))
+        .filter(col("doc_id") > col("thr") && col("match_doc") <= col("thr"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("match_doc"))))
+        .filter(col("rk") === 1)
+        .select("doc_id", "match_doc", "inter", "sz_doc", "sz_match", "jaccard")
+        .orderBy("doc_id")
+    }),
     "q_repetition_filter" -> ((s, d) => {
       // Gopher-style repetition quality signals: per-doc top-2-gram
       // share and duplicated-2-gram mass, with a keep/drop decision —
@@ -615,6 +639,26 @@ object TextPack extends QueryPack {
       s"""WITH $JaccardCte
          |SELECT doc1, doc2, inter, sz1, sz2, jaccard
          |FROM jp ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $JaccardCte,
+         |mx AS (SELECT (8 * max(doc_id)) // 10 AS thr FROM documents),
+         |dirs AS (
+         |  SELECT doc1 AS doc_id, doc2 AS match_doc, inter,
+         |         sz1 AS sz_doc, sz2 AS sz_match, jaccard FROM jp
+         |  UNION ALL
+         |  SELECT doc2, doc1, inter, sz2, sz1, jaccard FROM jp
+         |),
+         |flt AS (
+         |  SELECT dirs.* FROM dirs, mx
+         |  WHERE doc_id > thr AND match_doc <= thr
+         |),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY jaccard DESC, match_doc) AS rk
+         |  FROM flt
+         |)
+         |SELECT doc_id, match_doc, inter, sz_doc, sz_match, jaccard
+         |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_vocab_topk" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents

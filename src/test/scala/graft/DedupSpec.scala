@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
+  test("incremental dedup flags newest docs with their best standing match") {
+    val pairs = TextPack.queries("q_dedup_ngram_jaccard")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val thr = Tables.documents(spark, TestSpark.Sf)
+      .agg(expr("(8 * max(doc_id)) div 10")).head.getLong(0)
+    // sequential reference off the symmetric pair list
+    val expected = (pairs.map(p => (p._1, p._2, p._3)) ++ pairs.map(p => (p._2, p._1, p._3)))
+      .filter { case (n, old, _) => n > thr && old <= thr }
+      .groupBy(_._1).view
+      .mapValues(_.minBy(m => (-m._3, m._2))).toMap
+    val got = TextPack.queries("q_dedup_incremental")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getDouble(5)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k)) }
+    assert(got.nonEmpty, "test corpus should have cross-threshold near-dups")
+  }
+
   test("cluster label propagation keeps plan depth flat across iterations") {
     // the loop caches/localCheckpoints each round and unpersists the
     // superseded frame — the final plan must hang off a materialized
