@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.operators.DedupPack
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Live ingestion near-dup gate — the streaming member of the MinHash
+  * family: each arriving document is checked against a STATIC band-
+  * signature index of the standing corpus via a stream-static join.
+  *
+  * Architecture (the production shape at 100 TB):
+  *  - the INDEX is built batch-side by the existing oracled pipeline
+  *    ([[corpusIndex]] = DedupPack band signatures, 8 rows per standing
+  *    doc) and stored as a parquet table; Spark re-plans the static side
+  *    per micro-batch, so an index rebuild (nightly dedup job) is picked
+  *    up without restarting the stream.
+  *  - the STREAM side computes signatures STATELESSLY per row
+  *    ([[bandKeys]]): non-time windows and multi-row aggregations are
+  *    unsupported on streams, so the batch pipeline's explode →
+  *    lead-window → groupBy(min) becomes per-row higher-order array
+  *    functions (split → 3-gram transform → md5 base → 32 permuted
+  *    array_min's). Same arithmetic, zero state.
+  *  - multi-band hits for the same (incoming, standing) pair collapse
+  *    through `dropDuplicatesWithinWatermark` — bounded state, one flag
+  *    per pair (the unbounded-state dropDuplicates trap documented in
+  *    [[StreamingDedup]]).
+  *
+  * StreamingSpec pins [[bandKeys]] EXACTLY equal to the batch
+  * `bandSignatures(minhashFromShingles(shingles(docs)))` on the live
+  * corpus, and the end-to-end flag-once/no-false-positive contract
+  * across micro-batches. Reference: cleaner.py:109 deduplicate (batch
+  * analog); etl/pipeline.py's ingest path for the live shape.
+  */
+object StreamingNearDup {
+
+  private val P = DedupPack.MinhashP
+
+  /** (a·x + b) mod P with the same overflow-free 2^28-split modmul as
+    * DedupPack.minhashFromShingles — bit-identical signatures.
+    */
+  private def permHash(x: Column, a: Long, b: Long): Column = {
+    val hi = shiftright(x, 28)
+    val lo = x.bitwiseAND(lit((1L << 28) - 1))
+    (((lit(a) * hi) % P) * lit(1L << 28) % P + (lit(a) * lo) % P + lit(b)) % P
+  }
+
+  /** Stateless per-row band keys: (input columns..., band, sig) — 8 rows
+    * per doc with >= 3 tokens, none for shorter docs (mirroring the
+    * batch pipeline, whose 3-gram stream drops them).
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val arr = split(col("text"), " ")
+    val shingles = array_distinct(transform(sequence(lit(0), size(arr) - 3),
+      i => concat_ws(" ",
+        element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3))))
+    val bases = transform(col("__sh"),
+      s0 => conv(substring(md5(s0), 1, 14), 16, 10).cast("long"))
+    val mhs: Seq[Column] = DedupPack.PermConsts.map { case (_, a, b) =>
+      array_min(transform(col("__base"), x => permHash(x, a, b)))
+    }
+    val rows = NumRowsPerBand
+    val bands = (0 until DedupPack.NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", mhs.slice(b * rows, b * rows + rows): _*).as("sig"))
+    }
+    docs
+      .filter(size(arr) >= 3) // sequence(0, n) descends for n < 0
+      .withColumn("__sh", shingles)
+      .withColumn("__base", bases)
+      .withColumn("__band", explode(array(bands: _*)))
+      .select((docs.columns.map(col) :+ col("__band.band").as("band")
+        :+ col("__band.sig").as("sig")): _*)
+  }
+
+  private val NumRowsPerBand = DedupPack.NumPerms / DedupPack.NumBands
+
+  /** The static side: band signatures of the standing corpus from the
+    * oracled batch pipeline, keyed for the stream join.
+    */
+  def corpusIndex(docs: DataFrame): DataFrame =
+    DedupPack.bandSignatures(DedupPack.minhashSignatures(docs))
+      .select(col("doc_id").as("match_doc"), col("band"), col("sig"))
+
+  /** Flag incoming docs whose signature collides with the standing
+    * corpus in any band: one (ts, doc_id, match_doc) row per pair,
+    * multi-band hits deduped with watermark-bounded state.
+    *
+    * @param docs  streaming (ts: TimestampType, doc_id, text, ...)
+    * @param index static (match_doc, band, sig) — [[corpusIndex]]
+    */
+  def flagged(docs: DataFrame, index: DataFrame, watermark: String): DataFrame =
+    bandKeys(docs)
+      .join(index, Seq("band", "sig")) // stream-static inner join
+      .filter(col("doc_id") =!= col("match_doc"))
+      .select(col("ts"), col("doc_id"), col("match_doc"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "match_doc"))
+}

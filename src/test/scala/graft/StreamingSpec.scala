@@ -306,3 +306,48 @@ class WatermarkSpec extends AnyFunSuite {
     assert(w0(0).getAs[Long]("n_trades") == 1L)
   }
 }
+
+class StreamingNearDupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import graft.operators.DedupPack
+  import graft.streaming.StreamingNearDup
+
+  test("stateless stream-side band keys equal the batch pipeline's on the corpus") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val batch = DedupPack.bandSignatures(DedupPack.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("band").intValue, r.getString(2)))
+      .toSet
+    val live = StreamingNearDup.bandKeys(docs.select("doc_id", "text"))
+      .select("doc_id", "band", "sig")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("band").intValue, r.getString(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(live === batch)
+  }
+
+  test("live gate flags a standing-corpus copy once and passes novel text") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (100L, "en", "alpha beta gamma delta eps zeta"),
+      (101L, "en", "one two three four five six"))
+      .toDF("doc_id", "lang", "text")
+    val index = StreamingNearDup.corpusIndex(corpus)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingNearDup.flagged(docs, index, "10 minutes")
+      .writeStream.format("memory").queryName("sneardup").outputMode("append").start()
+    input.addData(
+      (new Timestamp(1000L), 1L, "alpha beta gamma delta eps zeta"), // copy of 100
+      (new Timestamp(2000L), 2L, "purple monkey dishwasher quantum flux pancake"),
+      (new Timestamp(2500L), 3L, "hi")) // < 3 tokens: no signature, no crash
+    q.processAllAvailable()
+    // the same pair re-arriving in a later micro-batch stays flagged ONCE
+    input.addData((new Timestamp(3000L), 1L, "alpha beta gamma delta eps zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sneardup").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_doc")))
+    assert(rows.toSeq === Seq((1L, 100L)))
+  }
+}
