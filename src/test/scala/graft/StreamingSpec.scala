@@ -325,6 +325,26 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(live === batch)
   }
 
+  test("property: stream/batch signature parity on adversarial token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "bb", "ccc", "", "d d", "ee")
+    // doc lengths straddle the 3-token boundary; empty tokens from
+    // double spaces exercise the split(" ") vs array-slice agreement
+    val docs = (1 to 80).map { i =>
+      val len = rnd.nextInt(7)
+      (i.toLong, "en", Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val batch = DedupPack.bandSignatures(DedupPack.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("band").intValue, r.getString(2)))
+      .toSet
+    val live = StreamingNearDup.bandKeys(docs.select("doc_id", "text"))
+      .select("doc_id", "band", "sig")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("band").intValue, r.getString(2)))
+      .toSet
+    assert(live === batch)
+  }
+
   test("live gate flags a standing-corpus copy once and passes novel text") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
