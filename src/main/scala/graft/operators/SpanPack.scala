@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
   *    concatenate, split at a fixed context length, and report for each
   *    document which context windows it lands in and whether a context
   *    boundary splits it. The cumulative token offset is computed as a
-  *    two-level distributed prefix sum (256 md5 buckets, local cumsum
-  *    per bucket + broadcast bucket offsets), NOT a single
-  *    whole-source window — the oracle's sequential single-window scan
-  *    verifying it hash-exact is precisely the proof the parallel
-  *    decomposition is correct.
+  *    two-level distributed prefix sum (16^p md5-prefix buckets with p
+  *    sized from the corpus count, local cumsum per bucket + broadcast
+  *    bucket offsets), NOT a single whole-source window — the oracle's
+  *    sequential single-window scan verifying it hash-exact is precisely
+  *    the proof the parallel decomposition is correct.
   *
   * Both are exact-integer end to end (positions, token counts, integer
   * division) — no float tolerance anywhere.
@@ -113,23 +113,40 @@ object SpanPack extends QueryPack {
     * standard parallel prefix-sum and the oracle proves it equals the
     * sequential scan bit-for-bit.
     */
-  def packContexts(s: SparkSession, d: String): DataFrame =
-    packLayout(packDocsCached(s, d))
+  def packContexts(s: SparkSession, d: String): DataFrame = {
+    val docs = packDocsCached(s, d)
+    packLayout(docs, packPrefixLen(docs.count()))
+  }
 
-  /** Kernel over an explicit documents frame (source, doc_id, text). */
-  def packContextsFrom(documents: DataFrame): DataFrame =
-    packLayout(narrowDocs(documents))
+  /** Kernel over an explicit documents frame (source, doc_id, text).
+    * `prefixLen` picks the bucket fan-out; the layout is INVARIANT to it
+    * (the bucket is a prefix of the order key), so callers can size it
+    * freely — see [[packPrefixLen]].
+    */
+  def packContextsFrom(documents: DataFrame, prefixLen: Int = 2): DataFrame =
+    packLayout(narrowDocs(documents), prefixLen)
+
+  /** Bucket-prefix length (md5 hex chars → 16^p buckets) for the
+    * two-level prefix sum, sized from the corpus count like
+    * Ann.autoLshParams: minimal p in [2, 6] keeping the average bucket
+    * under ~1M docs, so no local-cumsum task sorts more than that and
+    * the bucket-offset table stays broadcast-sized (16^6 = 16.7M rows
+    * only past ~10^13 docs). The packed layout itself is invariant to p
+    * — the spec pins a cross-p equality — so the sizing needs no oracle
+    * mirror, unlike the recall-bearing LSH width.
+    */
+  def packPrefixLen(n: Long): Int =
+    (2 to 6).find(p => n <= (1L << (4 * p)) * 1000000L).getOrElse(6)
 
   /** The narrow pack projection: one pass over `text` produces
-    * (source, doc_id, n_tokens, h, bucket) — everything downstream
-    * needs, at ~0.1% of the corpus width.
+    * (source, doc_id, n_tokens, h) — everything downstream needs, at
+    * ~0.1% of the corpus width.
     */
   private def narrowDocs(documents: DataFrame): DataFrame =
     documents.select(
       col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       md5(col("text")).as("h"))
-      .withColumn("bucket", substring(col("h"), 1, 2))
 
   /** Session-memoized narrow projection — the layout references it
     * twice (per-bucket cumsum + bucket totals), and without
@@ -144,8 +161,9 @@ object SpanPack extends QueryPack {
     packDocsCache.getOrElseUpdate((s, d),
       narrowDocs(Tables.documents(s, d)).cache())
 
-  private def packLayout(docs: DataFrame): DataFrame = {
+  private def packLayout(docsNarrow: DataFrame, prefixLen: Int): DataFrame = {
     val C = ContextLen
+    val docs = docsNarrow.withColumn("bucket", substring(col("h"), 1, prefixLen))
     val wLocal = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
     val local = docs.withColumn("local_end",
       sum(col("n_tokens")).over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))

@@ -101,6 +101,11 @@ class SpanPackSpec extends AnyFunSuite {
     val again = SpanPack.packContextsFrom(docs.repartition(7))
       .collect().map(_.toSeq)
     assert(again.toSeq === SpanPack.packContextsFrom(docs).collect().map(_.toSeq).toSeq)
+    // and INVARIANT to the bucket fan-out (the auto-sized knob changes
+    // only the decomposition, never the layout)
+    val wider = SpanPack.packContextsFrom(docs, prefixLen = 3)
+      .collect().map(_.toSeq)
+    assert(wider.toSeq === again.toSeq)
   }
 
   test("property: dup spans equal a brute-force sequential reference on random corpora") {
@@ -134,6 +139,13 @@ class SpanPackSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got === brute, s"seed=$seed")
     }
+  }
+
+  test("bucket prefix length scales with corpus count and caps at 6") {
+    assert(SpanPack.packPrefixLen(5000L) === 2)
+    assert(SpanPack.packPrefixLen(256L * 1000000L) === 2)
+    assert(SpanPack.packPrefixLen(256L * 1000000L + 1) === 3)
+    assert(SpanPack.packPrefixLen(Long.MaxValue / 4) === 6)
   }
 
   test("property: two-level prefix sum equals the sequential single-window scan") {
