@@ -348,4 +348,120 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
       .orderBy("q_id", "rank")
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jegou/Douze/Schmid, IEEE TPAMI 2011) — the
+  // MEMORY-scale ANN path at 100 TB: each vector compresses to M sub-
+  // codes (here 8 codes = 8 bytes vs 256 float32 bytes, 32x), and search
+  // becomes integer table lookups over the code column instead of float
+  // math over raw vectors. Complements IVF (which prunes the SCAN):
+  // a production index at 10^9+ vectors runs IVF cells over PQ codes.
+  //
+  // Determinism/parity: per-subspace k-means follows the exact contract
+  // of the full-width kmeansCells (deterministic low-id seeds, two
+  // assignment rounds, snapped distances with cell-id tiebreak), so the
+  // DuckDB oracle unrolls the identical codebooks; ADC partials snap to
+  // 1e-6 integers per (query, sub, cell) BEFORE the cross-subspace sum,
+  // making every score an exact integer — immune to summation order.
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, sub, sv): the M d/M-dim sub-slices of each vector. */
+  def pqSubvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
+      .withColumn("sv", slice(col("e"), col("sub") * lit(dsub) + lit(1), lit(dsub)))
+      .drop("e")
+
+  /** Squared L2 between two equal-length array columns — identical terms
+    * to the oracle's sum((v-cv)^2); only the 8-term fold order differs
+    * (ulp noise, absorbed by the 1e-6 snap).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest codebook entry per (vector, subspace) by snapped squared L2
+    * (ties -> lowest cell) — one hash aggregate, map-side combinable.
+    */
+  private def pqAssign(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), "sub")
+      .withColumn("d6", Port.r(l2sq(col("sv"), col("cv")), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cell"), struct(col("d6"), col("cell"))).as("code"))
+
+  /** Per-(subspace, cell) mean sub-vector rebuilt into an array column. */
+  private def pqCentroids(sv: DataFrame, assigned: DataFrame): DataFrame =
+    sv.join(assigned, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code").as("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sub", "cell", "pos").agg((sum(col("v")) / count(lit(1))).as("cvv"))
+      .groupBy("sub", "cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cvv")))),
+        x => x.getField("cvv")).as("cv"))
+
+  /** Two-round per-subspace k-means from deterministic seeds (the k
+    * lowest vec_ids' sub-slices). Returns (codes (vec_id, sub, code),
+    * codebooks (sub, cell, cv)) — both cached (Memo-registered by
+    * [[pqCodebooksCached]]).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, dsub: Int, k: Int): (DataFrame, DataFrame) = {
+    val sv = pqSubvectors(emb, m, dsub)
+    val seeds = sv.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
+    val a1 = pqAssign(sv, seeds)
+    val c1 = pqCentroids(sv, a1)
+    // cache barriers, same rationale as kmeansCells: codes feed both the
+    // round-2 centroid build and ADC scoring
+    val a2 = pqAssign(sv, c1).cache()
+    val c2 = pqCentroids(sv, a2).cache()
+    (a2, c2)
+  }
+
+  private val pqCache =
+    graft.Memo.map[(org.apache.spark.sql.SparkSession,
+                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+                   (DataFrame, DataFrame)] {
+      case (a, c) => a.unpersist(); c.unpersist()
+    }
+
+  /** Session-memoized PQ training, keyed like kmeansCellsCached (the
+    * canonicalized plan OBJECT, not its truncatable string form).
+    */
+  def pqCodebooksCached(emb: DataFrame, m: Int, dsub: Int, k: Int): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.logical.canonicalized, m, dsub, k),
+      pqCodebooks(emb, m, dsub, k))
+
+  /** ADC (asymmetric distance computation) top-k: queries stay exact,
+    * the corpus is its codes. The per-query distance table (M·k snapped
+    * dot-product partials, exact longs) broadcasts; scoring is one
+    * map-side-combinable aggregate over the code column — the scan
+    * touches 8 bytes/vector, never the raw floats. Two-level rank as in
+    * bruteTopK so no task ever sorts a query's full candidate set.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
+             m: Int = 8, dsub: Int = 8, cells: Int = 8): DataFrame = {
+    val (codes, books) = pqCodebooksCached(emb, m, dsub, cells)
+    val qs = pqSubvectors(emb.filter(col("vec_id") < nQueries), m, dsub)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qv"))
+    // the lookup-table keys are RENAMED before the join: codes and
+    // dtable share the emb lineage, and a dataframe("col") === condition
+    // across a self-join can silently resolve both sides to the same
+    // attribute (Spark's classic self-join ambiguity) — distinct names
+    // make the equi-join unambiguous by construction
+    val dtable = qs.join(books, "sub")
+      .withColumn("p", floor(dot(col("qv"), col("cv")) * 1e6 + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("sub").as("t_sub"), col("cell").as("t_cell"), col("p"))
+    codes.join(broadcast(dtable),
+        col("sub") === col("t_sub") && col("code") === col("t_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("p")).as("score_u"))
+      .withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("q_id", "_split").orderBy(col("score_u").desc, col("vec_id"))))
+      .filter(col("_lrk") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score_u").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
 }

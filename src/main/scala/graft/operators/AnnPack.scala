@@ -70,7 +70,44 @@ object AnnPack extends QueryPack {
       val emb = embCached(s, d)
       Ann.clusterBalancedSample(emb, Ann.defaultCells(Ann.corpusSize(emb)), perCell = 16)
     }),
+    "q_ann_pq_topk" -> ((s, d) =>
+      // product quantization ADC search: 8 subspaces x 8 dims, 8-entry
+      // codebooks per subspace (2-round per-subspace k-means, same
+      // deterministic contract as the IVF clustering). Scores are raw
+      // inner products (MIPS, the standard PQ retrieval objective) —
+      // the scan touches only the 8-byte code column. See Ann.pqTopK.
+      Ann.pqTopK(embCached(s, d), nQueries = 10, k = 10)),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
+    "q_embed_quantize" -> ((s, d) => {
+      // Int8 symmetric per-vector quantization — the embedding
+      // compression step before ANN serving at 100 TB (4x memory cut vs
+      // float32; the IVF index rides the codes). scale = absmax/127;
+      // code_i = floor(v_i/scale + 0.5) is pure IEEE arithmetic (no
+      // library round(), whose half-boundary semantics differ between
+      // engines), so codes are bit-identical on both sides. Reported
+      // stats are exact integers (code sums, saturation count) plus the
+      // reconstruction error accumulated in integer picounits — an exact
+      // sum, immune to float summation order. Plan shape: one codegen'd
+      // map pass per row (transform/aggregate HOFs, no explode), zero
+      // shuffles before the final presentation sort.
+      val e = embCached(s, d)
+      e.withColumn("scale", array_max(transform(col("e"), v => abs(v))) / 127)
+        .withColumn("codes",
+          when(col("scale") > 0,
+            transform(col("e"), v => floor(v / col("scale") + lit(0.5)).cast("long")))
+            .otherwise(transform(col("e"), _ => lit(0L))))
+        .select(col("vec_id"),
+          Port.r(col("scale"), 9).as("scale9"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + abs(x)).as("code_l1"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_sat"),
+          aggregate(zip_with(col("e"), col("codes"),
+            (v, c) => floor((v - c * col("scale")) * (v - c * col("scale")) * 1e12
+              + lit(0.5)).cast("long")),
+            lit(0L), (a, x) => a + x).as("err_u"))
+        .orderBy("vec_id")
+    }),
     "q_media_metadata" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -285,6 +322,84 @@ object AnnPack extends QueryPack {
         |FROM pd JOIN nm a ON v1 = a.vec_id JOIN nm b ON v2 = b.vec_id
         |WHERE floor(pd.d / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+    "q_ann_pq_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS pos,
+        |         CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |seed AS (SELECT sub, vec_id AS cell, pos, v AS cv FROM c WHERE vec_id < 8),
+        |a1d AS (
+        |  SELECT c.vec_id, c.sub, s.cell, sum((c.v - s.cv) * (c.v - s.cv)) AS d
+        |  FROM c JOIN seed s ON c.sub = s.sub AND c.pos = s.pos
+        |  GROUP BY 1, 2, 3
+        |),
+        |a1 AS (
+        |  SELECT vec_id, sub, cell AS code FROM (
+        |    SELECT vec_id, sub, cell, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY floor(d * 1e6 + 0.5) / 1e6, cell) AS rk
+        |    FROM a1d) WHERE rk = 1
+        |),
+        |cent1 AS (
+        |  SELECT c.sub, a1.code AS cell, c.pos, sum(c.v) / count(*) AS cv
+        |  FROM c JOIN a1 ON c.vec_id = a1.vec_id AND c.sub = a1.sub
+        |  GROUP BY 1, 2, 3
+        |),
+        |a2d AS (
+        |  SELECT c.vec_id, c.sub, t.cell, sum((c.v - t.cv) * (c.v - t.cv)) AS d
+        |  FROM c JOIN cent1 t ON c.sub = t.sub AND c.pos = t.pos
+        |  GROUP BY 1, 2, 3
+        |),
+        |a2 AS (
+        |  SELECT vec_id, sub, cell AS code FROM (
+        |    SELECT vec_id, sub, cell, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY floor(d * 1e6 + 0.5) / 1e6, cell) AS rk
+        |    FROM a2d) WHERE rk = 1
+        |),
+        |cent2 AS (
+        |  SELECT c.sub, a2.code AS cell, c.pos, sum(c.v) / count(*) AS cv
+        |  FROM c JOIN a2 ON c.vec_id = a2.vec_id AND c.sub = a2.sub
+        |  GROUP BY 1, 2, 3
+        |),
+        |q AS (SELECT vec_id AS q_id, sub, pos, v AS qv FROM c WHERE vec_id < 10),
+        |dt AS (
+        |  SELECT q.q_id, t.sub, t.cell,
+        |         CAST(floor(sum(q.qv * t.cv) * 1e6 + 0.5) AS BIGINT) AS p
+        |  FROM q JOIN cent2 t ON q.sub = t.sub AND q.pos = t.pos
+        |  GROUP BY 1, 2, 3
+        |),
+        |sc AS (
+        |  SELECT dt.q_id, a2.vec_id, CAST(sum(dt.p) AS BIGINT) AS score_u
+        |  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.code = dt.cell
+        |  WHERE a2.vec_id != dt.q_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, vec_id, CAST(score_u AS DOUBLE) / 1e6 AS score, rank FROM (
+        |  SELECT q_id, vec_id, score_u,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score_u DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH c AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |sc AS (SELECT vec_id, max(abs(v)) / 127 AS scale FROM c GROUP BY vec_id),
+        |codes AS (
+        |  SELECT c.vec_id, sc.scale, c.v,
+        |         CASE WHEN sc.scale > 0 THEN CAST(floor(c.v / sc.scale + 0.5) AS BIGINT)
+        |              ELSE 0 END AS code
+        |  FROM c JOIN sc ON c.vec_id = sc.vec_id
+        |)
+        |SELECT vec_id,
+        |       floor(scale * 1e9 + 0.5) / 1e9 AS scale9,
+        |       count(*) AS n_dims,
+        |       CAST(sum(code) AS BIGINT) AS code_sum,
+        |       CAST(sum(abs(code)) AS BIGINT) AS code_l1,
+        |       CAST(count(CASE WHEN abs(code) = 127 THEN 1 END) AS BIGINT) AS n_sat,
+        |       CAST(sum(CAST(floor((v - code * scale) * (v - code * scale) * 1e12 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS err_u
+        |FROM codes GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS mime, octet_length(CAST(text AS BLOB)) AS byte_len,
         |       md5(text) AS content_md5,

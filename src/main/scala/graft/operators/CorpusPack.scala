@@ -79,6 +79,12 @@ object CorpusPack extends QueryPack {
     * and stable under re-partitioning (the classic downsample-the-
     * over-represented-stratum move; `en` is ~40% of this corpus).
     */
+  /** Shard fan-out for the deterministic training shuffle. */
+  val NShards = 64L
+
+  /** Modulus for the shard manifests' id checksum (a prime below 2^30). */
+  val ChecksumP = 1000000007L
+
   val LangRates: Seq[(String, String)] = Seq(
     "en" -> "66666666", // 0.4
     "de" -> "cccccccc", "es" -> "cccccccc", "fr" -> "cccccccc", "zh" -> "cccccccc") // 0.8
@@ -206,6 +212,61 @@ object CorpusPack extends QueryPack {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("source")
     }),
+    "q_shard_manifest" -> ((s, d) => {
+      // Deterministic global shuffle for training-data loaders: every
+      // doc maps to one of 64 shards by the portable md5-first-14-hex
+      // integer of its id — content-independent, reproducible on any
+      // engine, and stable under any input partitioning. At scale the
+      // write path is repartition($"shard").sortWithinPartitions($"h")
+      // (one shuffle, shard files written in hash order); this query
+      // emits the shard MANIFEST a loader validates against: doc/token
+      // mass per shard, the hash range, and a modular id checksum. All
+      // hash aggregates — no per-row window, so no shard is ever
+      // serialized through a single task. The checksum sums doc_id mod
+      // p through decimal(38,0) (HUGEINT in the mirror): exact at any
+      // corpus size, then reduced mod p back to BIGINT.
+      Tables.documents(s, d)
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10).cast("long"))
+        .withColumn("shard", col("h") % NShards)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"),
+          expr(s"cast(sum(cast(doc_id % $ChecksumP as decimal(29,0))) % $ChecksumP as bigint)")
+            .as("id_checksum"))
+        .orderBy("shard")
+    }),
+    "q_mix_temperature" -> ((s, d) => {
+      // Temperature-based source mixing (alpha = 0.5, the multilingual-
+      // LM standard): sampling weight w_s proportional to p_s^alpha flattens the
+      // source distribution, deliberately upsampling rare sources
+      // (sample_rate > 1 means epochs over that source). Parity posture:
+      // sqrt is IEEE-754 correctly rounded (identical in every libm),
+      // and each weight is snapped to integer picounits BEFORE the
+      // cross-source sum, so the weight total is an exact integer — no
+      // float summation-order sensitivity. Allocations ride
+      // decimal(19,0)x(19,0) products (HUGEINT in the mirror), exact at
+      // the 100 TB token-count design point. Source cardinality is tiny:
+      // the unpartitioned window is dimension-level, like q_corpus_mix.
+      val avail = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source").agg(sum(col("toks")).as("avail_tokens"))
+      val all = Window.partitionBy(lit(1))
+      avail
+        .withColumn("total", sum(col("avail_tokens")).over(all))
+        .withColumn("weight_u",
+          floor(sqrt(col("avail_tokens") / col("total")) * 1e12 + lit(0.5)).cast("long"))
+        .withColumn("wsum", sum(col("weight_u")).over(all))
+        .withColumn("budget", expr("total * 6 div 10"))
+        .withColumn("alloc_tokens",
+          expr("cast(cast(budget as decimal(19,0)) * cast(weight_u as decimal(19,0)) div wsum as bigint)"))
+        .select(col("source"), col("avail_tokens"), col("weight_u"), col("alloc_tokens"),
+          Port.r(col("alloc_tokens") / col("avail_tokens"), 6).as("sample_rate"))
+        .orderBy("source")
+    }),
     "q_corpus_mix" -> ((s, d) => {
       // Token-budget mix planner (data-mixing step of corpus prep):
       // spend 60% of the corpus' whitespace tokens, target a uniform
@@ -325,6 +386,46 @@ object CorpusPack extends QueryPack {
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
         |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |)
+         |SELECT h % $NShards AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       min(h) AS min_h,
+         |       max(h) AS max_h,
+         |       CAST(CAST(sum(doc_id % $ChecksumP) AS HUGEINT) % $ChecksumP AS BIGINT)
+         |         AS id_checksum
+         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q_mix_temperature" ->
+      s"""WITH avail AS (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY source
+         |),
+         |w AS (
+         |  SELECT source, avail_tokens,
+         |         CAST(sum(avail_tokens) OVER () AS BIGINT) AS total,
+         |         CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)
+         |                         / CAST(sum(avail_tokens) OVER () AS BIGINT)) * 1e12 + 0.5)
+         |              AS BIGINT) AS weight_u
+         |  FROM avail
+         |),
+         |t AS (
+         |  SELECT *, CAST(sum(weight_u) OVER () AS BIGINT) AS wsum,
+         |         total * 6 // 10 AS budget
+         |  FROM w
+         |),
+         |f AS (
+         |  SELECT *, CAST(CAST(budget AS HUGEINT) * weight_u // wsum AS BIGINT) AS alloc_tokens
+         |  FROM t
+         |)
+         |SELECT source, avail_tokens, weight_u, alloc_tokens,
+         |       ${Port.rsql("CAST(alloc_tokens AS DOUBLE) / avail_tokens", 6)} AS sample_rate
+         |FROM f ORDER BY source""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH avail AS (
          |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens

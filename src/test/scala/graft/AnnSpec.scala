@@ -160,6 +160,79 @@ class AnnSpec extends AnyFunSuite {
     assert(i1 == i7, "ivfTopK result depends on input partitioning")
   }
 
+  test("PQ ADC search recalls exact inner-product neighbors on clustered data") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val clusters = 8; val n = 400
+    val centers = Array.fill(clusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      (i.toLong, centers(i % clusters).map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }
+    val emb = Ann.withNorm(rows.toDF("vec_id", "e")).cache()
+    val (codes, _) = Ann.pqCodebooks(emb, m = 4, dsub = 4, k = 8)
+    // every vector compresses to exactly m codes, all inside the codebook
+    assert(codes.count() === n.toLong * 4)
+    assert(codes.filter(col("code") < 0 || col("code") >= 8).count() === 0)
+    val pq = Ann.pqTopK(emb, nQueries = 10, k = 5, m = 4, dsub = 4, cells = 8).collect()
+    assert(pq.length === 50)
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L))
+    }
+    // with k=8 codewords per subspace on 8-cluster data, every same-
+    // cluster member quantizes to ~the same codes: ADC retrieves at
+    // CLUSTER granularity (within-cluster order falls to the vec_id
+    // tiebreak — finer ranking needs a bigger codebook, next assert).
+    // So the sharp guarantee is same-cluster precision, not point recall.
+    val sameCluster = pq.count(r => r.getLong(1) % clusters == r.getLong(0) % clusters)
+    assert(sameCluster >= 45, s"same-cluster precision $sameCluster/50")
+    // quantization refinement: mean reconstruction L2 must fall as the
+    // codebook grows 8 -> 32 entries per subspace
+    def reconErr(kk: Int): Double = {
+      val (codes, books) = Ann.pqCodebooks(emb, m = 4, dsub = 4, k = kk)
+      val sv = Ann.pqSubvectors(emb, m = 4, dsub = 4)
+      val err = sv.join(codes, Seq("vec_id", "sub"))
+        .join(books.select(col("sub"), col("cell").as("code"), col("cv")), Seq("sub", "code"))
+        .select(aggregate(zip_with(col("sv"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("e2"))
+        .agg(avg(col("e2"))).head.getDouble(0)
+      codes.unpersist(); books.unpersist()
+      err
+    }
+    val (e8, e32) = (reconErr(8), reconErr(32))
+    assert(e32 < e8, s"recon error must shrink with codebook size: k=8 $e8 vs k=32 $e32")
+    // split-independence: the two-level rank and all aggregates must not
+    // depend on input partitioning
+    val emb7 = Ann.withNorm(rows.toDF("vec_id", "e").repartition(7)).cache()
+    val pq7 = Ann.pqTopK(emb7, nQueries = 10, k = 5, m = 4, dsub = 4, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(pq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq === pq7)
+    emb.unpersist(); emb7.unpersist()
+  }
+
+  test("int8 quantization saturates exactly at the abs-max and reconstructs within half a step") {
+    val out = graft.operators.AnnPack.queries("q_embed_quantize")(spark, TestSpark.Sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nd = r.getAs[Long]("n_dims")
+      val scale = r.getAs[Double]("scale9")
+      assert(nd === 64L)
+      // the abs-max component maps to exactly +/-127 -> at least one
+      // saturated code per nonzero vector, and codes never exceed 127
+      // (l1 bound: 64 components x 127)
+      if (scale > 0) assert(r.getAs[Long]("n_sat") >= 1L)
+      assert(r.getAs[Long]("code_l1") <= nd * 127)
+      assert(math.abs(r.getAs[Long]("code_sum")) <= r.getAs[Long]("code_l1"))
+      // rounding-to-nearest: per-dim error <= scale/2, so the integer
+      // picounit error sum is bounded by n_dims*(scale/2)^2*1e12 (+1/dim
+      // floor slack)
+      // scale9 under-reports the true scale by < 1e-9 (snapping)
+      val up = scale + 1e-9
+      val bound = nd * ((up / 2) * (up / 2) * 1e12 + 1)
+      assert(r.getAs[Long]("err_u") <= bound,
+        s"vec ${r.getAs[Long]("vec_id")}: err ${r.getAs[Long]("err_u")} > $bound")
+    }
+  }
+
   test("semanticClusters partitions the corpus and is split-independent") {
     val spark = TestSpark.spark
     import spark.implicits._

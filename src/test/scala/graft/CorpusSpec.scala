@@ -74,6 +74,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("final_alloc")).sum <= budget)
   }
 
+  test("shard manifest covers every doc exactly once with consistent hash ranges") {
+    val out = CorpusPack.queries("q_shard_manifest")(s, d).collect()
+    val nDocs = Tables.documents(s, d).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs, "every doc lands in one shard")
+    out.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      assert(shard >= 0 && shard < CorpusPack.NShards)
+      assert(r.getAs[Long]("min_h") <= r.getAs[Long]("max_h"))
+      // the hash range really belongs to this shard
+      assert(r.getAs[Long]("min_h") % CorpusPack.NShards === shard)
+      assert(r.getAs[Long]("max_h") % CorpusPack.NShards === shard)
+      assert(r.getAs[Long]("id_checksum") >= 0 &&
+        r.getAs[Long]("id_checksum") < CorpusPack.ChecksumP)
+    }
+    // md5 balance: no shard may dominate (loose 3x-of-mean bound)
+    val mean = nDocs.toDouble / out.length
+    assert(out.map(_.getAs[Long]("n_docs")).max < 3 * mean,
+      "hash sharding must stay balanced")
+  }
+
+  test("temperature mix flattens the source distribution monotonically") {
+    val rows = CorpusPack.queries("q_mix_temperature")(s, d).collect()
+    val total = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val budget = total * 6 / 10
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    // allocations spend the budget up to per-source floor loss
+    assert(alloc <= budget && alloc > budget - rows.length)
+    // alpha=0.5: sample_rate ~ 1/sqrt(avail) — strictly anti-monotone in
+    // availability (rare sources get upsampled hardest)
+    val byAvail = rows.sortBy(_.getAs[Long]("avail_tokens"))
+    byAvail.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("sample_rate") >= b.getAs[Double]("sample_rate"),
+        s"${a.getString(0)} vs ${b.getString(0)}: rate must fall as availability rises")
+    }
+    // weights really are the snapped sqrt shares
+    rows.foreach { r =>
+      val w = math.floor(math.sqrt(
+        r.getAs[Long]("avail_tokens").toDouble / total) * 1e12 + 0.5).toLong
+      assert(r.getAs[Long]("weight_u") === w)
+    }
+  }
+
   test("length quantiles equal brute-force percentile_disc per source") {
     val lens = Tables.documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
