@@ -32,7 +32,10 @@ object ExplainAudit {
     // and the tf-idf term extractor
     "q_semantic_clusters", "q_sample_semantic", "q_tfidf_topterms",
     // round-10: the bisection implied-vol expression (must codegen)
-    "q_implied_vol")
+    "q_implied_vol",
+    // round-10 continuation: the PQ/quantize/shard/mix additions
+    "q_ann_pq_topk", "q_embed_quantize", "q_shard_manifest",
+    "q_mix_temperature")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by
