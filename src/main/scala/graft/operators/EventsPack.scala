@@ -111,24 +111,35 @@ object EventsPack extends QueryPack {
         .orderBy("cohort_week_ms", "week_offset")
     }),
     "q_dau_wau" -> ((s, d) => {
-      // daily/weekly active users in ONE pass: each distinct (user, day)
-      // row (memoized — the approx variant rides the same frame) is
-      // exploded to the 7 trailing windows it contributes to (a narrow
-      // 7× map-side expansion, linear in users), then a single
-      // aggregation per window-day gives WAU = distinct users and DAU =
-      // the offset-0 rows (each (user, day) is distinct, so counting
-      // offset 0 IS the daily distinct count). Window-days with no
-      // actual activity (dau = 0 ghosts past a gap or the corpus edge)
-      // drop out, matching the day set of the dau⋈wau formulation this
-      // replaced — which paid a separate DAU shuffle plus a join. This
-      // exact form stays the oracled query; [[dauWauApprox]] is the
-      // bounded-state production variant for web-scale user counts.
+      // daily/weekly active users in ONE pass with NO distinct
+      // aggregate: a (user, day) row contributes to trailing window w
+      // only when it is the user's FIRST activity inside [w-6, w] —
+      // i.e. w in [max(day, prev_day+7), day+6] with prev_day from one
+      // lag over the user partition. That emits every (user, window)
+      // pair EXACTLY once (the earliest in-window day a has a
+      // predecessor < w-6, so max(a, pred+7) <= w <= a+6; any later
+      // in-window day b has pred >= w-6, so its lower bound pred+7 > w),
+      // making WAU a plain count and DAU the d == day rows (each
+      // (user, day) is distinct in the memoized frame). When prev_day
+      // pushes the window range past `day`, the self-day is prepended
+      // flagged dau-only (d < lo). vs the previous countDistinct form
+      // the shuffle drops from 7n expanded pairs (two-phase distinct)
+      // to n rows (the lag window) + map-side-combined counts — the
+      // shape that matters when user-days are 10^11. Window-days with
+      // no actual activity (dau = 0 ghosts) drop out as before; same
+      // values by construction, so the oracle is unchanged.
+      // [[dauWauApprox]] stays the bounded-state production variant.
+      val w = Window.partitionBy("user_id").orderBy("day")
       userDaysCached(s, d)
-        .select(col("user_id"), col("day"),
-          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .withColumn("lo",
+          greatest(col("day"), coalesce(lag(col("day"), 1).over(w) + 7, col("day"))))
+        .select(col("day"), col("lo"),
+          explode(when(col("lo") > col("day"),
+            concat(array(col("day")), sequence(col("lo"), col("day") + 6)))
+            .otherwise(sequence(col("lo"), col("day") + 6))).as("d"))
         .groupBy("d")
         .agg(count(when(col("day") === col("d"), 1)).as("dau"),
-          countDistinct(col("user_id")).as("wau"))
+          count(when(col("d") >= col("lo"), 1)).as("wau"))
         .filter(col("dau") > 0)
         .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
           (col("dau") / col("wau")).as("stickiness"))

@@ -17,6 +17,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class DauWauApproxSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("first-touch q_dau_wau emission equals brute-force trailing distinct on random gap patterns") {
+    // the exact query now counts each (user, window) via the user's
+    // FIRST in-window activity day (lag-derived bounds, no distinct
+    // aggregate); fuzz that proof on random sparse day sets — gaps of
+    // every size straddling the 7-day horizon are the adversarial cases
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val dayNs = 86400000000000L
+    val rows = for {
+      u <- 1 to 300
+      d <- 0 until 40
+      if rnd.nextDouble() < 0.12 // sparse: expected gap ~8 days straddles the horizon
+    } yield (u.toLong, "e", d * dayNs, 0.0, s"u$u-d$d")
+    val events = rows.toDF("user_id", "event_type", "ts", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("dauwau").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventsPack.queries("q_dau_wau")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force: every (user, day) against every active day's window
+    val userDays = rows.map(r => (r._1, r._3 / dayNs)).distinct
+    val activeDays = userDays.map(_._2).distinct.sorted
+    val want = activeDays.map { d =>
+      val dau = userDays.count(_._2 == d).toLong
+      val wau = userDays.filter { case (_, day) => day >= d - 6 && day <= d }
+        .map(_._1).distinct.size.toLong
+      (d * 86400000L, dau, wau)
+    }
+    assert(got === want)
+  }
+
   test("HLL WAU within 3% of exact; DAU exactly equal") {
     import spark.implicits._
     // 20 days; user u is active on day d iff (u*31 + d*17) % 5 < 2 —

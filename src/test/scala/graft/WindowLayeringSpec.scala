@@ -38,7 +38,10 @@ class WindowLayeringSpec extends AnyFunSuite {
     // the return lag and the GK-sketch percentile window; approx DAU/WAU
     // is window-free (sketch aggregates only)
     "q_var_cvar_approx" -> 2,
-    "q_dau_wau_approx" -> 0
+    "q_dau_wau_approx" -> 0,
+    // exact DAU/WAU: one lag over the user partition (first-touch
+    // window emission) — the rewrite that removed the distinct agg
+    "q_dau_wau" -> 1
   )
 
   test("executed plans stay at their dependency-minimal window layer counts") {
