@@ -464,4 +464,63 @@ object Ann {
         (col("score_u").cast("double") / 1e6).as("score"), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-PQ: the production composition at 10^9+ vectors — IVF coarse
+    * cells prune the SCAN (only nprobe/cells of the corpus is touched),
+    * residual PQ codes compress what remains (the probed lists are read
+    * as code bytes, not floats). Encoding is the standard residual
+    * scheme: each vector stores its coarse cell + PQ codes of
+    * (x - coarse_centroid), and the ADC score decomposes exactly as
+    * score(q, x) = q·c_cell(x) + q·recon_pq(residual_x), both terms
+    * snapped to 1e-6 integers so the sum is exact.
+    *
+    * Reuse: the coarse clustering is the SAME kmeansCellsCached memo the
+    * IVF queries share; the residual codebooks ride pqCodebooksCached.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, cells: Int = 8,
+                m: Int = 8, dsub: Int = 8, pqK: Int = 8, nprobe: Int = 2): DataFrame = {
+    val (assigned, cent) = kmeansCellsCached(emb, cells)
+    // residuals x - c_cell(x): what PQ encodes (far lower variance than
+    // raw vectors once the coarse term is factored out)
+    val resid = emb.join(assigned, "vec_id").join(broadcast(cent), "cell")
+      .select(col("vec_id"), zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
+    val (codes, books) = pqCodebooksCached(resid, m, dsub, pqK)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    // probe ranking matches ivfTopK (snapped cosine, cell tiebreak); the
+    // kept rows also carry the snapped coarse inner-product term
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", Port.r(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .withColumn("coarse_u", floor(dot(col("qe"), col("ce")) * 1e6 + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("cell").as("p_cell"), col("coarse_u"))
+    val dtable = pqSubvectors(
+        q.select(col("q_id").as("vec_id"), col("qe").as("e")), m, dsub)
+      .select(col("vec_id").as("t_q"), col("sub"), col("sv").as("qv"))
+      .join(books, "sub")
+      .withColumn("p", floor(dot(col("qv"), col("cv")) * 1e6 + lit(0.5)).cast("long"))
+      .select(col("t_q"), col("sub").as("t_sub"), col("cell").as("t_cell"), col("p"))
+    // candidates: members of probed cells only — the IVF pruning; then
+    // per-candidate scoring reads the code column alone
+    assigned.join(broadcast(probe), col("cell") === col("p_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dtable),
+        col("q_id") === col("t_q") && col("sub") === col("t_sub") &&
+          col("code") === col("t_cell"))
+      .groupBy("q_id", "vec_id")
+      .agg((max(col("coarse_u")) + sum(col("p"))).as("score_u"))
+      .withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("q_id", "_split").orderBy(col("score_u").desc, col("vec_id"))))
+      .filter(col("_lrk") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score_u").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -70,6 +70,12 @@ object AnnPack extends QueryPack {
       val emb = embCached(s, d)
       Ann.clusterBalancedSample(emb, Ann.defaultCells(Ann.corpusSize(emb)), perCell = 16)
     }),
+    "q_ann_ivfpq_topk" -> ((s, d) =>
+      // IVF-PQ: coarse cells prune the scan (shared kmeansCellsCached
+      // memo with q_ann_ivf_topk), residual PQ codes compress the probed
+      // lists — the production ANN composition at 10^9+ vectors. See
+      // Ann.ivfPqTopK.
+      Ann.ivfPqTopK(embCached(s, d), nQueries = 10, k = 10)),
     "q_ann_pq_topk" -> ((s, d) =>
       // product quantization ADC search: 8 subspaces x 8 dims, 8-entry
       // codebooks per subspace (2-round per-subspace k-means, same
@@ -225,7 +231,87 @@ object AnnPack extends QueryPack {
         |  FROM cos)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-PQ mirror: the shared 2-round coarse k-means prefix, residuals
+    * vs cent2, a per-subspace PQ chain over the residuals (p-prefixed
+    * CTEs, same shape as the q_ann_pq_topk mirror), then the probe +
+    * decomposed ADC tail (coarse term + residual table lookups, both
+    * snapped to 1e-6 integers before the exact sum).
+    */
+  private def ivfPqOracleSql: String =
+    kmeansCteSql("8") + """,
+        |r AS (
+        |  SELECT c.vec_id, c.pos, c.v - t.cv AS v
+        |  FROM c JOIN a2 ON c.vec_id = a2.vec_id
+        |  JOIN cent2 t ON t.cell = a2.cell AND t.pos = c.pos
+        |),
+        |pc AS (SELECT vec_id, (pos - 1) // 8 AS sub, (pos - 1) % 8 AS spos, v FROM r),
+        |pseed AS (SELECT sub, vec_id AS cell, spos, v AS cv FROM pc WHERE vec_id < 8),
+        |pa1d AS (
+        |  SELECT pc.vec_id, pc.sub, s.cell, sum((pc.v - s.cv) * (pc.v - s.cv)) AS d
+        |  FROM pc JOIN pseed s ON pc.sub = s.sub AND pc.spos = s.spos
+        |  GROUP BY 1, 2, 3
+        |),
+        |pa1 AS (
+        |  SELECT vec_id, sub, cell AS code FROM (
+        |    SELECT vec_id, sub, cell, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY floor(d * 1e6 + 0.5) / 1e6, cell) AS rk
+        |    FROM pa1d) WHERE rk = 1
+        |),
+        |pcent1 AS (
+        |  SELECT pc.sub, pa1.code AS cell, pc.spos, sum(pc.v) / count(*) AS cv
+        |  FROM pc JOIN pa1 ON pc.vec_id = pa1.vec_id AND pc.sub = pa1.sub
+        |  GROUP BY 1, 2, 3
+        |),
+        |pa2d AS (
+        |  SELECT pc.vec_id, pc.sub, t.cell, sum((pc.v - t.cv) * (pc.v - t.cv)) AS d
+        |  FROM pc JOIN pcent1 t ON pc.sub = t.sub AND pc.spos = t.spos
+        |  GROUP BY 1, 2, 3
+        |),
+        |pa2 AS (
+        |  SELECT vec_id, sub, cell AS code FROM (
+        |    SELECT vec_id, sub, cell, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY floor(d * 1e6 + 0.5) / 1e6, cell) AS rk
+        |    FROM pa2d) WHERE rk = 1
+        |),
+        |pcent2 AS (
+        |  SELECT pc.sub, pa2.code AS cell, pc.spos, sum(pc.v) / count(*) AS cv
+        |  FROM pc JOIN pa2 ON pc.vec_id = pa2.vec_id AND pc.sub = pa2.sub
+        |  GROUP BY 1, 2, 3
+        |),
+        |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
+        |qn AS (SELECT vec_id AS q_id, nrm AS qnorm FROM nm WHERE vec_id < 10),
+        |pd AS (SELECT q.q_id, t.cell, sum(q.qv * t.cv) AS d
+        |       FROM q JOIN cent2 t ON q.pos = t.pos GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT q_id, cell, CAST(floor(d * 1e6 + 0.5) AS BIGINT) AS coarse_u FROM (
+        |    SELECT p.q_id, p.cell, p.d, row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY floor(p.d / (qn.qnorm * x.cn) * 1e6 + 0.5) / 1e6 DESC, p.cell) AS crk
+        |    FROM pd p JOIN qn ON p.q_id = qn.q_id JOIN cn2 x ON p.cell = x.cell)
+        |  WHERE crk <= 2
+        |),
+        |qs AS (SELECT q_id, (pos - 1) // 8 AS sub, (pos - 1) % 8 AS spos, qv FROM q),
+        |dt AS (
+        |  SELECT qs.q_id, t.sub, t.cell,
+        |         CAST(floor(sum(qs.qv * t.cv) * 1e6 + 0.5) AS BIGINT) AS p
+        |  FROM qs JOIN pcent2 t ON qs.sub = t.sub AND qs.spos = t.spos
+        |  GROUP BY 1, 2, 3
+        |),
+        |sc AS (
+        |  SELECT pr.q_id, a2.vec_id, CAST(max(pr.coarse_u) + sum(dt.p) AS BIGINT) AS score_u
+        |  FROM probe pr
+        |  JOIN a2 ON a2.cell = pr.cell AND a2.vec_id != pr.q_id
+        |  JOIN pa2 ON pa2.vec_id = a2.vec_id
+        |  JOIN dt ON dt.q_id = pr.q_id AND dt.sub = pa2.sub AND dt.cell = pa2.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, vec_id, CAST(score_u AS DOUBLE) / 1e6 AS score, rank FROM (
+        |  SELECT q_id, vec_id, score_u,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score_u DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_ann_ivfpq_topk" -> ivfPqOracleSql,
     "q_ann_cosine_topk" ->
       """WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v

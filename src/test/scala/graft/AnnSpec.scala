@@ -208,6 +208,52 @@ class AnnSpec extends AnyFunSuite {
     emb.unpersist(); emb7.unpersist()
   }
 
+  test("IVF-PQ: residual coding refines plain PQ and probing prunes to probed cells") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16; val clusters = 8; val n = 400
+    val centers = Array.fill(clusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      (i.toLong, centers(i % clusters).map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }
+    val emb = Ann.withNorm(rows.toDF("vec_id", "e")).cache()
+    val res = Ann.ivfPqTopK(emb, nQueries = 10, k = 5,
+      cells = clusters, m = 4, dsub = 4, pqK = 8).collect()
+    assert(res.length === 50)
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L))
+    }
+    // residual PQ encodes the within-cluster noise plain PQ throws away:
+    // exact-MIPS recall must beat the cluster-granularity PQ result
+    // (whose recall collapses to the vec_id tiebreak, ~0.1 here)
+    val vecs = rows.toMap
+    val brute = (0 until 10).flatMap { q =>
+      val qv = vecs(q.toLong)
+      rows.filter(_._1 != q.toLong)
+        .map { case (id, v) => (id, v.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.length
+    assert(recall >= 0.25, s"IVF-PQ recall@5 = $recall (plain PQ sits at ~0.1 here)")
+    // the codebook-size knob: 32-entry residual codebooks must recall
+    // strictly more of the exact top-5 than 8-entry ones (measured here:
+    // 0.30 -> ~0.8)
+    val got32 = Ann.ivfPqTopK(emb, nQueries = 10, k = 5,
+      cells = clusters, m = 4, dsub = 4, pqK = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall32 = brute.count(got32.contains).toDouble / brute.length
+    assert(recall32 > recall && recall32 >= 0.5,
+      s"recall must rise with codebook size: pqK=8 $recall vs pqK=32 $recall32")
+    // split-independence
+    val emb7 = Ann.withNorm(rows.toDF("vec_id", "e").repartition(7)).cache()
+    val res7 = Ann.ivfPqTopK(emb7, nQueries = 10, k = 5,
+      cells = clusters, m = 4, dsub = 4, pqK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq === res7)
+    emb.unpersist(); emb7.unpersist()
+  }
+
   test("int8 quantization saturates exactly at the abs-max and reconstructs within half a step") {
     val out = graft.operators.AnnPack.queries("q_embed_quantize")(spark, TestSpark.Sf)
       .collect()
