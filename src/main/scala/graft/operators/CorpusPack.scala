@@ -212,6 +212,31 @@ object CorpusPack extends QueryPack {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("source")
     }),
+    "q_chunk_docs" -> ((s, d) => {
+      // Retrieval-style chunking (the indexing step feeding embedding +
+      // ANN): sliding 128-token chunks at stride 96 (32-token overlap so
+      // no boundary context is lost), last chunk ends exactly at the
+      // doc's end. n_chunks = max(1, ceil((n-32)/96)) = max(1,
+      // (n+63) div 96) — exact integer arithmetic; every token is
+      // covered and every chunk contributes >32 new tokens. The chunk
+      // content fingerprint (md5 of the space-joined token slice) is the
+      // chunk-level dedup / cache key. Scale shape: pure map-side
+      // explode (≤ n/96 + 1 rows per doc), no shuffle before the
+      // presentation sort.
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), greatest(lit(1L), expr("(n + 63) div 96")) - 1)))
+        .withColumn("tok_start", col("chunk_id") * 96)
+        .withColumn("tok_end", least(col("tok_start") + 128, col("n")))
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          (col("tok_end") - col("tok_start")).as("n_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("tok_start") + 1, col("tok_end") - col("tok_start"))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
     "q_shard_manifest" -> ((s, d) => {
       // Deterministic global shuffle for training-data loaders: every
       // doc maps to one of 64 shards by the portable md5-first-14-hex
@@ -386,6 +411,24 @@ object CorpusPack extends QueryPack {
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
         |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |mx AS (SELECT CAST((max(n) + 63) // 96 AS BIGINT) AS m FROM t),
+        |ids AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS i),
+        |ch AS (
+        |  SELECT t.doc_id, t.toks, t.n, CAST(ids.i AS BIGINT) AS chunk_id
+        |  FROM t CROSS JOIN ids
+        |  WHERE ids.i < greatest(1, (t.n + 63) // 96)
+        |)
+        |SELECT doc_id, chunk_id, chunk_id * 96 AS tok_start,
+        |       least(chunk_id * 96 + 128, n) - chunk_id * 96 AS n_tokens,
+        |       md5(array_to_string(list_slice(toks, chunk_id * 96 + 1,
+        |           least(chunk_id * 96 + 128, n)), ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q_shard_manifest" ->
       s"""WITH h AS (
          |  SELECT doc_id,

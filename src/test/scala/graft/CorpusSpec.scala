@@ -116,6 +116,43 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking covers every token with exact 32-token overlap on long docs") {
+    import org.apache.spark.sql.SparkSession
+    val sp = s; import sp.implicits._
+    // synthetic docs spanning the edge cases: 1, 32, 33, 96, 128, 129,
+    // 224, 225, 1000 tokens (the corpus docs are mostly single-chunk)
+    val sizes = Seq(1, 32, 33, 96, 128, 129, 224, 225, 1000)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(t => s"t$t").mkString(" "), "en", "src0", n.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusPack.queries("q_chunk_docs")(s, dir).collect()
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val chunks = out.filter(_.getLong(0) == i.toLong).sortBy(_.getAs[Long]("chunk_id"))
+      val expected = math.max(1, (n + 63) / 96)
+      assert(chunks.length === expected, s"doc of $n tokens")
+      // stride-96 starts, last chunk ends exactly at n, all sizes in [1, 128]
+      chunks.zipWithIndex.foreach { case (c, j) =>
+        assert(c.getAs[Long]("tok_start") === j * 96L)
+        assert(c.getAs[Long]("n_tokens") >= 1 && c.getAs[Long]("n_tokens") <= 128)
+      }
+      val last = chunks.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("n_tokens") === n.toLong,
+        s"doc of $n tokens must be covered to its end")
+      // consecutive chunks overlap by exactly 32 when the earlier one is full
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getAs[Long]("n_tokens") == 128)
+            assert(a.getAs[Long]("tok_start") + 128 - b.getAs[Long]("tok_start") === 32L)
+        case _ =>
+      }
+      // fingerprints of distinct slices are distinct
+      assert(chunks.map(_.getAs[String]("chunk_md5")).distinct.length === chunks.length)
+    }
+  }
+
   test("length quantiles equal brute-force percentile_disc per source") {
     val lens = Tables.documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))

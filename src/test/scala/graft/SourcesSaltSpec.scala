@@ -44,3 +44,32 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 }
+
+class ShardWriterSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("shard layout matches the manifest and streams each shard in hash order") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val out = Files.createTempDirectory("shards").toString
+    graft.sources.ShardWriter.writeShards(docs.select("doc_id", "text"), out, nShards = 64)
+    // the written layout agrees with the oracled manifest query:
+    // same per-shard doc counts, hash ranges included
+    val manifest = graft.operators.CorpusPack.queries("q_shard_manifest")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_h"), r.getAs[Long]("max_h"))).toMap
+    val back = spark.read.parquet(out)
+    val counts = back.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("shard").toLong -> r.getAs[Long]("n")).toMap
+    assert(counts === manifest.view.mapValues(_._1).toMap)
+    // a shard directory read back is already in (h, doc_id) order — the
+    // loader contract (single file per shard here, order-preserving scan)
+    val some = manifest.keys.toSeq.sorted.take(4)
+    some.foreach { sh =>
+      val rows = graft.sources.ShardWriter.readShard(spark, out, sh)
+        .select("h", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty)
+      assert(rows.sortBy(identity).toSeq === rows.toSeq, s"shard $sh not in hash order")
+      assert(rows.head._1 === manifest(sh)._2 && rows.last._1 === manifest(sh)._3)
+    }
+  }
+}
