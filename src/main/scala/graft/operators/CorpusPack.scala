@@ -212,6 +212,26 @@ object CorpusPack extends QueryPack {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("source")
     }),
+    "q_padding_waste" -> ((s, d) => {
+      // Why packing exists: the naive one-doc-per-context layout pads
+      // every doc (split into ceil(n/L) contexts) up to the context
+      // length; this audit quantifies the wasted token mass per source
+      // at the three candidate lengths — the numbers a batch-layout
+      // decision is made from (q_pack_contexts is the zero-padding
+      // alternative they motivate). Exact integer ceil-division sums;
+      // the ratio is one IEEE division of exact integers, snapped.
+      Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("ctx_len", explode(array(lit(512L), lit(1024L), lit(2048L))))
+        .groupBy("source", "ctx_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(expr("(n + ctx_len - 1) div ctx_len")).as("n_contexts"),
+          sum(expr("((n + ctx_len - 1) div ctx_len) * ctx_len - n")).as("padded_tokens"))
+        .withColumn("waste_ratio",
+          Port.r(col("padded_tokens") / (col("padded_tokens") + col("n_tokens")), 6))
+        .orderBy("source", "ctx_len")
+    }),
     "q_chunk_docs" -> ((s, d) => {
       // Retrieval-style chunking (the indexing step feeding embedding +
       // ANN): sliding 128-token chunks at stride 96 (32-token overlap so
@@ -411,6 +431,24 @@ object CorpusPack extends QueryPack {
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
         |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_padding_waste" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |e AS (
+        |  SELECT t.source, t.n, CAST(l.ctx_len AS BIGINT) AS ctx_len
+        |  FROM t CROSS JOIN (SELECT unnest([512, 1024, 2048]) AS ctx_len) l
+        |)
+        |SELECT source, ctx_len, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum((n + ctx_len - 1) // ctx_len) AS BIGINT) AS n_contexts,
+        |       CAST(sum(((n + ctx_len - 1) // ctx_len) * ctx_len - n) AS BIGINT)
+        |         AS padded_tokens,
+        |       floor(CAST(sum(((n + ctx_len - 1) // ctx_len) * ctx_len - n) AS DOUBLE)
+        |             / (sum(((n + ctx_len - 1) // ctx_len) * ctx_len - n) + sum(n))
+        |             * 1e6 + 0.5) / 1e6 AS waste_ratio
+        |FROM e GROUP BY 1, 2 ORDER BY source, ctx_len""".stripMargin,
     "q_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

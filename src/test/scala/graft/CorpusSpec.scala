@@ -116,6 +116,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("padding waste is nondecreasing as the context length doubles") {
+    // per doc, waste(L) = (-n) mod L, and (-n mod 2L) is (-n mod L) or
+    // (-n mod L) + L — so each source's waste must not fall 512->1024->2048
+    val rows = CorpusPack.queries("q_padding_waste")(s, d).collect()
+      .groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, rs) =>
+      val byLen = rs.sortBy(_.getAs[Long]("ctx_len"))
+      assert(byLen.map(_.getAs[Long]("ctx_len")).toSeq === Seq(512L, 1024L, 2048L))
+      byLen.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("padded_tokens") <= b.getAs[Long]("padded_tokens"),
+          s"$src: waste fell when the context doubled")
+      }
+      // contexts shrink (or hold) as L grows; token mass is L-invariant
+      byLen.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("n_contexts") >= b.getAs[Long]("n_contexts"))
+        assert(a.getAs[Long]("n_tokens") === b.getAs[Long]("n_tokens"))
+      }
+    }
+  }
+
   test("chunking covers every token with exact 32-token overlap on long docs") {
     import org.apache.spark.sql.SparkSession
     val sp = s; import sp.implicits._
