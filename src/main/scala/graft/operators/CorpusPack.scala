@@ -212,6 +212,30 @@ object CorpusPack extends QueryPack {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("source")
     }),
+    "q_source_overlap" -> ((s, d) => {
+      // Cross-source contamination matrix: shared distinct 5-gram mass
+      // for every source pair (the leakage diagnostic behind choosing a
+      // held-out eval source — a pair with high overlap cannot be a
+      // train/eval split). Rides the memoized 5-gram shingle table; the
+      // self-join is on the shingle key where each posting list is
+      // bounded by SOURCE cardinality (a dimension, ~20), so the pair
+      // expansion is a constant ≤ C(sources,2) per shingle — linear in
+      // distinct shingles at any corpus size, never doc×doc.
+      val ss = shingles5Cached(s, d).select("source", "shingle").distinct()
+      val tot = ss.groupBy("source").agg(count(lit(1)).as("t"))
+      ss.select(col("source").as("src1"), col("shingle"))
+        .join(ss.select(col("source").as("src2"), col("shingle")), "shingle")
+        .filter(col("src1") < col("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot.select(col("source").as("src1"), col("t").as("src1_shingles"))), "src1")
+        .join(broadcast(tot.select(col("source").as("src2"), col("t").as("src2_shingles"))), "src2")
+        .select(col("src1"), col("src2"), col("n_shared"),
+          col("src1_shingles"), col("src2_shingles"),
+          Port.r(col("n_shared") /
+            (col("src1_shingles") + col("src2_shingles") - col("n_shared")), 6)
+            .as("jaccard"))
+        .orderBy("src1", "src2")
+    }),
     "q_padding_waste" -> ((s, d) => {
       // Why packing exists: the naive one-doc-per-context layout pads
       // every doc (split into ceil(n/L) contexts) up to the context
@@ -431,6 +455,23 @@ object CorpusPack extends QueryPack {
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
         |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH $Shingles5Cte,
+         |ss AS (SELECT DISTINCT source, shingle FROM shd5),
+         |tot AS (SELECT source, count(*) AS t FROM ss GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.src1, p.src2, p.n_shared,
+         |       t1.t AS src1_shingles, t2.t AS src2_shingles,
+         |       ${Port.rsql(
+                   "CAST(p.n_shared AS DOUBLE) / (t1.t + t2.t - p.n_shared)", 6)} AS jaccard
+         |FROM pairs p
+         |JOIN tot t1 ON p.src1 = t1.source
+         |JOIN tot t2 ON p.src2 = t2.source
+         |ORDER BY p.src1, p.src2""".stripMargin,
     "q_padding_waste" ->
       """WITH t AS (
         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n

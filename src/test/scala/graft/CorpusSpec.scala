@@ -116,6 +116,19 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap matrix is bounded by its marginals") {
+    val rows = CorpusPack.queries("q_source_overlap")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "upper-triangle pairs only")
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 1)
+      assert(shared <= math.min(r.getAs[Long]("src1_shingles"), r.getAs[Long]("src2_shingles")))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+    }
+  }
+
   test("padding waste is nondecreasing as the context length doubles") {
     // per doc, waste(L) = (-n) mod L, and (-n mod 2L) is (-n mod L) or
     // (-n mod L) + L — so each source's waste must not fall 512->1024->2048
