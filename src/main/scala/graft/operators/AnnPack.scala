@@ -83,6 +83,27 @@ object AnnPack extends QueryPack {
       // inner products (MIPS, the standard PQ retrieval objective) —
       // the scan touches only the 8-byte code column. See Ann.pqTopK.
       Ann.pqTopK(embCached(s, d), nQueries = 10, k = 10)),
+    "q_topic_balance" -> ((s, d) => {
+      // Label-balance audit per semantic cell (the "is any topic
+      // over-concentrated" check a curriculum/mix decision reads next to
+      // q_semantic_clusters): per sqrt(n)-cell majority label and
+      // snapped purity. Rides the session-shared k-means; the plan
+      // aggregates to (cell × label) — dimension-sized — before any
+      // window, so nothing row-scale ever sorts in one task.
+      val emb = embCached(s, d)
+      val (assigned, _) = Ann.kmeansCellsCached(emb, Ann.defaultCells(Ann.corpusSize(emb)))
+      val counts = emb.select("vec_id", "label").join(assigned, "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      val ws = Window.partitionBy("cell")
+      counts
+        .withColumn("n_members", sum(col("n")).over(ws))
+        .withColumn("rk", row_number().over(ws.orderBy(col("n").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("cell").cast("long").as("cell"), col("n_members"),
+          col("label").cast("long").as("top_label"), col("n").as("top_label_n"),
+          Port.r(col("n") / col("n_members"), 6).as("purity"))
+        .orderBy("cell")
+    }),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
     "q_embed_quantize" -> ((s, d) => {
       // Int8 symmetric per-vector quantization — the embedding
@@ -349,6 +370,20 @@ object AnnPack extends QueryPack {
         |       floor(CAST(sum(q6) AS DOUBLE) / (count(*) * 1e6) * 1e6 + 0.5) / 1e6 AS mean_cos,
         |       CAST(min(q6) AS DOUBLE) / 1e6 AS min_cos
         |FROM q6s GROUP BY cell ORDER BY cell""".stripMargin),
+    "q_topic_balance" -> (kmeansCteSql(AutoCellsSql) + """,
+        |lab AS (SELECT DISTINCT vec_id, label FROM c),
+        |cl AS (SELECT a2.cell, l.label, count(*) AS n
+        |       FROM a2 JOIN lab l ON a2.vec_id = l.vec_id GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cell, label, n,
+        |         sum(n) OVER (PARTITION BY cell) AS n_members,
+        |         row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+        |  FROM cl
+        |)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_members AS BIGINT) AS n_members,
+        |       CAST(label AS BIGINT) AS top_label, CAST(n AS BIGINT) AS top_label_n,
+        |       floor(CAST(n AS DOUBLE) / n_members * 1e6 + 0.5) / 1e6 AS purity
+        |FROM w WHERE rk = 1 ORDER BY cell""".stripMargin),
     "q_sample_semantic" -> (kmeansCteSql(AutoCellsSql) + """
         |SELECT cell, vec_id, rk FROM (
         |  SELECT CAST(cell AS BIGINT) AS cell, vec_id,

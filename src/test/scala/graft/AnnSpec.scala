@@ -279,6 +279,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("topic balance covers the corpus with valid purity bounds") {
+    val out = graft.operators.AnnPack.queries("q_topic_balance")(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val n = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum === n, "cells must partition the corpus")
+    out.foreach { r =>
+      val top = r.getAs[Long]("top_label_n")
+      val members = r.getAs[Long]("n_members")
+      assert(top >= 1 && top <= members)
+      val p = r.getAs[Double]("purity")
+      assert(p > 0 && p <= 1.0)
+      // the majority label must hold at least the uniform share
+      assert(top * 10 >= members, "top label below 1/10 cannot be the majority of 10 labels")
+    }
+  }
+
   test("semanticClusters partitions the corpus and is split-independent") {
     val spark = TestSpark.spark
     import spark.implicits._
