@@ -35,7 +35,9 @@ object ExplainAudit {
     "q_implied_vol",
     // round-10 continuation: the PQ/quantize/shard/mix additions
     "q_ann_pq_topk", "q_embed_quantize", "q_shard_manifest",
-    "q_mix_temperature", "q_ann_ivfpq_topk")
+    "q_mix_temperature", "q_ann_ivfpq_topk", "q_chunk_docs",
+    "q_source_overlap", "q_padding_waste", "q_topic_balance",
+    "q_dau_wau")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by
