@@ -212,6 +212,26 @@ object CorpusPack extends QueryPack {
           max(col("n_tokens")).as("max_tokens"))
         .orderBy("source")
     }),
+    "q_eval_split" -> ((s, d) => {
+      // Deterministic corpus split manifest: train/val/test by ranges of
+      // the md5 content hash (90/5/5) — content-addressed, so re-ingesting
+      // the same doc can never flip its split (the train/eval hygiene
+      // property), stateless, reproducible on any engine and input
+      // partitioning. Complements the TIME-based q_train_test_split
+      // (backtest folds must respect order; corpus splits must not).
+      // Thresholds are hex-string comparisons on the first 8 md5 chars:
+      // 0xe6666666/2^32 = 0.9, 0xf3333333/2^32 = 0.95.
+      Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"),
+          substring(md5(col("text")), 1, 8).as("h8"))
+        .withColumn("split",
+          when(col("h8") < "e6666666", "train")
+            .when(col("h8") < "f3333333", "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy("source", "split")
+    }),
     "q_source_overlap" -> ((s, d) => {
       // Cross-source contamination matrix: shared distinct 5-gram mass
       // for every source pair (the leakage diagnostic behind choosing a
@@ -455,6 +475,21 @@ object CorpusPack extends QueryPack {
         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / sum(n_docs) OVER (PARTITION BY source) AS cum_share
         |FROM binned ORDER BY source, bin""".stripMargin,
+    "q_eval_split" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         substr(md5(text), 1, 8) AS h8
+        |  FROM documents
+        |),
+        |sp AS (
+        |  SELECT source, toks,
+        |         CASE WHEN h8 < 'e6666666' THEN 'train'
+        |              WHEN h8 < 'f3333333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM t
+        |)
+        |SELECT source, split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "q_source_overlap" ->
       s"""WITH $Shingles5Cte,
          |ss AS (SELECT DISTINCT source, shingle FROM shd5),

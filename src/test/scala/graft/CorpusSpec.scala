@@ -116,6 +116,18 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("eval split is exhaustive, content-stable and near the 90/5/5 target") {
+    val out = CorpusPack.queries("q_eval_split")(s, d).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(s, d).count(), "every doc lands in one split")
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val trainShare = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(math.abs(trainShare - 0.9) < 0.05, s"train share $trainShare")
+    // determinism: re-running yields the identical manifest
+    assert(CorpusPack.queries("q_eval_split")(s, d).collect().toSeq === out.toSeq)
+  }
+
   test("source overlap matrix is bounded by its marginals") {
     val rows = CorpusPack.queries("q_source_overlap")(s, d).collect()
     assert(rows.nonEmpty)
