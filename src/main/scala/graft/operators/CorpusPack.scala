@@ -51,6 +51,38 @@ object CorpusPack extends QueryPack {
     shingle5Cache.getOrElseUpdate((s, d),
       shingles5(Tables.documents(s, d)).cache())
 
+  /** Combined per-(src1, src2) shared-shingle counts AND per-source
+    * distinct-shingle marginals (src2 null) in ONE pass: groupBy(shingle)
+    * collapses each shingle to its sorted source set (bounded by source
+    * cardinality ~20), then a map-side transform expands singletons and
+    * upper-triangle pairs before a dimension-sized hash aggregate. The
+    * previous self-join form planned the (source, shingle) distinct FOUR
+    * times (two join sides + two marginal scans) — this is one shuffle.
+    * Memoized because the final frame is ~C(sources,2)+sources rows but
+    * its lineage is corpus-scale and feeds three consumers.
+    */
+  private val overlapCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def overlapAggCached(s: SparkSession, d: String): DataFrame =
+    overlapCache.getOrElseUpdate((s, d), {
+      val perShingle = shingles5Cached(s, d)
+        .groupBy("shingle")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      val r = perShingle
+        .select(explode(concat(
+          expr("transform(srcs, x -> struct(x as src1, cast(null as string) as src2))"),
+          expr("flatten(transform(srcs, (x, i) -> " +
+            "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x as src1, y as src2))))")
+        )).as("p"))
+        .select(col("p.src1"), col("p.src2"))
+        .groupBy("src1", "src2")
+        .agg(count(lit(1)).as("n"))
+        .cache()
+      r.count() // materialize so every consumer reads the tiny cached frame
+      r
+    })
+
   /** DuckDB mirror of [[shingles5]] (final CTE: shd5). */
   private val Shingles5Cte: String =
     """toks AS (
@@ -236,17 +268,17 @@ object CorpusPack extends QueryPack {
       // Cross-source contamination matrix: shared distinct 5-gram mass
       // for every source pair (the leakage diagnostic behind choosing a
       // held-out eval source — a pair with high overlap cannot be a
-      // train/eval split). Rides the memoized 5-gram shingle table; the
-      // self-join is on the shingle key where each posting list is
-      // bounded by SOURCE cardinality (a dimension, ~20), so the pair
-      // expansion is a constant ≤ C(sources,2) per shingle — linear in
-      // distinct shingles at any corpus size, never doc×doc.
-      val ss = shingles5Cached(s, d).select("source", "shingle").distinct()
-      val tot = ss.groupBy("source").agg(count(lit(1)).as("t"))
-      ss.select(col("source").as("src1"), col("shingle"))
-        .join(ss.select(col("source").as("src2"), col("shingle")), "shingle")
-        .filter(col("src1") < col("src2"))
-        .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
+      // train/eval split). Rides the memoized 5-gram shingle table via
+      // overlapAggCached: one groupBy(shingle) → sorted source set →
+      // map-side upper-triangle pair expansion, where each set is
+      // bounded by SOURCE cardinality (a dimension, ~20) — linear in
+      // distinct shingles at any corpus size, never doc×doc, and one
+      // shuffle instead of the self-join's four.
+      val aggd = overlapAggCached(s, d)
+      val tot = aggd.filter(col("src2").isNull)
+        .select(col("src1").as("source"), col("n").as("t"))
+      aggd.filter(col("src2").isNotNull)
+        .select(col("src1"), col("src2"), col("n").as("n_shared"))
         .join(broadcast(tot.select(col("source").as("src1"), col("t").as("src1_shingles"))), "src1")
         .join(broadcast(tot.select(col("source").as("src2"), col("t").as("src2_shingles"))), "src2")
         .select(col("src1"), col("src2"), col("n_shared"),
