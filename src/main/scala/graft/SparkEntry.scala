@@ -20,7 +20,8 @@ object SparkEntry {
     graft.operators.AnnPack,
     graft.operators.DedupPack,
     graft.operators.CorpusPack,
-    graft.operators.SpanPack
+    graft.operators.SpanPack,
+    graft.operators.RetrievalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

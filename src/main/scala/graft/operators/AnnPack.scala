@@ -43,7 +43,7 @@ object AnnPack extends QueryPack {
   private val embCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
-  private def embCached(s: SparkSession, d: String): DataFrame =
+  private[operators] def embCached(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d), emb(s, d).cache())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -152,7 +152,8 @@ object AnnPack extends QueryPack {
     * blocking (bits/bands auto-sized from the corpus count —
     * Ann.autoLshParams — with a 2000-entry bucket cap as the degenerate-
     * direction guard; data-independent bounded cells, unlike label
-    * blocking whose cell size is unbounded at scale). The result (candidate pairs that verified, tiny) is cached
+    * blocking whose cell size is unbounded at scale). The scored
+    * candidate-pair pool (bounded by bands x cap per bucket) is cached
     * and materialized ONCE per session, then the pipeline's four interior
     * cached frames are freed deterministically — they otherwise lingered
     * for the async ContextCleaner and their cleanup landed on whichever
@@ -161,7 +162,13 @@ object AnnPack extends QueryPack {
   private val nearDupCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
-  private def nearDupCached(s: SparkSession, d: String): DataFrame =
+  /** UNthresholded LSH candidate scores (v1 < v2, snapped cosine) — ONE
+    * hyperplane pass per session shared by the near-dup filter and the
+    * kNN graph (RetrievalPack.q_knn_graph): threshold -2.0 keeps every
+    * verified candidate, so q_dedup_embedding is a pure filter of this
+    * pool (identical snapped cosines → identical output and oracle).
+    */
+  private[operators] def candScoresCached(s: SparkSession, d: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, d), {
       val emb = embCached(s, d)
       // EXACT count, not corpusSize's plan-stats shortcut: bits must
@@ -171,7 +178,7 @@ object AnnPack extends QueryPack {
       // cached-scan per session
       val (bits, bands) = Ann.autoLshParams(emb.count())
       val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb,
-        bands = bands, bits = bits, threshold = 0.35, cap = 2000)
+        bands = bands, bits = bits, threshold = -2.0, cap = 2000)
       val r = res.cache()
       r.count()
       // plain cached frames with live lineage: safe to free (a cache-
@@ -179,6 +186,9 @@ object AnnPack extends QueryPack {
       scaffolding.foreach(_.unpersist(blocking = false))
       r
     })
+
+  private def nearDupCached(s: SparkSession, d: String): DataFrame =
+    candScoresCached(s, d).filter(col("cosine") >= 0.35)
 
   /** The shared 2-round k-means mirror prefix (CTEs c..cn2),
     * parameterized on the cell-count expression — `"8"` for the pinned

@@ -1,0 +1,352 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators over the `documents`/`embeddings` corpus —
+  * the serving-time complement of the indexing pipeline (chunking, ANN,
+  * tf-idf): lexical BM25 search, the all-corpus kNN graph, and hybrid
+  * lexical+vector retrieval fused by reciprocal rank.
+  *
+  * Scale shapes:
+  * - BM25 is two hash aggregates over one token explode plus a
+  *   broadcast of the (tiny) query-term/df/stat tables; ranking uses the
+  *   two-level top-k (per-split winners first) so no task ever sorts the
+  *   full scored corpus — the [[Ann.bruteTopK]] posture.
+  * - The kNN graph rides the SAME auto-sized hyperplane LSH blocking as
+  *   q_dedup_embedding (bounded, data-independent buckets, 2000-entry
+  *   cap), so per-node candidate lists are bounded by bands x cap and
+  *   the final per-node rank never sorts row-scale data.
+  * - RRF fusion is pure integer arithmetic: u = 10^9 div (60 + rank) per
+  *   list, summed as exact longs — no float summation anywhere, so the
+  *   fused ranking is reproducible bit-for-bit on any engine.
+  *
+  * Parity: per-(doc, term) BM25 scores are snapped to integer
+  * micro-units (floor(x*1e6+0.5)) BEFORE the cross-term sum, so the
+  * document score is an exact integer sum (float summation order can
+  * never flip a rank); ln/÷ structure is written identically in the
+  * DuckDB mirrors.
+  */
+object RetrievalPack extends QueryPack {
+
+  /** BM25 constants (the standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The fixed keyword query for the oracled lexical-search row (query
+    * text is a parameter in the library API; the registered query pins
+    * one so the mirror can reproduce it).
+    */
+  val QueryTerms: Seq[String] = Seq("vector", "hash", "join", "window")
+
+  /** RRF constant (the standard k=60) and its integer unit scale. */
+  private val RrfK = 60L
+  private val RrfUnit = 1000000000L
+
+  /** Session-memoized per-(doc, token) BM25-scored term table:
+    * (doc_id, tok, tf, dl, df, u) where dl = doc length (a window over
+    * ≤ doc-length rows per doc, bounded at any corpus size), df = the
+    * GLOBAL document frequency (a hash aggregate, broadcast back at
+    * this vocab — the same web-vocab shuffle-join adjudication as
+    * q_tfidf_topterms), and u = the snapped per-term BM25 micro-units.
+    * u depends only on (tf, dl, df, corpus stats) — never on the query —
+    * so ONE cached scoring pass serves every lexical-search consumer;
+    * per-query work is just a broadcast term join plus an integer-sum
+    * aggregate. Registered in Memo so invalidateAll unpersists it.
+    *
+    * u mirrors the oracle SQL token-for-token:
+    * u = floor(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+    *         * ((tf * (K1+1)) / (tf + K1 * (1 - B + B * dl / avgdl)))
+    *         * 1e6 + 0.5)
+    */
+  private val tfCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def tfScoredCached(s: SparkSession, d: String): DataFrame =
+    tfCache.getOrElseUpdate((s, d), {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_toks"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("total_toks").cast("double") / col("n_docs"))
+        .withColumn("u",
+          floor(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              ((col("tf") * lit(K1 + 1)) /
+                (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))) *
+              lit(1e6) + 0.5).cast("long"))
+        .select("doc_id", "tok", "tf", "dl", "df", "u")
+        .cache()
+    })
+
+  /** Two-level top-k rank by (score desc, id asc): local winners per
+    * input split first so the global rank runs over ≤ k·splits rows per
+    * group — never the full scored corpus in one task.
+    */
+  private def twoLevelRank(df: DataFrame, part: Seq[String], k: Int,
+                           score: String, id: String): DataFrame = {
+    val localW = Window
+      .partitionBy((part.map(col) :+ col("_split")): _*)
+      .orderBy(col(score).desc, col(id))
+    val globalW = Window
+      .partitionBy(part.map(col): _*)
+      .orderBy(col(score).desc, col(id))
+    df.withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(localW))
+      .filter(col("_lrk") <= k)
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("_split", "_lrk")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> ((s, d) => {
+      // Lexical search: BM25 top-10 docs for a fixed keyword query.
+      // Candidates = docs containing any query term (inverted-index
+      // semantics: the broadcast term join prunes the scored term table
+      // before aggregation). Per-term micro-units come precomputed off
+      // the memoized scoring pass — per-query work is one broadcast
+      // join plus an exact integer-sum aggregate.
+      import s.implicits._
+      val qterms = QueryTerms.toDF("tok")
+      val scored = tfScoredCached(s, d).join(broadcast(qterms), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum(col("u")).as("score_u"))
+      twoLevelRank(scored, Seq.empty, k = 10, score = "score_u", id = "doc_id")
+        .select(col("doc_id"), col("n_hit_terms"), col("score_u"),
+          (col("score_u") / lit(1e6)).as("score"), col("rank"))
+        .orderBy("rank")
+    }),
+    "q_knn_graph" -> ((s, d) => {
+      // All-corpus kNN graph: top-3 neighbors per vector among the LSH
+      // candidate pairs (the dedup blocking reused as a graph sampler —
+      // the corpus-curation primitive behind connected quality
+      // propagation and diversity audits). Rides the SAME session-
+      // cached scored candidate pool as q_dedup_embedding (one
+      // hyperplane pass serves both); symmetrize the v1<v2 edges, then
+      // rank per node over its bounded candidate list.
+      val e = AnnPack.candScoresCached(s, d)
+      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
+        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
+      dirs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("vec_id", "nbr", "cosine", "rank")
+        .orderBy("vec_id", "rank")
+    }),
+    "q_rrf_hybrid" -> ((s, d) => {
+      // Hybrid retrieval: for each of the 10 query docs, fuse the
+      // lexical BM25 top-10 (query = the doc's own distinct tokens,
+      // self excluded) with the embedding cosine top-10
+      // (Ann.bruteTopK — vec_id aligns with doc_id in this corpus) by
+      // reciprocal rank: u = 10^9 div (60 + rank), an exact integer per
+      // list, summed. Missing-from-list ranks emit 0 (never null, so
+      // the fused frame is join-order-free and portable).
+      val tf = tfScoredCached(s, d)
+      val qtok = tf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("tok")).distinct()
+      val lexScored = tf.join(broadcast(qtok), "tok")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("u")).as("score_u"))
+      val lexTop = twoLevelRank(lexScored, Seq("q_id"), k = 10,
+        score = "score_u", id = "doc_id")
+        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+      val vecTop = Ann.bruteTopK(AnnPack.embCached(s, d), nQueries = 10, k = 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+      lexTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+        .withColumn("rrf_u",
+          when(col("lex_rank") > 0, expr(s"$RrfUnit div (${RrfK} + lex_rank)")).otherwise(0L) +
+            when(col("vec_rank") > 0, expr(s"$RrfUnit div (${RrfK} + vec_rank)")).otherwise(0L))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "doc_id", "lex_rank", "vec_rank", "rrf_u", "rank")
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  /** Shared mirror CTEs: tf/dl/df/stat tables (tfd final). */
+  private val TfCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |),
+      |tf0 AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |tfd AS (
+      |  SELECT doc_id, tok, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+      |  FROM tf0
+      |),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The snapped per-term BM25 micro-unit expression (mirror of bm25u). */
+  private val Bm25uSql: String =
+    s"""floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |  * ((tf * ${K1 + 1}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)))
+       |  * 1e6 + 0.5)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_bm25_topk" -> {
+      val terms = QueryTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH $TfCte,
+         |qterms AS (SELECT * FROM (VALUES $terms) q(tok)),
+         |cand AS (SELECT t.* FROM tfd t JOIN qterms q ON t.tok = q.tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM cand GROUP BY 1),
+         |scored AS (
+         |  SELECT c.doc_id, count(*) AS n_hit_terms,
+         |         CAST(sum(CAST($Bm25uSql AS BIGINT)) AS BIGINT) AS score_u
+         |  FROM cand c
+         |  JOIN dfreq f ON c.tok = f.tok
+         |  CROSS JOIN (SELECT n_docs, CAST(total_toks AS DOUBLE) / n_docs AS avgdl
+         |              FROM stats) s
+         |  GROUP BY c.doc_id
+         |)
+         |SELECT doc_id, n_hit_terms, score_u, score_u / 1e6 AS score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
+    "q_knn_graph" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+        |params AS (
+        |  SELECT min(b) AS bits, 12 + 2 * (min(b) - 3) AS bands
+        |  FROM (SELECT unnest(generate_series(3, 16)) AS b),
+        |       (SELECT count(*) AS n FROM embeddings)
+        |  WHERE (1::BIGINT << b) * 64 >= n
+        |),
+        |hp AS (
+        |  SELECT band, bit, pos,
+        |         CAST((1103515245 * ((1103515245 * (((band * bits + bit) * 64) + pos) + 12345) % 2147483648)
+        |               + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5 AS h
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS band) b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+        |  CROSS JOIN params
+        |  WHERE band < bands AND bit < bits
+        |),
+        |bdots AS (
+        |  SELECT c.vec_id, hp.band, hp.bit, sum(c.v * hp.h) AS d
+        |  FROM c JOIN hp ON c.pos = hp.pos + 1
+        |  GROUP BY 1, 2, 3
+        |),
+        |buckets AS (
+        |  SELECT vec_id, band,
+        |         CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bdots GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT band, bucket, count(*) AS bsz FROM buckets GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM buckets a
+        |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN sizes s ON s.band = a.band AND s.bucket = a.bucket
+        |  WHERE s.bsz <= 2000
+        |),
+        |pd AS (
+        |  SELECT v1, v2, sum(x.v * y.v) AS d
+        |  FROM cand JOIN c x ON x.vec_id = v1 JOIN c y ON y.vec_id = v2 AND x.pos = y.pos
+        |  GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT v1, v2, floor(pd.d / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM pd JOIN nm a ON v1 = a.vec_id JOIN nm b ON v2 = b.vec_id
+        |),
+        |dirs AS (
+        |  SELECT v1 AS vec_id, v2 AS nbr, cosine FROM edges
+        |  UNION ALL
+        |  SELECT v2 AS vec_id, v1 AS nbr, cosine FROM edges
+        |)
+        |SELECT vec_id, nbr, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
+        |  FROM dirs)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "q_rrf_hybrid" ->
+      s"""WITH $TfCte,
+         |qtok AS (SELECT DISTINCT doc_id AS q_id, tok FROM tfd WHERE doc_id < 10),
+         |cand AS (
+         |  SELECT q.q_id, t.doc_id, t.tok, t.tf, t.dl
+         |  FROM tfd t JOIN qtok q ON t.tok = q.tok
+         |  WHERE t.doc_id != q.q_id
+         |),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tfd GROUP BY 1),
+         |lexscored AS (
+         |  SELECT c.q_id, c.doc_id,
+         |         CAST(sum(CAST($Bm25uSql AS BIGINT)) AS BIGINT) AS score_u
+         |  FROM cand c
+         |  JOIN dfreq f ON c.tok = f.tok
+         |  CROSS JOIN (SELECT n_docs, CAST(total_toks AS DOUBLE) / n_docs AS avgdl
+         |              FROM stats) s
+         |  GROUP BY 1, 2
+         |),
+         |lextop AS (
+         |  SELECT q_id, doc_id, rank AS lex_rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+         |    FROM lexscored)
+         |  WHERE rank <= 10
+         |),
+         |ec AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, 65) t(i)
+         |),
+         |enm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ec GROUP BY vec_id),
+         |eq AS (SELECT vec_id AS q_id, pos, v AS qv FROM ec WHERE vec_id < 10),
+         |edots AS (
+         |  SELECT q.q_id, ec.vec_id, sum(q.qv * ec.v) AS dot
+         |  FROM eq q JOIN ec ON q.pos = ec.pos AND ec.vec_id != q.q_id
+         |  GROUP BY 1, 2
+         |),
+         |ecos AS (
+         |  SELECT d.q_id, d.vec_id,
+         |         floor(d.dot / (qn.nrm * cn.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+         |  FROM edots d JOIN enm qn ON d.q_id = qn.vec_id JOIN enm cn ON d.vec_id = cn.vec_id
+         |),
+         |vectop AS (
+         |  SELECT q_id, vec_id AS doc_id, rank AS vec_rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |    FROM ecos)
+         |  WHERE rank <= 10
+         |),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(l.lex_rank, 0) AS lex_rank,
+         |         coalesce(v.vec_rank, 0) AS vec_rank
+         |  FROM lextop l FULL OUTER JOIN vectop v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+         |),
+         |rrf AS (
+         |  SELECT q_id, doc_id, lex_rank, vec_rank,
+         |         (CASE WHEN lex_rank > 0 THEN $RrfUnit // ($RrfK + lex_rank) ELSE 0 END
+         |          + CASE WHEN vec_rank > 0 THEN $RrfUnit // ($RrfK + vec_rank) ELSE 0 END)
+         |           AS rrf_u
+         |  FROM fused
+         |)
+         |SELECT q_id, doc_id, lex_rank, vec_rank, CAST(rrf_u AS BIGINT) AS rrf_u, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank
+         |  FROM rrf)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  )
+}

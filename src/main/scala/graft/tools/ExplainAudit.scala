@@ -37,7 +37,9 @@ object ExplainAudit {
     "q_ann_pq_topk", "q_embed_quantize", "q_shard_manifest",
     "q_mix_temperature", "q_ann_ivfpq_topk", "q_chunk_docs",
     "q_source_overlap", "q_padding_waste", "q_topic_balance",
-    "q_dau_wau")
+    "q_dau_wau",
+    // round-10 retrieval family: BM25, kNN graph, RRF fusion
+    "q_bm25_topk", "q_knn_graph", "q_rrf_hybrid")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

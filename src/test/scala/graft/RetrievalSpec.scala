@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.RetrievalPack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval operators: BM25 lexical search, the LSH kNN graph, and
+  * reciprocal-rank hybrid fusion. The oracle pins exact values; these
+  * specs pin the semantic invariants a hash can't explain: containment,
+  * rank monotonicity, the exact integer RRF formula, and a brute-force
+  * BM25 recomputation in plain Scala.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.Sf
+
+  test("bm25 top-k contains only term-matching docs, ranked by recomputed scores") {
+    val rows = RetrievalPack.queries("q_bm25_topk")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // ranks are 1..n in order, scores non-increasing
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("score_u") >= b.getAs[Long]("score_u"))
+    }
+    // brute-force recomputation of every returned score in plain Scala
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val nDocs = docs.size
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / nDocs
+    val dfMap = RetrievalPack.QueryTerms.map(t =>
+      t -> docs.values.count(_.contains(t)).toLong).toMap
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val dl = toks.size.toDouble
+      val hits = RetrievalPack.QueryTerms.filter(toks.contains)
+      assert(r.getAs[Long]("n_hit_terms") === hits.size.toLong)
+      val expected = hits.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = dfMap(t).toDouble
+        math.floor(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("score_u") === expected,
+        s"doc ${r.getAs[Long]("doc_id")}: engine score != brute force")
+    }
+  }
+
+  test("knn graph ranks each node's LSH candidates by cosine with symmetric edge scores") {
+    val g = RetrievalPack.queries("q_knn_graph")(spark, d).collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, nbrs) =>
+      val sorted = nbrs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to nbrs.length).toSeq)
+      assert(nbrs.length <= 3)
+      assert(nbrs.map(_.getAs[Long]("nbr")).distinct.length === nbrs.length)
+      assert(!nbrs.map(_.getAs[Long]("nbr")).contains(v), "no self-edges")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cosine") >= b.getAs[Double]("cosine"))
+        case _ => ()
+      }
+    }
+    // an undirected edge scores identically from both endpoints
+    val byPair = g.map(r => (Set(r.getAs[Long]("vec_id"), r.getAs[Long]("nbr")),
+      r.getAs[Double]("cosine"))).groupBy(_._1)
+    byPair.values.foreach(cs => assert(cs.map(_._2).distinct.length === 1))
+  }
+
+  test("rrf fusion scores are the exact integer formula over the two rank lists") {
+    val rows = RetrievalPack.queries("q_rrf_hybrid")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rank")).toSeq
+        === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        val lex = r.getAs[Long]("lex_rank")
+        val vec = r.getAs[Long]("vec_rank")
+        assert(lex > 0 || vec > 0, "fused docs must come from some list")
+        assert(lex <= 10 && vec <= 10)
+        val expected = (if (lex > 0) 1000000000L / (60L + lex) else 0L) +
+          (if (vec > 0) 1000000000L / (60L + vec) else 0L)
+        assert(r.getAs[Long]("rrf_u") === expected)
+      }
+      // fused ranking is non-increasing in rrf_u
+      rs.sortBy(_.getAs[Long]("rank")).sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("rrf_u") >= b.getAs[Long]("rrf_u"))
+        case _ => ()
+      }
+    }
+  }
+}
