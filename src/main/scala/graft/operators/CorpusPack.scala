@@ -388,6 +388,43 @@ object CorpusPack extends QueryPack {
           Port.r(col("alloc_tokens") / col("avail_tokens"), 6).as("sample_rate"))
         .orderBy("source")
     }),
+    "q_quality_deciles" -> ((s, d) => {
+      // Curriculum binning: decile assignment over the quality score
+      // (the q_quality_score formula verbatim), with per-decile doc and
+      // token mass — the frame a quality-ordered training curriculum or
+      // a drop-the-bottom-decile filter reads. Scale shape: quality
+      // quantizes to the 1e-4 grid FIRST, so the histogram is bounded
+      // by the grid (≤ 10⁴+1 rows) at any corpus size and the cumsum
+      // window is dimension-level, never row-scale (the
+      // q_length_quantiles posture). Decile of a value = ceil(cum·10/n)
+      // in exact integer arithmetic — equal scores can never split
+      // across deciles (the percentile_disc-flavored contract a
+      // curriculum needs), and both engines bin identically.
+      val toks = split(col("text"), " ")
+      val q = Tables.documents(s, d)
+        .select(
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stop"))
+        .withColumn("quality",
+          least(col("n_chars") / 500.0, lit(1.0)) * 0.4 +
+            (col("n_distinct") / col("n_tokens")) * 0.3 +
+            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3)
+        .withColumn("q4", floor(col("quality") * 1e4 + 0.5).cast("long"))
+      val hist = q.groupBy("q4")
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("toks"))
+      hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy("q4").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+        .withColumn("decile", expr("(cum * 10 + n - 1) div n"))
+        .groupBy("decile")
+        .agg(sum(col("c")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          (min(col("q4")) / lit(1e4)).as("min_q"),
+          (max(col("q4")) / lit(1e4)).as("max_q"))
+        .orderBy("decile")
+    }),
     "q_corpus_mix" -> ((s, d) => {
       // Token-budget mix planner (data-mixing step of corpus prep):
       // spend 60% of the corpus' whitespace tokens, target a uniform
@@ -615,6 +652,38 @@ object CorpusPack extends QueryPack {
          |SELECT source, avail_tokens, weight_u, alloc_tokens,
          |       ${Port.rsql("CAST(alloc_tokens AS DOUBLE) / avail_tokens", 6)} AS sample_rate
          |FROM f ORDER BY source""".stripMargin,
+    "q_quality_deciles" ->
+      """WITH base AS (
+        |  SELECT length(text) AS n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t = 'the' OR t = 'a')) AS n_stop
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT n_tokens,
+        |         CAST(floor((least(n_chars / 500.0, 1.0) * 0.4
+        |                     + (n_distinct / n_tokens) * 0.3
+        |                     + (1.0 - n_stop / n_tokens) * 0.3) * 1e4 + 0.5)
+        |              AS BIGINT) AS q4
+        |  FROM base
+        |),
+        |hist AS (
+        |  SELECT q4, count(*) AS c, CAST(sum(n_tokens) AS BIGINT) AS toks
+        |  FROM q GROUP BY 1
+        |),
+        |cw AS (
+        |  SELECT q4, c, toks,
+        |         CAST(sum(c) OVER (ORDER BY q4) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM hist
+        |)
+        |SELECT (cum * 10 + n - 1) // n AS decile,
+        |       CAST(sum(c) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |       min(q4) / 1e4 AS min_q, max(q4) / 1e4 AS max_q
+        |FROM cw GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH avail AS (
          |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens

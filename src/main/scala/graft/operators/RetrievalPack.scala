@@ -143,6 +143,33 @@ object RetrievalPack extends QueryPack {
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
+    "q_knn_purity" -> ((s, d) => {
+      // Embedding-quality audit: per-label agreement of the kNN graph —
+      // the fraction of each node's top-3 LSH neighbors that share its
+      // label. Low purity = the embedding space doesn't separate that
+      // topic (retrain/re-embed signal); the audit a mix/curriculum
+      // decision reads next to q_topic_balance. Rides the shared scored
+      // candidate pool + cached embedding frame: marginal cost is one
+      // bounded per-node rank + two label joins + a label-cardinality
+      // aggregate. Purity is one division of exact integer counts.
+      val lab = AnnPack.embCached(s, d).select(col("vec_id"), col("label"))
+      val e = AnnPack.candScoresCached(s, d)
+      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
+        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
+        .filter(col("rank") <= 3)
+      dirs.join(lab, "vec_id")
+        .join(lab.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .withColumn("same", (col("nbr_label") === col("label")).cast("long"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(countDistinct(col("vec_id")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          sum(col("same")).as("n_same_label"))
+        .withColumn("purity",
+          graft.functions.Port.r(col("n_same_label") / col("n_edges"), 6))
+        .orderBy("label")
+    }),
     "q_rrf_hybrid" -> ((s, d) => {
       // Hybrid retrieval: for each of the 10 query docs, fuse the
       // lexical BM25 top-10 (query = the doc's own distinct tokens,
@@ -221,7 +248,44 @@ object RetrievalPack extends QueryPack {
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
-    "q_knn_graph" ->
+    "q_knn_graph" -> (KnnCteSql + """
+        |SELECT vec_id, nbr, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
+        |  FROM dirs)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+    "q_knn_purity" -> (KnnCteSql + s""",
+        |top3 AS (
+        |  SELECT vec_id, nbr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr) AS rank
+        |    FROM dirs)
+        |  WHERE rank <= 3
+        |),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |agg AS (
+        |  SELECT CAST(l.label AS BIGINT) AS label,
+        |         count(DISTINCT t.vec_id) AS n_nodes,
+        |         count(*) AS n_edges,
+        |         CAST(sum(CASE WHEN n.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_same_label
+        |  FROM top3 t
+        |  JOIN lab l ON t.vec_id = l.vec_id
+        |  JOIN lab n ON t.nbr = n.vec_id
+        |  GROUP BY 1
+        |)
+        |SELECT label, n_nodes, n_edges, n_same_label,
+        |       ${graft.functions.Port.rsql("CAST(n_same_label AS DOUBLE) / n_edges", 6)} AS purity
+        |FROM agg ORDER BY label""".stripMargin),
+    "q_rrf_hybrid" -> rrfOracleSql
+  )
+
+  /** Shared mirror CTEs for the kNN family: the auto-sized hyperplane
+    * LSH candidate pool scored with snapped cosines, symmetrized
+    * (final CTE: dirs) — byte-identical plane/bucket arithmetic to the
+    * q_dedup_embedding mirror.
+    */
+  private val KnnCteSql: String =
       """WITH c AS (
         |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |  FROM embeddings, range(1, 65) t(i)
@@ -274,13 +338,12 @@ object RetrievalPack extends QueryPack {
         |  SELECT v1 AS vec_id, v2 AS nbr, cosine FROM edges
         |  UNION ALL
         |  SELECT v2 AS vec_id, v1 AS nbr, cosine FROM edges
-        |)
-        |SELECT vec_id, nbr, cosine, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
-        |  FROM dirs)
-        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-    "q_rrf_hybrid" ->
+        |)""".stripMargin
+
+  /** The RRF fusion mirror (lexical BM25 side + embedding cosine side +
+    * integer-unit fusion).
+    */
+  private def rrfOracleSql: String =
       s"""WITH $TfCte,
          |qtok AS (SELECT DISTINCT doc_id AS q_id, tok FROM tfd WHERE doc_id < 10),
          |cand AS (
@@ -348,5 +411,4 @@ object RetrievalPack extends QueryPack {
          |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank
          |  FROM rrf)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-  )
 }

@@ -38,8 +38,9 @@ object ExplainAudit {
     "q_mix_temperature", "q_ann_ivfpq_topk", "q_chunk_docs",
     "q_source_overlap", "q_padding_waste", "q_topic_balance",
     "q_dau_wau",
-    // round-10 retrieval family: BM25, kNN graph, RRF fusion
-    "q_bm25_topk", "q_knn_graph", "q_rrf_hybrid")
+    // round-10 retrieval family: BM25, kNN graph, RRF fusion + audits
+    "q_bm25_topk", "q_knn_graph", "q_rrf_hybrid",
+    "q_knn_purity", "q_quality_deciles")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

@@ -128,6 +128,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(CorpusPack.queries("q_eval_split")(s, d).collect().toSeq === out.toSeq)
   }
 
+  test("quality deciles partition the corpus into ordered non-overlapping bins") {
+    val rows = CorpusPack.queries("q_quality_deciles")(s, d).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("decile")).forall(k => k >= 1 && k <= 10))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === Tables.documents(s, d).count(),
+      "every doc lands in exactly one decile")
+    // bins are value-ordered and never overlap (equal scores share a bin)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("min_q") <= r.getAs[Double]("max_q")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("decile") < b.getAs[Long]("decile"))
+        assert(a.getAs[Double]("max_q") < b.getAs[Double]("min_q"))
+      case _ => ()
+    }
+  }
+
   test("source overlap matrix is bounded by its marginals") {
     val rows = CorpusPack.queries("q_source_overlap")(s, d).collect()
     assert(rows.nonEmpty)

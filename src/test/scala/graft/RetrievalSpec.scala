@@ -67,6 +67,24 @@ class RetrievalSpec extends AnyFunSuite {
     byPair.values.foreach(cs => assert(cs.map(_._2).distinct.length === 1))
   }
 
+  test("knn purity partitions edges by label with exact integer counts") {
+    val rows = RetrievalPack.queries("q_knn_purity")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val graphEdges = RetrievalPack.queries("q_knn_graph")(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum === graphEdges,
+      "purity table accounts for every graph edge")
+    rows.foreach { r =>
+      val nNodes = r.getAs[Long]("n_nodes")
+      val nEdges = r.getAs[Long]("n_edges")
+      val nSame = r.getAs[Long]("n_same_label")
+      assert(nEdges >= nNodes && nEdges <= 3 * nNodes, "1..3 edges per node")
+      assert(nSame >= 0 && nSame <= nEdges)
+      val p = r.getAs[Double]("purity")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(p - math.floor(nSame.toDouble / nEdges * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("rrf fusion scores are the exact integer formula over the two rank lists") {
     val rows = RetrievalPack.queries("q_rrf_hybrid")(spark, d).collect()
     assert(rows.nonEmpty)
