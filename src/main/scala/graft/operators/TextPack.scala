@@ -124,6 +124,26 @@ object TextPack extends QueryPack {
   private val BpePattern = "\\w+|[^\\w\\s]"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> ((s, d) => {
+      // Ingestion-order novelty: the fraction of a doc's distinct
+      // 3-grams whose FIRST occurrence (lowest doc_id) is this doc —
+      // the "what does this doc add" contribution metric behind
+      // keep/drop decisions on a near-duplicate tail (a doc that is
+      // pure re-statement of earlier corpus scores ~0). Rides the
+      // memoized distinct shingle table: one groupBy(shingle) min, one
+      // shingle-key join back, one per-doc aggregate — linear in
+      // distinct shingles at any corpus size; novelty is one division
+      // of exact integer counts.
+      val sh = shinglesCached(s, d)
+      val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novelty",
+          graft.functions.Port.r(col("n_novel") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -504,6 +524,17 @@ object TextPack extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, tok) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH $ShinglesCte,
+         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       ${graft.functions.Port.rsql(
+                   "CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+         |         AS novelty
+         |FROM shd s JOIN fst f ON s.shingle = f.shingle
+         |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_tokens,

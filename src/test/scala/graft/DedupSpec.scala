@@ -23,6 +23,24 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
+  test("ngram novelty: every shingle is novel exactly once, lowest doc first") {
+    val rows = TextPack.queries("q_ngram_novelty")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // total novel shingles across docs == total distinct shingles in the corpus
+    val distinctShingles = TextPack.shinglesCached(spark, TestSpark.Sf)
+      .select("shingle").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctShingles,
+      "each distinct shingle is credited as novel to exactly one doc")
+    // the lowest doc_id carrying shingles is fully novel by construction
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_shingles"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val p = r.getAs[Double]("novelty")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
   test("incremental dedup flags newest docs with their best standing match") {
     val pairs = TextPack.queries("q_dedup_ngram_jaccard")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
