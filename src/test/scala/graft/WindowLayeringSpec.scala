@@ -41,7 +41,17 @@ class WindowLayeringSpec extends AnyFunSuite {
     "q_dau_wau_approx" -> 0,
     // exact DAU/WAU: one lag over the user partition (first-touch
     // window emission) — the rewrite that removed the distinct agg
-    "q_dau_wau" -> 1
+    "q_dau_wau" -> 1,
+    // retrieval family (r10 fourth continuation): BM25 ranks via the
+    // two-level top-k (local + global row_number); the hybrid adds the
+    // lexical pair, the vector pair (bruteTopK) and the fused rank; the
+    // kNN graph and purity are one bounded per-node rank each
+    "q_bm25_topk" -> 2,
+    "q_rrf_hybrid" -> 5,
+    "q_knn_graph" -> 1,
+    "q_knn_purity" -> 1,
+    // decile cumsum + whole-histogram total over the grid-bounded frame
+    "q_quality_deciles" -> 2
   )
 
   test("executed plans stay at their dependency-minimal window layer counts") {
