@@ -105,6 +105,34 @@ object AnnPack extends QueryPack {
         .orderBy("cell")
     }),
     "q_dedup_embedding" -> ((s, d) => nearDupCached(s, d).orderBy("v1", "v2")),
+    "q_dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+      // near-dup pairs WITHIN coarse k-means cells — cluster first, then
+      // exact snapped cosine only among same-cell members. Complements
+      // the hyperplane LSH path (data-independent buckets) with the
+      // data-adaptive blocking the paper uses; rides the session-shared
+      // sqrt(n) k-means, so the clustering is free when the IVF/audit
+      // queries already ran. Cells past 2000 members are excluded from
+      // pair generation (the same linearity guard as the LSH bucket
+      // cap — a degenerate cell cannot go quadratic); with ~sqrt(n)
+      // cells of ~sqrt(n) expected members the pair mass is ~n^1.5
+      // bounded to n·cap worst-case, and the per-cell join shuffles on
+      // the cell key — never all-pairs.
+      val emb = embCached(s, d)
+      val (assigned, _) = Ann.kmeansCellsCached(emb, Ann.defaultCells(Ann.corpusSize(emb)))
+      val a = emb.select("vec_id", "e", "nrm").join(assigned, "vec_id")
+      val sized = a.join(
+        a.groupBy("cell").agg(count(lit(1)).as("csz")), "cell")
+        .filter(col("csz") <= 2000)
+      sized.select(col("cell"), col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+        .join(sized.select(col("cell"), col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2")),
+          Seq("cell"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cosine", Port.r(Ann.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+        .filter(col("cosine") >= 0.35)
+        .select(col("cell").cast("long").as("cell"), col("v1"), col("v2"), col("cosine"))
+        .orderBy("v1", "v2")
+    }),
     "q_embed_quantize" -> ((s, d) => {
       // Int8 symmetric per-vector quantization — the embedding
       // compression step before ANN serving at 100 TB (4x memory cut vs
@@ -394,6 +422,26 @@ object AnnPack extends QueryPack {
         |       CAST(label AS BIGINT) AS top_label, CAST(n AS BIGINT) AS top_label_n,
         |       floor(CAST(n AS DOUBLE) / n_members * 1e6 + 0.5) / 1e6 AS purity
         |FROM w WHERE rk = 1 ORDER BY cell""".stripMargin),
+    "q_dedup_semantic" -> (kmeansCteSql(AutoCellsSql) + """,
+        |csz AS (SELECT cell, count(*) AS c FROM a2 GROUP BY 1),
+        |mem AS (
+        |  SELECT a2.vec_id, a2.cell FROM a2 JOIN csz ON a2.cell = csz.cell
+        |  WHERE csz.c <= 2000
+        |),
+        |prs AS (
+        |  SELECT x.cell, x.vec_id AS v1, y.vec_id AS v2
+        |  FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |),
+        |pd AS (
+        |  SELECT p.cell, p.v1, p.v2, sum(a.v * b.v) AS d
+        |  FROM prs p JOIN c a ON a.vec_id = p.v1 JOIN c b ON b.vec_id = p.v2 AND a.pos = b.pos
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(pd.cell AS BIGINT) AS cell, v1, v2,
+        |       floor(pd.d / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM pd JOIN nm x ON v1 = x.vec_id JOIN nm y ON v2 = y.vec_id
+        |WHERE floor(pd.d / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 >= 0.35
+        |ORDER BY v1, v2""".stripMargin),
     "q_sample_semantic" -> (kmeansCteSql(AutoCellsSql) + """
         |SELECT cell, vec_id, rk FROM (
         |  SELECT CAST(cell AS BIGINT) AS cell, vec_id,

@@ -40,7 +40,8 @@ object ExplainAudit {
     "q_dau_wau",
     // round-10 retrieval family: BM25, kNN graph, RRF fusion + audits
     "q_bm25_topk", "q_knn_graph", "q_rrf_hybrid",
-    "q_knn_purity", "q_quality_deciles")
+    "q_knn_purity", "q_quality_deciles", "q_ngram_novelty",
+    "q_dedup_semantic")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

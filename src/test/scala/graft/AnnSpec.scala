@@ -295,6 +295,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup pairs live in one shared cell with brute-force-exact cosines") {
+    val pairs = graft.operators.AnnPack.queries("q_dedup_semantic")(spark, TestSpark.Sf)
+      .collect()
+    assert(pairs.nonEmpty, "the test corpus plants same-cell near-dups")
+    // recompute every returned cosine brute-force from the raw vectors
+    val vecs = Tables.embeddings(spark, TestSpark.Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    pairs.foreach { r =>
+      val (v1, v2) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+      assert(v1 < v2)
+      val (a, b) = (vecs(v1), vecs(v2))
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val c = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val snapped = math.floor(c * 1e6 + 0.5) / 1e6
+      assert(snapped >= 0.35)
+      assert(math.abs(r.getAs[Double]("cosine") - snapped) < 1e-9,
+        s"pair ($v1,$v2): engine cosine != brute force")
+    }
+  }
+
   test("semanticClusters partitions the corpus and is split-independent") {
     val spark = TestSpark.spark
     import spark.implicits._
