@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the iterative loop whose step 0 is the oracled
+  * q_bpe_pair_freqs table.
+  *
+  * Scale shape: every iteration works on the VOCAB frame (distinct
+  * words × symbol count), never the corpus — word frequencies carry the
+  * corpus mass, so a 100 TB corpus trains from the same ~10^7-row vocab
+  * a laptop would (the standard trick: corpus → (word, freq) once, then
+  * iterate on the aggregate). Per merge: one hash aggregate for pair
+  * counts, one driver-side argmax over a character-pair-cardinality
+  * frame (a scalar decision — the legitimate collect), one codegen'd
+  * higher-order-function pass applying the merge greedily left-to-right.
+  * The vocab frame re-caches each round with the previous round freed
+  * (the ConnectedComponents lineage-hygiene pattern).
+  *
+  * Determinism: the argmax tiebreak is (count desc, a asc, b asc) —
+  * total order, so the merge sequence is reproducible on any engine,
+  * partitioning, or run.
+  */
+object Bpe {
+
+  /** (pairs merged, final symbol-sequence vocab (tok, freq, syms)).
+    * `vocab` must carry (tok: string, freq: long).
+    */
+  def train(vocab: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    var cur = vocab
+      .withColumn("syms",
+        expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
+      .cache()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val top = pairCounts(cur)
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(r: Row) if r.getAs[Long]("pair_count") >= 2 =>
+          val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+          merges += ((a, b))
+          val next = applyMerge(cur, a, b).cache()
+          next.count()
+          cur.unpersist(blocking = false)
+          cur = next
+        case _ => done = true // no pair occurs twice: nothing left to merge
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** Adjacent-pair counts over the current symbol sequences, weighted by
+    * word frequency — one explode of the vocab frame + one hash agg.
+    */
+  def pairCounts(seqs: DataFrame): DataFrame =
+    seqs
+      // single-symbol words carry no pairs; filter BEFORE the explode —
+      // Spark's sequence(1, 0) steps backwards to [1, 0] and would emit
+      // a bogus index-0 row per such word (INVALID_INDEX_OF_ZERO under
+      // element_at)
+      .filter(size(col("syms")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("syms")) - 1)))
+      .select(expr("element_at(syms, i)").as("a"),
+        expr("element_at(syms, i + 1)").as("b"), col("freq"))
+      .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
+
+  /** Greedy left-to-right merge of every (a, b) adjacency in one
+    * codegen'd aggregate() fold: append each symbol unless it completes
+    * the pair with the (unmerged) last element, in which case the two
+    * collapse into one — the standard BPE application order (a freshly
+    * merged token never immediately re-merges with the next symbol,
+    * matching sequential trainers).
+    */
+  def applyMerge(seqs: DataFrame, a: String, b: String): DataFrame = {
+    val al = a.replace("\\", "\\\\").replace("'", "\\'")
+    val bl = b.replace("\\", "\\\\").replace("'", "\\'")
+    seqs.withColumn("syms",
+      expr(
+        s"""aggregate(syms,
+           |  named_struct('acc', cast(array() as array<string>), 'justMerged', false),
+           |  (st, x) -> case
+           |    when size(st.acc) > 0 and not st.justMerged
+           |         and element_at(st.acc, -1) = '$al' and x = '$bl'
+           |    then named_struct(
+           |      'acc', concat(slice(st.acc, 1, size(st.acc) - 1), array('$al' || '$bl')),
+           |      'justMerged', true)
+           |    else named_struct('acc', concat(st.acc, array(x)), 'justMerged', false)
+           |  end,
+           |  st -> st.acc)""".stripMargin))
+  }
+}

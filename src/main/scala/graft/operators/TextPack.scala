@@ -124,6 +124,34 @@ object TextPack extends QueryPack {
   private val BpePattern = "\\w+|[^\\w\\s]"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pair_freqs" -> ((s, d) => {
+      // Tokenizer training, step 0: the BPE merge-candidate table —
+      // adjacent character-pair counts weighted by word frequency (the
+      // argmax of this table IS the first BPE merge; iterating it is
+      // the whole trainer loop). Scale shape: the pair stream explodes
+      // the VOCAB (distinct words × word length), not the corpus — at
+      // web scale that is ~10^7 words × ~8 chars, a hash-aggregate-
+      // sized frame regardless of corpus token count, because the word
+      // frequencies carry the corpus mass. Top-20 by exact integer
+      // count (ties lexicographic) so both engines rank identically.
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      vocab
+        // single-char words carry no pairs — and MUST be filtered before
+        // the explode: Spark's sequence(1, 0) steps BACKWARDS to [1, 0],
+        // so an unguarded explode emits a bogus index-0 row per 1-char
+        // word instead of zero rows
+        .filter(length(col("tok")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), length(col("tok")) - 1)))
+        .select(expr("substr(tok, i, 1)").as("a"),
+          expr("substr(tok, i + 1, 1)").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pair_count").desc, col("a"), col("b"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .orderBy("rank")
+    }),
     "q_ngram_novelty" -> ((s, d) => {
       // Ingestion-order novelty: the fraction of a doc's distinct
       // 3-grams whose FIRST occurrence (lowest doc_id) is this doc —
@@ -524,6 +552,25 @@ object TextPack extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, tok) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_bpe_pair_freqs" ->
+      """WITH v AS (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1
+        |),
+        |mx AS (SELECT CAST(max(length(tok)) AS BIGINT) AS m FROM v),
+        |idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+        |p AS (
+        |  SELECT substr(v.tok, CAST(idx.i AS INT), 1) AS a,
+        |         substr(v.tok, CAST(idx.i AS INT) + 1, 1) AS b, v.freq
+        |  FROM v CROSS JOIN idx
+        |  WHERE idx.i <= length(v.tok) - 1
+        |)
+        |SELECT a, b, pair_count, rank FROM (
+        |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count,
+        |         CAST(row_number() OVER (ORDER BY sum(freq) DESC, a, b) AS BIGINT) AS rank
+        |  FROM p GROUP BY a, b)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH $ShinglesCte,
          |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)
