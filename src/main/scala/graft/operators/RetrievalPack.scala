@@ -143,6 +143,34 @@ object RetrievalPack extends QueryPack {
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
+    "q_triplet_mining" -> ((s, d) => {
+      // Contrastive training-data mining (the embedding-model training
+      // recipe): for each anchor, a positive (its nearest neighbor), the
+      // hard negatives (ranks 6-10 — close enough to be informative,
+      // far enough to be wrong), and a deterministic random negative
+      // (LCG partner — reproducible on any engine/partitioning, exact
+      // integer arithmetic). Rides the cached embedding frame and the
+      // same brute top-k machinery as the ANN baseline; anchors are a
+      // broadcast-size query set, so the scan shape is one corpus pass.
+      val emb = AnnPack.embCached(s, d)
+      val topk = Ann.bruteTopK(emb, nQueries = 10, k = 10)
+      val pos = topk.filter(col("rank") === 1)
+        .select(col("q_id"), col("vec_id"), col("cosine"), lit("pos").as("label"))
+      val hard = topk.filter(col("rank") >= 6)
+        .select(col("q_id"), col("vec_id"), col("cosine"), lit("hard_neg").as("label"))
+      val n = emb.count()
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+        .withColumn("partner", (col("q_id") * 7919 + 37) % n)
+      val rand = qs.join(
+          emb.select(col("vec_id").as("partner"), col("e"), col("nrm")), "partner")
+        .select(col("q_id"), col("partner").as("vec_id"),
+          graft.functions.Port.r(
+            Ann.dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6).as("cosine"),
+          lit("rand_neg").as("label"))
+      pos.unionByName(hard).unionByName(rand)
+        .orderBy("q_id", "label", "vec_id")
+    }),
     "q_knn_purity" -> ((s, d) => {
       // Embedding-quality audit: per-label agreement of the kNN graph —
       // the fraction of each node's top-3 LSH neighbors that share its
@@ -277,7 +305,55 @@ object RetrievalPack extends QueryPack {
         |SELECT label, n_nodes, n_edges, n_same_label,
         |       ${graft.functions.Port.rsql("CAST(n_same_label AS DOUBLE) / n_edges", 6)} AS purity
         |FROM agg ORDER BY label""".stripMargin),
-    "q_rrf_hybrid" -> rrfOracleSql
+    "q_rrf_hybrid" -> rrfOracleSql,
+    "q_triplet_mining" ->
+      """WITH ec AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |enm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ec GROUP BY vec_id),
+        |eq AS (SELECT vec_id AS q_id, pos, v AS qv FROM ec WHERE vec_id < 10),
+        |edots AS (
+        |  SELECT q.q_id, ec.vec_id, sum(q.qv * ec.v) AS dot
+        |  FROM eq q JOIN ec ON q.pos = ec.pos AND ec.vec_id != q.q_id
+        |  GROUP BY 1, 2
+        |),
+        |ecos AS (
+        |  SELECT d.q_id, d.vec_id,
+        |         floor(d.dot / (qn.nrm * cn.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM edots d JOIN enm qn ON d.q_id = qn.vec_id JOIN enm cn ON d.vec_id = cn.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM ecos
+        |),
+        |n AS (SELECT count(*) AS c FROM embeddings),
+        |prt AS (
+        |  SELECT DISTINCT q_id, (q_id * 7919 + 37) % (SELECT c FROM n) AS partner
+        |  FROM eq
+        |),
+        |randd AS (
+        |  SELECT p.q_id, p.partner AS vec_id, sum(a.v * b.v) AS dot
+        |  FROM prt p
+        |  JOIN ec a ON a.vec_id = p.q_id
+        |  JOIN ec b ON b.vec_id = p.partner AND a.pos = b.pos
+        |  GROUP BY 1, 2
+        |),
+        |randn AS (
+        |  SELECT r.q_id, r.vec_id,
+        |         floor(r.dot / (qn.nrm * cn.nrm) * 1e6 + 0.5) / 1e6 AS cosine,
+        |         'rand_neg' AS label
+        |  FROM randd r JOIN enm qn ON r.q_id = qn.vec_id JOIN enm cn ON r.vec_id = cn.vec_id
+        |)
+        |SELECT q_id, vec_id, cosine, label FROM (
+        |  SELECT q_id, vec_id, cosine, 'pos' AS label FROM ranked WHERE rank = 1
+        |  UNION ALL
+        |  SELECT q_id, vec_id, cosine, 'hard_neg' AS label FROM ranked
+        |  WHERE rank BETWEEN 6 AND 10
+        |  UNION ALL
+        |  SELECT q_id, vec_id, cosine, label FROM randn)
+        |ORDER BY q_id, label, vec_id""".stripMargin
   )
 
   /** Shared mirror CTEs for the kNN family: the auto-sized hyperplane

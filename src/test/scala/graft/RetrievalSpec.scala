@@ -67,6 +67,25 @@ class RetrievalSpec extends AnyFunSuite {
     byPair.values.foreach(cs => assert(cs.map(_._2).distinct.length === 1))
   }
 
+  test("triplet mining emits 1 pos + 5 hard + 1 rand per anchor with ordered cosines") {
+    val rows = RetrievalPack.queries("q_triplet_mining")(spark, d).collect()
+    val n = Tables.embeddings(spark, d).count()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      val byLabel = rs.groupBy(_.getAs[String]("label")).view.mapValues(_.toSeq).toMap
+      assert(byLabel("pos").size === 1)
+      assert(byLabel("hard_neg").size === 5)
+      assert(byLabel("rand_neg").size === 1)
+      // the positive is the nearest neighbor: at least as close as every hard negative
+      val posCos = byLabel("pos").head.getAs[Double]("cosine")
+      byLabel("hard_neg").foreach(h => assert(posCos >= h.getAs[Double]("cosine")))
+      // deterministic LCG partner
+      assert(byLabel("rand_neg").head.getAs[Long]("vec_id") === (q * 7919 + 37) % n)
+      rs.foreach(r => assert(r.getAs[Long]("vec_id") !== q, "no self-references"))
+    }
+  }
+
   test("knn purity partitions edges by label with exact integer counts") {
     val rows = RetrievalPack.queries("q_knn_purity")(spark, d).collect()
     assert(rows.nonEmpty)
