@@ -143,6 +143,49 @@ object RetrievalPack extends QueryPack {
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
+    "q_graph_rank" -> ((s, d) => {
+      // Graph-based quality propagation: 3 PageRank iterations over the
+      // symmetrized kNN top-3 graph (d = 0.85) — the centrality signal
+      // a curation pipeline reads as "how referenced is this doc's
+      // neighborhood" (the graph analogue of the CC dedup-cluster
+      // pass; together they cover the two iterative-graph patterns).
+      // EXACT integer arithmetic end-to-end: ranks live in 10^12
+      // units, per-edge contribution is rank div out-degree (integer
+      // division), damping is (85·x) div 100 — no float accumulates
+      // anywhere, so iteration order and partitioning can never flip a
+      // value and the oracle unrolls the identical three steps. Scale:
+      // each iteration is one shuffle-join on the bounded edge list
+      // (≤3·n edges) + a hash aggregate; dangling mass is dropped
+      // (nodes outside the candidate pool keep only the teleport
+      // term — the standard simplified-PageRank curation score).
+      val e = AnnPack.candScoresCached(s, d)
+      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
+        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+      val emb = AnnPack.embCached(s, d)
+      val n = emb.count()
+      val nodes = emb.select(col("vec_id"))
+      val edges = dirs.join(
+        dirs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      val teleport = 150000000000L / n
+      var ranks = nodes.withColumn("r_u", lit(1000000000000L / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst").as("vec_id"),
+            expr("r_u div outdeg").as("c"))
+          .groupBy("vec_id").agg(sum(col("c")).as("in_mass"))
+        ranks = nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(teleport) +
+              expr("85 * coalesce(in_mass, cast(0 as bigint)) div 100")).as("r_u"))
+      }
+      ranks
+        .select(col("vec_id"), col("r_u"), (col("r_u") / lit(1e12)).as("rank_score"))
+        .orderBy(col("r_u").desc, col("vec_id"))
+    }),
     "q_triplet_mining" -> ((s, d) => {
       // Contrastive training-data mining (the embedding-model training
       // recipe): for each anchor, a positive (its nearest neighbor), the
@@ -306,6 +349,58 @@ object RetrievalPack extends QueryPack {
         |       ${graft.functions.Port.rsql("CAST(n_same_label AS DOUBLE) / n_edges", 6)} AS purity
         |FROM agg ORDER BY label""".stripMargin),
     "q_rrf_hybrid" -> rrfOracleSql,
+    "q_graph_rank" -> (KnnCteSql + """,
+        |-- MATERIALIZED is load-bearing: top3/ed are referenced from
+        |-- multiple iteration CTEs, and DuckDB would otherwise re-inline
+        |-- the entire LSH candidate pipeline per reference (measured:
+        |-- 40+ min / 49 GB at sf0.1 without it, seconds with it)
+        |top3 AS MATERIALIZED (
+        |  SELECT vec_id AS src, nbr AS dst FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr) AS rk
+        |    FROM dirs)
+        |  WHERE rk <= 3
+        |),
+        |deg AS (SELECT src, count(*) AS outdeg FROM top3 GROUP BY 1),
+        |ed AS MATERIALIZED (
+        |  SELECT t.src, t.dst, d.outdeg FROM top3 t JOIN deg d ON t.src = d.src),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |r0 AS (
+        |  SELECT vec_id, 1000000000000 // (SELECT n FROM nn) AS r_u FROM embeddings
+        |),
+        |m1 AS (
+        |  SELECT ed.dst AS vec_id, CAST(sum(r.r_u // ed.outdeg) AS BIGINT) AS in_mass
+        |  FROM ed JOIN r0 r ON ed.src = r.vec_id GROUP BY 1
+        |),
+        |r1 AS (
+        |  SELECT e.vec_id,
+        |         150000000000 // (SELECT n FROM nn)
+        |           + 85 * coalesce(m.in_mass, 0) // 100 AS r_u
+        |  FROM embeddings e LEFT JOIN m1 m ON e.vec_id = m.vec_id
+        |),
+        |m2 AS (
+        |  SELECT ed.dst AS vec_id, CAST(sum(r.r_u // ed.outdeg) AS BIGINT) AS in_mass
+        |  FROM ed JOIN r1 r ON ed.src = r.vec_id GROUP BY 1
+        |),
+        |r2 AS (
+        |  SELECT e.vec_id,
+        |         150000000000 // (SELECT n FROM nn)
+        |           + 85 * coalesce(m.in_mass, 0) // 100 AS r_u
+        |  FROM embeddings e LEFT JOIN m2 m ON e.vec_id = m.vec_id
+        |),
+        |m3 AS (
+        |  SELECT ed.dst AS vec_id, CAST(sum(r.r_u // ed.outdeg) AS BIGINT) AS in_mass
+        |  FROM ed JOIN r2 r ON ed.src = r.vec_id GROUP BY 1
+        |),
+        |r3 AS (
+        |  SELECT e.vec_id,
+        |         150000000000 // (SELECT n FROM nn)
+        |           + 85 * coalesce(m.in_mass, 0) // 100 AS r_u
+        |  FROM embeddings e LEFT JOIN m3 m ON e.vec_id = m.vec_id
+        |)
+        |SELECT vec_id, CAST(r_u AS BIGINT) AS r_u,
+        |       CAST(r_u AS DOUBLE) / 1e12 AS rank_score
+        |FROM r3 ORDER BY r_u DESC, vec_id""".stripMargin),
     "q_triplet_mining" ->
       """WITH ec AS (
         |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v

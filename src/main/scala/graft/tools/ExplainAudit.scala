@@ -41,7 +41,7 @@ object ExplainAudit {
     // round-10 retrieval family: BM25, kNN graph, RRF fusion + audits
     "q_bm25_topk", "q_knn_graph", "q_rrf_hybrid",
     "q_knn_purity", "q_quality_deciles", "q_ngram_novelty",
-    "q_dedup_semantic", "q_bpe_pair_freqs")
+    "q_dedup_semantic", "q_bpe_pair_freqs", "q_graph_rank", "q_triplet_mining")
 
   /** Executed WindowExec count: descends AQE query stages, skips
     * InMemoryRelation cached lineage. Pinned per-query by

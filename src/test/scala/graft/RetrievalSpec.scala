@@ -67,6 +67,30 @@ class RetrievalSpec extends AnyFunSuite {
     byPair.values.foreach(cs => assert(cs.map(_._2).distinct.length === 1))
   }
 
+  test("graph rank conserves bounded mass with the teleport floor") {
+    val rows = RetrievalPack.queries("q_graph_rank")(spark, d).collect()
+    val n = Tables.embeddings(spark, d).count()
+    assert(rows.length === n, "every vector gets a rank")
+    val teleport = 150000000000L / n
+    rows.foreach { r =>
+      val ru = r.getAs[Long]("r_u")
+      assert(ru >= teleport, "teleport term is the floor")
+      assert(math.abs(r.getAs[Double]("rank_score") - ru / 1e12) < 1e-15)
+    }
+    // total mass never exceeds the initial unit mass: integer division
+    // only loses mass (dangling + truncation), never creates it
+    val total = rows.map(_.getAs[Long]("r_u")).sum
+    assert(total <= 1000000000000L + n, s"mass grew: $total")
+    assert(total >= teleport * n)
+    // presentation order is (r_u desc, vec_id)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ra, rb) = (a.getAs[Long]("r_u"), b.getAs[Long]("r_u"))
+        assert(ra > rb || (ra == rb && a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")))
+      case _ => ()
+    }
+  }
+
   test("triplet mining emits 1 pos + 5 hard + 1 rand per anchor with ordered cosines") {
     val rows = RetrievalPack.queries("q_triplet_mining")(spark, d).collect()
     val n = Tables.embeddings(spark, d).count()
