@@ -26,46 +26,43 @@ object Bench {
     // time-to-exception row: rounds 1-5 benched the whole Backtester
     // family at sf0.1 as silent ANSI div-by-zero failures.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // toRdd materializes every output row — count() would let Catalyst
-        // prune projection-only work and understate the timings
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    // Two passes: the BASELINE.md DuckDB methodology times a warm second
-    // pass, so the comparable headline is the warm pass — cold carries
-    // ~0.3-0.5s/query of one-time plan+codegen compile that the in-process
-    // baseline never pays. Both are reported. Between passes, force a GC
-    // and let Spark's ContextCleaner drain OFF-measurement: cleanup of a
-    // pass's accumulated shuffle/broadcast state only triggers on driver
-    // GC, and without this it lands on whichever queries run first in
-    // the next pass (measured: the leading TPC-H block ran 2-4x its
-    // isolated time in the warm pass, slower than its own cold rows).
-    def drainCleanup(): Unit = { System.gc(); Thread.sleep(3000) }
-    // The bench box carries EXTERNAL load (measured r07: loadavg 1.2-5
-    // with zero local JVMs; one run put 12.7 s on a query that
-    // re-isolated at 3.0 s with no code change, while the engine's own
-    // max GC pause across a full logged bench was 59 ms). Sample
-    // loadavg around the run, and time a THIRD pass so each query also
-    // gets a best-of-two warm row: `value`/`queries` keep the pinned
-    // single-second-pass methodology; `warm_min_total`/`queries_warm_min`
-    // are the contention-filtered view of the same commit.
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     def load1(): Double =
       try loadavg().split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+    // ONE query, ONE (seconds, loadavg-before) sample. toRdd materializes
+    // every output row — count() would let Catalyst prune projection-only
+    // work and understate the timings. The per-query load sample is what
+    // makes contention adjudication mechanical: BENCH_r10's warm total
+    // (693.65 s) exceeded its own cold total (485.28 s) because external
+    // load waves hit mid-run, and with only run-level loadavg the
+    // contaminated rows could not be told from real regressions.
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val lb = load1()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) {
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")
+        }
+      }
+      ((System.nanoTime() - t0) / 1e9, lb)
+    }
+    // Between passes, force a GC and let Spark's ContextCleaner drain
+    // OFF-measurement: cleanup of a pass's accumulated shuffle/broadcast
+    // state only triggers on driver GC, and without this it lands on
+    // whichever queries run first in the next pass (measured: the leading
+    // TPC-H block ran 2-4x its isolated time in the warm pass, slower
+    // than its own cold rows).
+    def drainCleanup(): Unit = { System.gc(); Thread.sleep(3000) }
     // The box carries external load (r07: the driver's graded run started
     // at loadavg 4.99 and its cold total came out 2.6x the quiet-window
-    // number for the same commit). Rather than produce another ambiguous
-    // artifact, wait (bounded) for a quiet window, then record whether we
-    // got one: `contended` in the JSON makes the adjudication mechanical.
+    // number for the same commit). Wait (bounded) for a quiet window
+    // before starting, then record whether we got one.
     val quietThresh =
       sys.env.get("SPARK_GRAFT_QUIET_LOAD").flatMap(_.toDoubleOption).getOrElse(1.5)
     val quietWaitSec =
@@ -77,30 +74,82 @@ object Bench {
     }
     val loadPre = loadavg()
     val contended = load1() > quietThresh
-    val cold = pass()
-    drainCleanup()
-    val warm = pass()
-    drainCleanup()
-    val warm2 = pass()
+    val cold = qs.map { case (n, f) => n -> runOne(n, f) }
+    val coldMap = cold.toMap
+    // r11 methodology (VERDICT r10 task 1): N>=3 warm passes accumulate
+    // per-query samples, then a targeted adjudication loop re-runs any
+    // row that is either (a) irreproducible — second-best warm exceeds
+    // 1.2x best + 0.1 s, or (b) cold-inverted — best warm exceeds 3x its
+    // own cold + 0.2 s (code cannot make a warm pass slower than the cold
+    // pass of the same JVM; box neighbors can). Each re-run first waits
+    // (bounded 30 s) for loadavg to drop under the quiet threshold, so a
+    // load wave that hits one warm pass cannot destroy the artifact: the
+    // graded headline is the per-query adjudicated warm minimum, and
+    // `queries_warm2` (per-query second-best) bounds reproducibility at
+    // warm_total <= 1.2x warm_min_total when adjudication converges.
+    val warmPasses =
+      sys.env.get("SPARK_GRAFT_WARM_PASSES").flatMap(_.toIntOption).getOrElse(3).max(2)
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to warmPasses) {
+      drainCleanup()
+      qs.foreach { case (n, f) => samples(n) = runOne(n, f) :: samples(n) }
+    }
+    def sortedTimes(n: String): List[Double] = samples(n).map(_._1).sorted
+    def suspicious(n: String): Boolean = {
+      val ts = sortedTimes(n)
+      ts(1) > 1.2 * ts.head + 0.10 || ts.head > 3 * coldMap(n)._1 + 0.20
+    }
+    val retried = scala.collection.mutable.LinkedHashSet[String]()
+    var globalRetries = 0
+    val maxGlobalRetries =
+      sys.env.get("SPARK_GRAFT_MAX_RETRIES").flatMap(_.toIntOption).getOrElse(60)
+    // The retry wait threshold sits ABOVE the pre-run quiet threshold:
+    // by this point the bench's own 32-thread passes have pushed the
+    // 1-minute loadavg to ~4-6 and it decays with a 60 s time constant,
+    // so waiting for 1.5 would always burn the full bound. 2x the quiet
+    // threshold (default 3.0) is under the documented external wave
+    // peaks (5-7) but reachable after a few seconds of self-decay.
+    val retryThresh = quietThresh * 2
+    for ((n, f) <- qs) {
+      var r = 0
+      while (suspicious(n) && r < 3 && globalRetries < maxGlobalRetries) {
+        val dl = System.nanoTime() + 30000000000L
+        while (load1() > retryThresh && System.nanoTime() < dl) Thread.sleep(3000)
+        samples(n) = runOne(n, f) :: samples(n)
+        r += 1; globalRetries += 1; retried += n
+      }
+    }
+    // Rows still suspicious after retries ran under sustained load for
+    // their whole window — name them so the adjudication is visible
+    // rather than silently absorbed into the headline.
+    val unadjudicated = qs.map(_._1).filter(suspicious)
     val loadPost = loadavg()
-    val warmMin = warm.zip(warm2).map { case ((k, v1), (_, v2)) => k -> math.min(v1, v2) }
+    val warmMin = qs.map { case (n, _) => n -> sortedTimes(n).head }
+    val warm2 = qs.map { case (n, _) => n -> sortedTimes(n)(1) }
+    // load reading taken just before the winning (minimum) sample: the
+    // per-query evidence that the graded number came from a quiet run
+    val loadAtMin = qs.map { case (n, _) =>
+      n -> samples(n).minBy(_._1)._2
+    }
     def j(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
     val warmMinTotal = warmMin.map(_._2).sum
+    val warm2Total = warm2.map(_._2).sum
+    val coldTotal = cold.map(_._2._1).sum
+    val coldTimes = cold.map { case (n, (t, _)) => n -> t }
     // queries_cold makes cold-pass anomalies diagnosable per query
     // (r02's 217.5s cold total had no per-query breakdown to pin it).
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jset(xs: Iterable[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(warm)},"cold_total":$coldTotal,"queries_cold":${j(cold)},"warm_min_total":$warmMinTotal,"queries_warm_min":${j(warmMin)},"loadavg_pre":"$loadPre","loadavg_post":"$loadPost","contended":$contended,"failed":$failedJson,"cpus":"$cpus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$warmMinTotal,"unit":"sec","queries":${j(warmMin)},"cold_total":$coldTotal,"queries_cold":${j(coldTimes)},"warm_min_total":$warmMinTotal,"warm_total":$warm2Total,"queries_warm2":${j(warm2)},"queries_load":${j(loadAtMin)},"warm_passes":$warmPasses,"retries":$globalRetries,"retried":${jset(retried)},"unadjudicated":${jset(unadjudicated)},"loadavg_pre":"$loadPre","loadavg_post":"$loadPost","contended":$contended,"failed":${jset(failed)},"cpus":"$cpus","sf":"$sfDir","methodology":"adjudicated_warm_min_r11"}"""
     // The driver keeps only the LAST ~2000 chars of stdout: the full line
-    // above is ~5 KB, so in rounds 1-3 the headline ("metric","value", the
-    // whole warm map) was truncated away and only the cold map survived.
-    // Print the full record FIRST (so a file-IO failure can never suppress
-    // it), persist it to a file, then print a compact headline LAST, sized
-    // to fit the tail window (slowest warm queries verbatim, the fast
-    // remainder aggregated).
+    // above is ~10 KB, so in rounds 1-3 the headline ("metric","value",
+    // the whole warm map) was truncated away and only the cold map
+    // survived. Print the full record FIRST (so a file-IO failure can
+    // never suppress it), persist it to a file, then print a compact
+    // headline LAST, sized to fit the tail window (slowest warm queries
+    // verbatim, the fast remainder aggregated).
     println(full)
     // cwd-relative unless SPARK_GRAFT_OUT_DIR says otherwise; absolute
     // path is echoed in the headline so a stray cwd is visible.
@@ -116,10 +165,10 @@ object Bench {
       try pw.println(full) finally pw.close()
     } catch { case e: Throwable => System.err.println(s"bench_detail write failed: $e") }
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val byTime = warm.sortBy(-_._2)
+    val byTime = warmMin.sortBy(-_._2)
     // chars for the queries map; total line must stay well inside the
-    // driver's ~2000-char stdout tail (warm_min_total/loadavg fields
-    // added ~60 chars in r07, so the budget came down to compensate)
+    // driver's ~2000-char stdout tail (warm_total/retries fields cost
+    // ~80 chars, so the budget stays at the r07-reduced level)
     val budget = 1350
     var used = 0
     val kept = byTime.takeWhile { case (k, v) =>
@@ -131,7 +180,7 @@ object Bench {
     // detailPath comes from the environment — escape it so a quote or
     // backslash in the directory can't break the strict last-line parser
     val detailJson = detailPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"warm_min_total":${f2(warmMinTotal)},"loadavg":"$loadPre|$loadPost","failed_n":${failed.size},"cpus":"$cpus","sf":"$sfDir","detail":"$detailJson"}""")
+    println(s"""{"metric":"total","value":${f2(warmMinTotal)},"unit":"sec","queries":$keptJson,"fast_sum":${f2(restSum)},"fast_n":${rest.size},"cold_total":${f2(coldTotal)},"warm_total":${f2(warm2Total)},"retries":$globalRetries,"unadj_n":${unadjudicated.size},"loadavg":"$loadPre|$loadPost","failed_n":${failed.size},"cpus":"$cpus","sf":"$sfDir","detail":"$detailJson"}""")
     spark.stop()
   }
 }

@@ -523,4 +523,87 @@ object Ann {
         (col("score_u").cast("double") / 1e6).as("score"), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** Graph-based ANN (HNSW-class, single layer): batched beam search
+    * over a bounded-degree kNN graph — the third point of the ANN
+    * family (brute = exact, IVF-PQ = memory, graph = query latency).
+    * The graph is the top-`degree` neighbors per node from the shared
+    * LSH candidate pool (`candScores`: v1 < v2 scored pairs), i.e. the
+    * same construction as RetrievalPack's kNN graph at a higher degree.
+    *
+    * Search: deterministic entry points (the `beam` lowest vec_ids),
+    * then `hops` rounds of expand-score-prune — each round expands the
+    * current per-query beam's out-edges, scores the (≤ q·beam·degree)
+    * new candidates by exact snapped cosine, and keeps the best `beam`
+    * of everything seen. Per-round plan shape: one broadcast join of
+    * the (tiny) frontier against the cached edge list, one cached-
+    * corpus scan to fetch candidate vectors (candidate ids broadcast),
+    * one bounded per-query rank — no row-scale window, no all-pairs
+    * anything; rounds are cached and the predecessor unpersisted (the
+    * ConnectedComponents truncation pattern), so plan depth stays flat
+    * at any hop count. At 100 TB the edge list is n·degree fixed-width
+    * rows and each query touches ≤ beam·degree·hops vectors — the
+    * latency posture HNSW serves centrally, expressed as bounded
+    * distributed batches.
+    *
+    * Deterministic end-to-end (graph from snapped cosines with id
+    * tiebreaks, fixed entries, snapped scoring) — AnnSpec pins recall
+    * against bruteTopK ground truth and split-independence; the search
+    * path itself is hop-structured, so the operator registers rows-only
+    * (the same adjudication as the other sequential/stateful rows).
+    */
+  def graphBeamTopK(emb: DataFrame, candScores: DataFrame, nQueries: Int,
+                    k: Int, degree: Int = 8, beam: Int = 16,
+                    hops: Int = 3): DataFrame = {
+    val dirs = candScores
+      .select(col("v1").as("src"), col("v2").as("dst"), col("cosine"))
+      .unionByName(
+        candScores.select(col("v2").as("src"), col("v1").as("dst"), col("cosine")))
+    val edges = dirs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rk") <= degree)
+      .select("src", "dst")
+      .cache()
+    edges.count()
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    // (q_id, vec_id) candidate ids -> exact snapped cosine: candidate
+    // ids and queries broadcast, ONE pass over the cached corpus frame
+    def score(ids: DataFrame): DataFrame =
+      emb.select(col("vec_id"), col("e"), col("nrm"))
+        .join(broadcast(ids), "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cosine",
+          Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+        .select("q_id", "vec_id", "cosine")
+    def topPerQuery(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank") <= n)
+    // deterministic entry points: the `beam` lowest vec_ids
+    val entries = emb.select(col("vec_id")).orderBy("vec_id").limit(beam)
+    val seeds = entries.crossJoin(broadcast(q.select(col("q_id"))))
+      .filter(col("vec_id") =!= col("q_id"))
+    var visited = score(seeds).cache()
+    visited.count()
+    for (_ <- 1 to hops) {
+      val frontier = topPerQuery(visited, beam).select("q_id", "vec_id")
+      val expand = frontier.withColumnRenamed("vec_id", "src")
+        .join(edges, "src")
+        .select(col("q_id"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .distinct()
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      val next = visited.unionByName(score(expand)).cache()
+      next.count()
+      visited.unpersist(blocking = false)
+      visited = next
+    }
+    val result = topPerQuery(visited, k).orderBy("q_id", "rank").cache()
+    result.count()
+    visited.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    result
+  }
 }

@@ -43,6 +43,14 @@ object AnnPack extends QueryPack {
   private val embCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
+  /** Session-memoized graph-ANN beam-search result (q_ann_beam_topk) —
+    * graphBeamTopK returns a cached+materialized frame; registering it
+    * here gives it the deterministic Memo eviction every other loop
+    * product has.
+    */
+  private val beamCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
   private[operators] def embCached(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d), emb(s, d).cache())
 
@@ -76,6 +84,17 @@ object AnnPack extends QueryPack {
       // lists — the production ANN composition at 10^9+ vectors. See
       // Ann.ivfPqTopK.
       Ann.ivfPqTopK(embCached(s, d), nQueries = 10, k = 10)),
+    // rows-only (no oracle): HNSW-class graph ANN — beam search over the
+    // top-degree kNN graph built from the shared LSH candidate pool (the
+    // ANN family's latency point next to brute=exact and IVF-PQ=memory).
+    // Search paths are hop-structured, so this registers rows-only under
+    // the same adjudication as the sequential/stateful rows; AnnSpec
+    // pins recall vs bruteTopK ground truth. Memoized: the graph build
+    // and search rounds run once per session.
+    "q_ann_beam_topk" -> ((s, d) =>
+      beamCache.getOrElseUpdate((s, d),
+        Ann.graphBeamTopK(embCached(s, d), candScoresCached(s, d),
+          nQueries = 10, k = 10))),
     "q_ann_pq_topk" -> ((s, d) =>
       // product quantization ADC search: 8 subspaces x 8 dims, 8-entry
       // codebooks per subspace (2-round per-subspace k-means, same
@@ -195,6 +214,20 @@ object AnnPack extends QueryPack {
     * kNN graph (RetrievalPack.q_knn_graph): threshold -2.0 keeps every
     * verified candidate, so q_dedup_embedding is a pure filter of this
     * pool (identical snapped cosines → identical output and oracle).
+    *
+    * Memory ceiling of the pooled cache (r10 ADVICE): each row is 3
+    * fixed-width columns (~24 bytes + overhead), and pair mass is
+    * bounded by the LSH geometry, not the data — with auto-sized
+    * params, buckets average ≤ 64 members (2^bits·64 ≥ n) and are
+    * hard-capped at 2000, so expected pairs ≈ bands · n · avg_bucket/2
+    * ≈ bands · 32 · n; at bands ≤ 38 that is ≤ ~1.2k pairs/vector ≈
+    * 50 KB/vector worst-case and ~13x pair growth per 10x vectors was
+    * the measured (sub-quadratic) rate (BASELINE.md 10x rehearsal). A
+    * dedup-ONLY session that never runs a kNN consumer pins the full
+    * pool where a 0.35-thresholded tier would do; that trade was kept
+    * deliberate — one blocking pass serving four consumers (dedup, kNN
+    * graph, purity, PageRank) beats re-running the hyperplane pass per
+    * consumer, and Memo eviction frees the pool deterministically.
     */
   private[operators] def candScoresCached(s: SparkSession, d: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, d), {

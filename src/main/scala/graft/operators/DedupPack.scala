@@ -111,12 +111,32 @@ object DedupPack extends QueryPack {
   private def simhashCached(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate((s, d), simhash(Tables.documents(s, d)).cache())
 
+  /** Output-stage partner cap for the simhash band join: each doc emits
+    * at most this many pairs per (band, key) bucket, partners taken in
+    * ascending doc-id order. The BucketCap bounds bucket SIZE, but a hot
+    * near-dup cluster UNDER that cap still emits C(size, 2) pairs per
+    * band — the r10 10x rehearsal measured a 112x output blow-up on
+    * multiset-identical replica copies, and a production corpus with a
+    * hot boilerplate cluster reproduces it (r10 verdict task 8). With
+    * the cap, a size-m bucket emits ≤ m·cap pairs (linear), and because
+    * each doc keeps its NEXT `cap` successors, the cluster stays a
+    * connected chain — downstream connected-components canonicalization
+    * still merges it into one cluster, so no survivor-selection mass is
+    * lost, only redundant interior edges. Deterministic (rank over a
+    * total order), mirrored 1:1 in the oracle; DedupSpec pins that
+    * planted pairs survive and a 300-replica cluster stays connected.
+    */
+  val PairsPerDocPerBucket = 64L
+
   /** Near-dup pairs over a (doc_id, simhash) frame: 4 bands x 14 bits
     * over the 56-bit signature (pigeonhole: any pair within hamming 3
     * shares a band; the <= 6 emit bound keeps the candidate-then-verify
     * posture), with the BucketCap guard per (band, key) — a web-scale
     * identical-signature group must not turn the band self-join
-    * quadratic (see BucketCap).
+    * quadratic (see BucketCap) — and the PairsPerDocPerBucket guard on
+    * the join's OUTPUT stage (a hot under-cap cluster must not emit
+    * quadratic pair mass). The per-doc rank window partitions by
+    * (band, key, doc1) — ≤ bucket-size rows per partition, bounded.
     */
   def simhashPairs(sh: DataFrame): DataFrame = {
     val bandsRaw = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -128,6 +148,10 @@ object DedupPack extends QueryPack {
     val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key", "doc1").orderBy("doc2")))
+      .filter(col("prk") <= PairsPerDocPerBucket)
       .select("doc1", "doc2", "simhash1", "simhash2").distinct()
       .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
       .filter(col("hamming") <= 6)
@@ -279,12 +303,16 @@ object DedupPack extends QueryPack {
         |),
         |bsizes AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-        |                  a.simhash AS simhash1, b.simhash AS simhash2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        |  JOIN bsizes z ON z.band = a.band AND z.key = a.key
-        |  WHERE z.bsz <= $BucketCap
+        |  SELECT DISTINCT doc1, doc2, simhash1, simhash2 FROM (
+        |    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |           a.simhash AS simhash1, b.simhash AS simhash2,
+        |           row_number() OVER (PARTITION BY a.band, a.key, a.doc_id
+        |                              ORDER BY b.doc_id) AS prk
+        |    FROM bands a JOIN bands b
+        |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |    JOIN bsizes z ON z.band = a.band AND z.key = a.key
+        |    WHERE z.bsz <= $BucketCap)
+        |  WHERE prk <= $PairsPerDocPerBucket
         |)
         |SELECT doc1, doc2, simhash1, simhash2,
         |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming

@@ -74,7 +74,7 @@ object RetrievalPack extends QueryPack {
       val stats = Tables.documents(s, d)
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("total_toks"))
-      tf.join(broadcast(dfreq), "tok")
+      val r = tf.join(broadcast(dfreq), "tok")
         .crossJoin(broadcast(stats))
         .withColumn("avgdl", col("total_toks").cast("double") / col("n_docs"))
         .withColumn("u",
@@ -85,7 +85,104 @@ object RetrievalPack extends QueryPack {
               lit(1e6) + 0.5).cast("long"))
         .select("doc_id", "tok", "tf", "dl", "df", "u")
         .cache()
+      // materialize NOW (the overlapAgg/candScores Memo pattern): without
+      // this the full scoring build lands inside whichever consumer query
+      // runs first and skews its timing (r10 ADVICE)
+      r.count()
+      r
     })
+
+  /** Session-memoized PageRank table over the kNN top-3 graph — the
+    * q_graph_rank result frame (vec_id, r_u).
+    *
+    * Graph-based quality propagation: 3 PageRank iterations over the
+    * symmetrized kNN top-3 graph (d = 0.85) — the centrality signal a
+    * curation pipeline reads as "how referenced is this doc's
+    * neighborhood" (the graph analogue of the CC dedup-cluster pass;
+    * together they cover the two iterative-graph patterns).
+    *
+    * EXACT integer arithmetic end-to-end: ranks live in 10^12 units,
+    * per-edge contribution is rank div out-degree (integer division),
+    * damping is (85·x) div 100 — no float accumulates anywhere, so
+    * iteration order and partitioning can never flip a value and the
+    * oracle unrolls the identical three steps. Dangling mass is dropped
+    * (nodes outside the candidate pool keep only the teleport term —
+    * the standard simplified-PageRank curation score).
+    *
+    * Scale (r10 verdict task 2): the edge list is cached+materialized
+    * once, and EVERY iteration is cached, materialized, and its
+    * predecessor deterministically unpersisted — the ConnectedComponents
+    * truncation pattern. The executed plan per iteration is therefore
+    * one shuffle-join of the cached (≤3·n-row) edge list against the
+    * cached previous ranks plus a hash aggregate; the final
+    * materialization reads ONE cached leaf instead of re-executing a
+    * 3-deep join tree that re-reads the edge list three times (the
+    * uncached pre-r11 shape, which cannot survive 100x or deeper
+    * iteration counts). Recompute lineage stays live (plain caches), so
+    * an evicted partition recomputes instead of failing.
+    */
+  private val rankCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def graphRankCached(s: SparkSession, d: String): DataFrame =
+    rankCache.getOrElseUpdate((s, d), {
+      val e = AnnPack.candScoresCached(s, d)
+      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
+        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id").as("src"), col("nbr").as("dst"))
+      val emb = AnnPack.embCached(s, d)
+      val n = emb.count()
+      val nodes = emb.select(col("vec_id"))
+      val edges = dirs.join(
+        dirs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").cache()
+      edges.count()
+      val teleport = 150000000000L / n
+      var ranks = nodes.withColumn("r_u", lit(1000000000000L / n))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst").as("vec_id"),
+            expr("r_u div outdeg").as("c"))
+          .groupBy("vec_id").agg(sum(col("c")).as("in_mass"))
+        val next = nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(teleport) +
+              expr("85 * coalesce(in_mass, cast(0 as bigint)) div 100")).as("r_u"))
+          .cache()
+        next.count()
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(next)
+        ranks = next
+      }
+      // the final iteration stays cached (Memo eviction unpersists it);
+      // the edge cache is scaffolding — free it now, recompute is live
+      edges.unpersist(blocking = false)
+      ranks
+    })
+
+  /** Deterministic random-negative partner per anchor: for each anchor
+    * id q (vec_id < 10), partner(q) = argmin over OBSERVED vec_ids v ≠ q
+    * of md5("q#v") (ties by v). Defined on ANY id space and self-free by
+    * construction — the r10 verdict/ADVICE defect in the LCG form
+    * `(q·7919+37) % n` was exactly that it assumed a dense [0, n) id
+    * space (9/10 partners silently dropped on sparse replica ids at 10x)
+    * and could emit partner == q on particular corpus sizes. Plan shape:
+    * broadcast anchors × one corpus scan of the id column → partial min
+    * aggregate (map-side combine, 10 rows out) — the bruteTopK posture,
+    * no global sort, no dense-rank window.
+    */
+  private[graft] def randomNegativePartners(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("h",
+        md5(concat(col("q_id").cast("string"), lit("#"), col("vec_id").cast("string"))))
+      .groupBy("q_id").agg(min(struct(col("h"), col("vec_id"))).as("m"))
+      .select(col("q_id"), col("m.vec_id").as("vec_id"))
 
   /** Two-level top-k rank by (score desc, id asc): local winners per
     * input split first so the global rank runs over ≤ k·splits rows per
@@ -143,71 +240,32 @@ object RetrievalPack extends QueryPack {
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
-    "q_graph_rank" -> ((s, d) => {
-      // Graph-based quality propagation: 3 PageRank iterations over the
-      // symmetrized kNN top-3 graph (d = 0.85) — the centrality signal
-      // a curation pipeline reads as "how referenced is this doc's
-      // neighborhood" (the graph analogue of the CC dedup-cluster
-      // pass; together they cover the two iterative-graph patterns).
-      // EXACT integer arithmetic end-to-end: ranks live in 10^12
-      // units, per-edge contribution is rank div out-degree (integer
-      // division), damping is (85·x) div 100 — no float accumulates
-      // anywhere, so iteration order and partitioning can never flip a
-      // value and the oracle unrolls the identical three steps. Scale:
-      // each iteration is one shuffle-join on the bounded edge list
-      // (≤3·n edges) + a hash aggregate; dangling mass is dropped
-      // (nodes outside the candidate pool keep only the teleport
-      // term — the standard simplified-PageRank curation score).
-      val e = AnnPack.candScoresCached(s, d)
-      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
-        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id").as("src"), col("nbr").as("dst"))
-      val emb = AnnPack.embCached(s, d)
-      val n = emb.count()
-      val nodes = emb.select(col("vec_id"))
-      val edges = dirs.join(
-        dirs.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      val teleport = 150000000000L / n
-      var ranks = nodes.withColumn("r_u", lit(1000000000000L / n))
-      for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks.withColumnRenamed("vec_id", "src"), "src")
-          .select(col("dst").as("vec_id"),
-            expr("r_u div outdeg").as("c"))
-          .groupBy("vec_id").agg(sum(col("c")).as("in_mass"))
-        ranks = nodes.join(contrib, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (lit(teleport) +
-              expr("85 * coalesce(in_mass, cast(0 as bigint)) div 100")).as("r_u"))
-      }
-      ranks
+    "q_graph_rank" -> ((s, d) =>
+      graphRankCached(s, d)
         .select(col("vec_id"), col("r_u"), (col("r_u") / lit(1e12)).as("rank_score"))
-        .orderBy(col("r_u").desc, col("vec_id"))
-    }),
+        .orderBy(col("r_u").desc, col("vec_id"))),
     "q_triplet_mining" -> ((s, d) => {
       // Contrastive training-data mining (the embedding-model training
       // recipe): for each anchor, a positive (its nearest neighbor), the
       // hard negatives (ranks 6-10 — close enough to be informative,
       // far enough to be wrong), and a deterministic random negative
-      // (LCG partner — reproducible on any engine/partitioning, exact
-      // integer arithmetic). Rides the cached embedding frame and the
-      // same brute top-k machinery as the ANN baseline; anchors are a
-      // broadcast-size query set, so the scan shape is one corpus pass.
+      // (hash-argmin partner over the OBSERVED id set — see
+      // randomNegativePartners; reproducible on any engine/partitioning
+      // and any id space, 1+5+1 rows per anchor GUARANTEED). Rides the
+      // cached embedding frame and the same brute top-k machinery as
+      // the ANN baseline; anchors are a broadcast-size query set, so
+      // the scan shape is one corpus pass.
       val emb = AnnPack.embCached(s, d)
       val topk = Ann.bruteTopK(emb, nQueries = 10, k = 10)
       val pos = topk.filter(col("rank") === 1)
         .select(col("q_id"), col("vec_id"), col("cosine"), lit("pos").as("label"))
       val hard = topk.filter(col("rank") >= 6)
         .select(col("q_id"), col("vec_id"), col("cosine"), lit("hard_neg").as("label"))
-      val n = emb.count()
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-        .withColumn("partner", (col("q_id") * 7919 + 37) % n)
-      val rand = qs.join(
-          emb.select(col("vec_id").as("partner"), col("e"), col("nrm")), "partner")
-        .select(col("q_id"), col("partner").as("vec_id"),
+      val rand = emb.select(col("vec_id"), col("e"), col("nrm"))
+        .join(broadcast(randomNegativePartners(emb).join(qs, "q_id")), "vec_id")
+        .select(col("q_id"), col("vec_id"),
           graft.functions.Port.r(
             Ann.dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6).as("cosine"),
           lit("rand_neg").as("label"))
@@ -423,10 +481,15 @@ object RetrievalPack extends QueryPack {
         |    ORDER BY cosine DESC, vec_id) AS rank
         |  FROM ecos
         |),
-        |n AS (SELECT count(*) AS c FROM embeddings),
         |prt AS (
-        |  SELECT DISTINCT q_id, (q_id * 7919 + 37) % (SELECT c FROM n) AS partner
-        |  FROM eq
+        |  SELECT q_id, vec_id AS partner FROM (
+        |    SELECT q.q_id, i.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY md5(CAST(q.q_id AS VARCHAR) || '#'
+        |                          || CAST(i.vec_id AS VARCHAR)), i.vec_id) AS rk
+        |    FROM (SELECT DISTINCT q_id FROM eq) q
+        |    JOIN (SELECT DISTINCT vec_id FROM embeddings) i ON i.vec_id != q.q_id)
+        |  WHERE rk = 1
         |),
         |randd AS (
         |  SELECT p.q_id, p.partner AS vec_id, sum(a.v * b.v) AS dot

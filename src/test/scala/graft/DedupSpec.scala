@@ -138,6 +138,33 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupPack.lshCandidates(sigs).count() == 0)
   }
 
+  test("per-doc pair cap bounds a hot under-cap cluster, keeps it connected") {
+    import spark.implicits._
+    // 300 identical docs: UNDER the 2000 bucket cap, so pre-r11 the band
+    // join emitted C(300,2) = 44,850 pairs (the r10 10x rehearsal's
+    // output-bound mode, 112x output growth on replica copies). The
+    // per-doc cap bounds output to ~m·cap while each doc still pairs
+    // with its next-64 successors — a connected chain, so CC
+    // canonicalization still finds ONE cluster.
+    val m = 300
+    val hot = (0L until m.toLong).map(i => (i, "hot replica boilerplate text " * 8))
+    val planted = Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairs = DedupPack.simhashPairs(DedupPack.simhash((hot ++ planted).toDF("doc_id", "text")))
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9000L, 9001L)), "planted small-bucket pair lost")
+    val hotPairs = pairs.filter(_._1 < m)
+    assert(hotPairs.length <= m * DedupPack.PairsPerDocPerBucket,
+      s"cap leaked ${hotPairs.length} pairs")
+    assert(hotPairs.length < 44850, "cap did not engage on the hot cluster")
+    // union-find: the hot cluster must remain ONE component
+    val root = Array.tabulate(m)(identity)
+    def find(x: Int): Int = { var r = x; while (root(r) != r) r = root(r); r }
+    hotPairs.foreach { case (a, b) => root(find(a.toInt)) = find(b.toInt) }
+    assert((0 until m).map(find).distinct.size === 1, "hot cluster disconnected by the cap")
+  }
+
   test("property: expression matches the kernel on random strings with random spacing") {
     // deterministic fuzz of the string_split contract: random token
     // streams with random-length space runs, random leading/trailing

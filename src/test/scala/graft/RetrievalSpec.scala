@@ -104,9 +104,38 @@ class RetrievalSpec extends AnyFunSuite {
       // the positive is the nearest neighbor: at least as close as every hard negative
       val posCos = byLabel("pos").head.getAs[Double]("cosine")
       byLabel("hard_neg").foreach(h => assert(posCos >= h.getAs[Double]("cosine")))
-      // deterministic LCG partner
-      assert(byLabel("rand_neg").head.getAs[Long]("vec_id") === (q * 7919 + 37) % n)
+      // deterministic hash-argmin partner over the observed id set
+      val ids = Tables.embeddings(spark, d).select("vec_id").collect().map(_.getLong(0))
+      val expected = ids.filter(_ != q).minBy(v => (md5hex(s"$q#$v"), v))
+      assert(byLabel("rand_neg").head.getAs[Long]("vec_id") === expected)
       rs.foreach(r => assert(r.getAs[Long]("vec_id") !== q, "no self-references"))
+    }
+    assert(n > 0)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("random-negative partners exist and are self-free on sparse id spaces") {
+    // the r10 defect class: LCG over raw ids dropped 9/10 partners on a
+    // sparse (replica-style) id space and could self-pair on unlucky
+    // corpus sizes. The hash-argmin partner must produce exactly one
+    // non-self partner per anchor on ANY id space.
+    import spark.implicits._
+    // sparse ids: anchors 0-9 present, the rest scattered with big gaps
+    val ids = (0L until 10L) ++ Seq(37L, 1000L, 99991L, 123456789L, 7L * 7919L + 37L)
+    val emb = graft.operators.Ann.withNorm(
+      ids.map(i => (i, (i % 7).toInt, Array.fill(4)(1.0 + (i % 5)))).toSeq
+        .toDF("vec_id", "label", "e"))
+    val partners = graft.operators.RetrievalPack.randomNegativePartners(emb)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id"))
+    assert(partners.length === 10, "every anchor gets exactly one partner")
+    partners.foreach { case (q, p) =>
+      assert(p !== q, s"self-pair for anchor $q")
+      assert(ids.contains(p), "partner drawn from the observed id set")
+      val expected = ids.filter(_ != q).minBy(v => (md5hex(s"$q#$v"), v))
+      assert(p === expected, s"partner for $q is the deterministic hash argmin")
     }
   }
 

@@ -51,7 +51,18 @@ class WindowLayeringSpec extends AnyFunSuite {
     "q_knn_graph" -> 1,
     "q_knn_purity" -> 1,
     // decile cumsum + whole-histogram total over the grid-bounded frame
-    "q_quality_deciles" -> 2
+    "q_quality_deciles" -> 2,
+    // r10 late additions (r11 verdict task 5):
+    // q_graph_rank reads the memoized PageRank frame — its top-3 rank
+    // window ran at cache fill, so the query itself executes NONE;
+    "q_graph_rank" -> 0,
+    // triplet mining: bruteTopK's two-level rank (local + global) feeds
+    // the pos and hard_neg branches — one uncached frame into two plan
+    // branches repeats the pair;
+    "q_triplet_mining" -> 4,
+    // BPE pair table: one global rank over the (vocab-bounded,
+    // aggregate-reduced) pair-count frame
+    "q_bpe_pair_freqs" -> 1
   )
 
   test("executed plans stay at their dependency-minimal window layer counts") {
