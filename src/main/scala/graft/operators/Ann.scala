@@ -586,24 +586,50 @@ object Ann {
     val seeds = entries.crossJoin(broadcast(q.select(col("q_id"))))
       .filter(col("vec_id") =!= col("q_id"))
     var visited = score(seeds).cache()
-    visited.count()
-    for (_ <- 1 to hops) {
-      val frontier = topPerQuery(visited, beam).select("q_id", "vec_id")
-      val expand = frontier.withColumnRenamed("vec_id", "src")
-        .join(edges, "src")
-        .select(col("q_id"), col("dst").as("vec_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .distinct()
-        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-      val next = visited.unionByName(score(expand)).cache()
-      next.count()
+    // (q_id, vec_id) nodes whose neighbors were already fetched: a beam
+    // that has converged keeps the same top nodes hop after hop, and
+    // without this set every hop re-joined the FULL frontier against the
+    // edge list just for the left_anti to discard the results (r11
+    // advisor). Expanding only the not-yet-expanded delta makes a
+    // converged hop near-free. Tiny frame (≤ beam·queries·hops rows),
+    // cached per hop with deterministic unpersist like `visited`.
+    var expanded: DataFrame = null
+    // An exception mid-search (executor loss, cancellation) must not
+    // leak the session-lifetime caches (r11 advisor): everything cached
+    // here is released in the finally, success or not.
+    try {
+      visited.count()
+      for (_ <- 1 to hops) {
+        val frontierAll = topPerQuery(visited, beam).select("q_id", "vec_id")
+        val frontier =
+          if (expanded == null) frontierAll
+          else frontierAll.join(expanded, Seq("q_id", "vec_id"), "left_anti")
+        val expand = frontier.withColumnRenamed("vec_id", "src")
+          .join(edges, "src")
+          .select(col("q_id"), col("dst").as("vec_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .distinct()
+          .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        val next = visited.unionByName(score(expand)).cache()
+        next.count()
+        val nextExpanded =
+          (if (expanded == null) frontier
+           else expanded.unionByName(frontier)).cache()
+        nextExpanded.count()
+        // predecessors only after both successors are materialized —
+        // frontier's lineage reads the OLD visited/expanded caches
+        visited.unpersist(blocking = false)
+        if (expanded != null) expanded.unpersist(blocking = false)
+        visited = next
+        expanded = nextExpanded
+      }
+      val result = topPerQuery(visited, k).orderBy("q_id", "rank").cache()
+      result.count()
+      result
+    } finally {
       visited.unpersist(blocking = false)
-      visited = next
+      if (expanded != null) expanded.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
     }
-    val result = topPerQuery(visited, k).orderBy("q_id", "rank").cache()
-    result.count()
-    visited.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    result
   }
 }

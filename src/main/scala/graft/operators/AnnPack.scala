@@ -222,34 +222,59 @@ object AnnPack extends QueryPack {
     * hard-capped at 2000, so expected pairs ≈ bands · n · avg_bucket/2
     * ≈ bands · 32 · n; at bands ≤ 38 that is ≤ ~1.2k pairs/vector ≈
     * 50 KB/vector worst-case and ~13x pair growth per 10x vectors was
-    * the measured (sub-quadratic) rate (BASELINE.md 10x rehearsal). A
-    * dedup-ONLY session that never runs a kNN consumer pins the full
-    * pool where a 0.35-thresholded tier would do; that trade was kept
-    * deliberate — one blocking pass serving four consumers (dedup, kNN
-    * graph, purity, PageRank) beats re-running the hyperplane pass per
-    * consumer, and Memo eviction frees the pool deterministically.
+    * the measured (sub-quadratic) rate (BASELINE.md 10x rehearsal).
+    *
+    * Two-tier (r11 verdict task 5): the pool is lazy on its first kNN-
+    * graph consumer. A dedup-only session materializes only the
+    * 0.35-thresholded tier (~the near-dup mass, a small fraction of the
+    * pool); the full unthresholded pool is built only when a kNN/graph
+    * consumer asks for it. The threshold is a pure `cosine >= t` filter
+    * on the same snapped cosine (Ann.hyperplaneNearDupStaged), so the
+    * thresholded pass is value-identical to filtering the full pool —
+    * hashes unchanged either way, and a mixed session that builds the
+    * full pool serves dedup as a free filter of it.
     */
+  private def buildCandScores(s: SparkSession, d: String,
+                              threshold: Double): DataFrame = {
+    val emb = embCached(s, d)
+    // EXACT count, not corpusSize's plan-stats shortcut: bits must
+    // equal the oracle's count(*)-derived value bit-for-bit (a stale
+    // stat that flips bits would bucket differently than the mirror);
+    // emb is the session-cached frame, so this count is one cheap
+    // cached-scan per session
+    val (bits, bands) = Ann.autoLshParams(emb.count())
+    val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb,
+      bands = bands, bits = bits, threshold = threshold, cap = 2000)
+    val r = res.cache()
+    r.count()
+    // plain cached frames with live lineage: safe to free (a cache-
+    // evicted result would recompute them, unlike checkpoint leaves)
+    scaffolding.foreach(_.unpersist(blocking = false))
+    r
+  }
+
   private[operators] def candScoresCached(s: SparkSession, d: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, d), {
-      val emb = embCached(s, d)
-      // EXACT count, not corpusSize's plan-stats shortcut: bits must
-      // equal the oracle's count(*)-derived value bit-for-bit (a stale
-      // stat that flips bits would bucket differently than the mirror);
-      // emb is the session-cached frame, so this count is one cheap
-      // cached-scan per session
-      val (bits, bands) = Ann.autoLshParams(emb.count())
-      val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb,
-        bands = bands, bits = bits, threshold = -2.0, cap = 2000)
-      val r = res.cache()
-      r.count()
-      // plain cached frames with live lineage: safe to free (a cache-
-      // evicted result would recompute them, unlike checkpoint leaves)
-      scaffolding.foreach(_.unpersist(blocking = false))
+      val r = buildCandScores(s, d, threshold = -2.0)
+      // the thresholded tier is now a free filter of the pool — evict
+      // the redundant pinned copy (later dedup calls take the pool path)
+      nearDupThreshCache.remove((s, d)).foreach(_.unpersist(blocking = false))
       r
     })
 
+  /** Thresholded tier for the dedup consumers. If the full pool is
+    * already (or will be) pinned by this session, dedup rides it as a
+    * filter; otherwise only the thresholded frame is materialized.
+    */
+  private val nearDupThreshCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
   private def nearDupCached(s: SparkSession, d: String): DataFrame =
-    candScoresCached(s, d).filter(col("cosine") >= 0.35)
+    if (nearDupCache.contains((s, d)))
+      candScoresCached(s, d).filter(col("cosine") >= 0.35)
+    else
+      nearDupThreshCache.getOrElseUpdate((s, d),
+        buildCandScores(s, d, threshold = 0.35))
 
   /** The shared 2-round k-means mirror prefix (CTEs c..cn2),
     * parameterized on the cell-count expression — `"8"` for the pinned

@@ -122,9 +122,17 @@ object DedupPack extends QueryPack {
     * each doc keeps its NEXT `cap` successors, the cluster stays a
     * connected chain — downstream connected-components canonicalization
     * still merges it into one cluster, so no survivor-selection mass is
-    * lost, only redundant interior edges. Deterministic (rank over a
-    * total order), mirrored 1:1 in the oracle; DedupSpec pins that
-    * planted pairs survive and a 300-replica cluster stays connected.
+    * lost, only redundant interior edges. The cap ranks partners AFTER
+    * the hamming ≤ 6 verify filter (r11 advisor): ranking raw bucket
+    * co-members let a mixed hot bucket crowd a true near-dup out of a
+    * doc's 64 slots with non-matching lower-id neighbors, so the
+    * chain-connectivity argument only held for identical-signature
+    * clusters. Capping verified pairs restores it unconditionally: each
+    * doc keeps its next `cap` ACTUAL near-dups, so every under-cap
+    * near-dup cluster stays a connected chain whatever else shares the
+    * bucket. Deterministic (rank over a total order), mirrored 1:1 in
+    * the oracle; DedupSpec pins that planted pairs survive and a
+    * 300-replica cluster stays connected.
     */
   val PairsPerDocPerBucket = 64L
 
@@ -147,14 +155,17 @@ object DedupPack extends QueryPack {
       .filter(col("bsz") <= BucketCap)
     val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
+    // hamming BEFORE the partner-cap rank: the cap must count verified
+    // near-dups, not raw bucket co-members (see PairsPerDocPerBucket),
+    // and filtering first also shrinks the window shuffle.
     a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+      .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
+      .filter(col("hamming") <= 6)
       .withColumn("prk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "key", "doc1").orderBy("doc2")))
       .filter(col("prk") <= PairsPerDocPerBucket)
-      .select("doc1", "doc2", "simhash1", "simhash2").distinct()
-      .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
-      .filter(col("hamming") <= 6)
+      .select("doc1", "doc2", "simhash1", "simhash2", "hamming").distinct()
       .orderBy("doc1", "doc2")
   }
 
@@ -310,6 +321,7 @@ object DedupPack extends QueryPack {
         |                              ORDER BY b.doc_id) AS prk
         |    FROM bands a JOIN bands b
         |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |      AND bit_count(xor(a.simhash, b.simhash)) <= 6
         |    JOIN bsizes z ON z.band = a.band AND z.key = a.key
         |    WHERE z.bsz <= $BucketCap)
         |  WHERE prk <= $PairsPerDocPerBucket
@@ -317,7 +329,6 @@ object DedupPack extends QueryPack {
         |SELECT doc1, doc2, simhash1, simhash2,
         |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming
         |FROM pairs
-        |WHERE bit_count(xor(simhash1, simhash2)) <= 6
         |ORDER BY doc1, doc2""".stripMargin
   )
 }

@@ -154,7 +154,10 @@ class DedupSpec extends AnyFunSuite {
     val pairs = DedupPack.simhashPairs(DedupPack.simhash((hot ++ planted).toDF("doc_id", "text")))
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((9000L, 9001L)), "planted small-bucket pair lost")
-    val hotPairs = pairs.filter(_._1 < m)
+    // both ids < m: a hash collision could land a planted doc (9000+) in
+    // a hot band bucket, and a doc2 >= m would overflow the m-element
+    // union-find below — the test must fail informatively, not crash
+    val hotPairs = pairs.filter(p => p._1 < m && p._2 < m)
     assert(hotPairs.length <= m * DedupPack.PairsPerDocPerBucket,
       s"cap leaked ${hotPairs.length} pairs")
     assert(hotPairs.length < 44850, "cap did not engage on the hot cluster")
