@@ -147,20 +147,38 @@ object DedupPack extends QueryPack {
     * (band, key, doc1) — ≤ bucket-size rows per partition, bounded.
     */
   def simhashPairs(sh: DataFrame): DataFrame = {
-    val bandsRaw = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+    // Class-level band join (r12): docs sharing a signature are ONE row
+    // in the self-join. The doc-level join is quadratic in bucket DOC
+    // count, and a boilerplate/replica-heavy corpus packs buckets with
+    // multiset-identical docs — the r12 10x rehearsal measured 30.7M
+    // pre-filter join rows from 50k docs carrying only 4,961 distinct
+    // signatures (avg class 10). Joining distinct signatures instead is
+    // quadratic only in DISTINCT sigs per bucket (~100x less volume
+    // there), and surviving hamming<=6 class pairs expand to member
+    // pairs at exactly the verified-pair mass — the operator becomes
+    // output-bound, the right complexity at any dup ratio. Pure
+    // refactoring: the emitted pair set is IDENTICAL (measured
+    // except()-empty both ways at 10x), so the oracle is untouched.
+    val classes = sh.groupBy("simhash").agg(count(lit(1)).as("csz"))
+    val sigBands = classes.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", expr("(simhash >> (band * 14)) & 16383"))
-    val bands = bandsRaw
-      .join(bandsRaw.groupBy("band", "key").agg(count(lit(1)).as("bsz")),
-        Seq("band", "key"))
-      .filter(col("bsz") <= BucketCap)
-    val a = bands.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"), col("band"), col("key"))
-    // hamming BEFORE the partner-cap rank: the cap must count verified
-    // near-dups, not raw bucket co-members (see PairsPerDocPerBucket),
-    // and filtering first also shrinks the window shuffle.
-    a.join(b, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+    // the BucketCap contract counts DOCS per (band, key) — sum of class
+    // sizes, no doc-level explode needed
+    val bsz = sigBands.groupBy("band", "key").agg(sum("csz").as("bsz"))
+    val sb = sigBands.join(bsz, Seq("band", "key")).filter(col("bsz") <= BucketCap)
+    val ca = sb.select(col("simhash").as("simhash1"), col("band"), col("key"))
+    val cb = sb.select(col("simhash").as("simhash2"), col("band"), col("key"))
+    // DIRECTED class pairs incl. the self pair: an unordered doc pair
+    // (a < b) then appears exactly once — under (class(a), class(b)).
+    // hamming filters at CLASS level, before any member expansion.
+    val classPairs = ca.join(cb, Seq("band", "key"))
       .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
       .filter(col("hamming") <= 6)
+    val m1 = sh.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"))
+    val m2 = sh.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"))
+    classPairs.join(m1, "simhash1").join(m2, "simhash2")
+      .filter(col("doc1") < col("doc2"))
+      // partner cap AFTER the hamming verify (see PairsPerDocPerBucket)
       .withColumn("prk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "key", "doc1").orderBy("doc2")))

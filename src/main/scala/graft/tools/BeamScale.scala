@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** Scaled recall + latency evidence for the graph-ANN beam search
+  * (VERDICT r11 task 4): runs `Ann.graphBeamTopK` over the 10x replica
+  * embeddings (gen_scale.py, 20k vectors) at several (beam, hops)
+  * settings, measuring recall@10 vs `Ann.bruteTopK` ground truth and
+  * wall seconds per setting — the beam family's analog of the IVF
+  * recall-curve tables in BASELINE.md round-10.
+  *
+  * `runMain graft.tools.BeamScale [scaleDir] [nQueries]` — prints one
+  * JSON line per setting plus a summary line.
+  */
+object BeamScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfscale10")
+    val nQueries = args.lift(1).flatMap(_.toIntOption).getOrElse(100)
+    val k = 10
+    val spark = GraftSession.get("graft-beamscale")
+
+    val emb = Ann.withNorm(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .cache()
+    val n = emb.count()
+
+    // the shared LSH candidate pool, auto-sized exactly as AnnPack does
+    val (bits, bands) = Ann.autoLshParams(n)
+    val t0 = System.nanoTime()
+    val (pool, scaffolding) = Ann.hyperplaneNearDupStaged(
+      emb, bands = bands, bits = bits, threshold = -2.0, cap = 2000)
+    val poolC = pool.cache()
+    val nPairs = poolC.count()
+    scaffolding.foreach(_.unpersist(blocking = false))
+    val poolSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"n_vectors":$n,"bits":$bits,"bands":$bands,"pool_pairs":$nPairs,"pool_build_sec":$poolSec%.2f}""")
+
+    val brute = Ann.bruteTopK(emb, nQueries, k).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    for ((beam, hops) <- Seq((8, 2), (16, 3), (32, 4))) {
+      val t1 = System.nanoTime()
+      val res = Ann.graphBeamTopK(emb, poolC, nQueries = nQueries, k = k,
+        degree = 8, beam = beam, hops = hops)
+      val got = res.select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = brute.count(got.contains).toDouble / brute.length
+      println(f"""{"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
+    }
+    poolC.unpersist(blocking = false)
+    spark.stop()
+  }
+}

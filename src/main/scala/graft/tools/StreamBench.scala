@@ -1,0 +1,171 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput bench lane (VERDICT r11 task 8): one rows/sec
+  * row per streaming operator, replaying the sf0.1 feeds through a
+  * MemoryStream in micro-batch chunks — the throughput companion of the
+  * per-plan EXPLAIN audit and the batch Bench. The reference's published
+  * figure is "10,000+ ticks/second sustained" (reference README.md:243)
+  * for its asyncio loop; these lanes measure the same live-ingest
+  * posture on Structured Streaming state stores.
+  *
+  * Method: per lane, the input rows (derived from the sf0.1 tables the
+  * batch oracles use) are split into `STREAM_BENCH_BATCHES` ordered
+  * chunks; the query is started and one empty micro-batch is processed
+  * untimed (plan + state-store open), then the timed loop feeds each
+  * chunk and `processAllAvailable()`s it — so the number includes real
+  * per-trigger commit overhead at the replay cadence, not one giant
+  * batch. rows/sec = input rows / timed seconds.
+  *
+  * `runMain graft.tools.StreamBench [sfDir]` — prints one JSON line and
+  * writes streambench detail (SPARK_GRAFT_STREAM_FILE, default
+  * streambench.json).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val nBatches =
+      sys.env.get("STREAM_BENCH_BATCHES").flatMap(_.toIntOption).getOrElse(20)
+    val spark = GraftSession.get("graft-streambench")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def chunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+      val size = math.max(1, (xs.length + n - 1) / n)
+      xs.grouped(size).toSeq
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double, Long)]()
+
+    /** One lane: feed `data` in order through `build`, timing the chunk
+      * replay. `repeat` > 1 refeeds every chunk that many times (the
+      * redelivery pattern the dedup lane exists to absorb).
+      */
+    def lane[T: Encoder](name: String, data: Seq[T], mode: String,
+                         build: Dataset[T] => DataFrame,
+                         repeat: Int = 1): Unit = {
+      val input = MemoryStream[T]
+      val q = build(input.toDS()).writeStream
+        .format("memory").queryName(s"sb_$name").outputMode(mode).start()
+      q.processAllAvailable() // untimed: plan + state-store open
+      val cs = chunks(data, nBatches)
+      val t0 = System.nanoTime()
+      var fed = 0L
+      for (c <- cs; _ <- 1 to repeat) {
+        input.addData(c: _*)
+        q.processAllAvailable()
+        fed += c.length
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val out = spark.table(s"sb_$name").count()
+      q.stop()
+      results(name) = (fed, sec, out)
+      System.err.println(f"[streambench] $name%-12s ${fed}%7d rows in $sec%7.2f s = ${fed / sec}%9.0f rows/s (out=$out)")
+    }
+
+    // ---- shared feeds (driver-side replay buffers; bench harness only)
+    val ticksDf = Tables.ticks(spark, sfDir)
+    val tickRows: Seq[(Timestamp, String, Double, Double)] = ticksDf
+      .orderBy("ts", "event_id")
+      .select(col("ts"), col("symbol"), col("price"), col("volume"))
+      .collect().toSeq
+      .map(r => (new Timestamp(r.getLong(0) / 1000000L), r.getString(1),
+        r.getDouble(2), r.getDouble(3)))
+
+    val eventRows: Seq[(Timestamp, Long, Long)] = Tables.events(spark, sfDir)
+      .orderBy("ts", "event_id")
+      .select(col("ts"), col("user_id"), col("event_id"))
+      .collect().toSeq
+      .map(r => (new Timestamp(r.getLong(0) / 1000000L), r.getLong(1), r.getLong(2)))
+
+    // 1. tick -> OHLCV bars (watermarked event-time windows, update mode)
+    lane[(Timestamp, String, Double, Double)]("bars", tickRows, "update",
+      ds => graft.streaming.StreamingBars.bars(
+        ds.toDF("ts", "symbol", "price", "volume")))
+
+    // 2. sessionization (session_window + watermark, append)
+    lane[(Timestamp, Long, Long)]("sessions", eventRows, "append",
+      ds => graft.streaming.StreamingSessions.sessions(
+        ds.toDF("ts", "user_id", "event_id"), gap = "30 minutes",
+        watermark = "10 minutes"))
+
+    // 3. exact dedup under redelivery: every chunk delivered twice —
+    // half the fed rows are replays the state store must absorb
+    lane[(Timestamp, Long, Long)]("dedup", eventRows, "append",
+      ds => graft.streaming.StreamingDedup.dedup(
+        ds.toDF("ts", "user_id", "event_id"), "10 minutes", Seq("event_id")),
+      repeat = 2)
+
+    // 4. exact-infinite EWM over 1-min bars (mapGroupsWithState)
+    val barRows: Seq[graft.streaming.StreamingEma.Bar] =
+      graft.operators.Bars.ohlcvCached(spark, sfDir, 60)
+        .orderBy("bucket_ms", "symbol")
+        .select(col("symbol"), col("bucket_ms"), col("close"))
+        .collect().toSeq
+        .map(r => graft.streaming.StreamingEma.Bar(r.getString(0), r.getLong(1), r.getDouble(2)))
+    lane[graft.streaming.StreamingEma.Bar]("ema", barRows, "append",
+      ds => graft.streaming.StreamingEma.track(ds).toDF())
+
+    // 5. order-book lifecycle (flatMapGroupsWithState order matching)
+    val bookRows: Seq[graft.operators.OrderLifecycle.BookEvent] =
+      graft.operators.OrderLifecycle.eventsFromTicks(ticksDf)
+        .orderBy("ts", "event_id").collect().toSeq
+    lane[graft.operators.OrderLifecycle.BookEvent]("lifecycle", bookRows, "append",
+      ds => graft.streaming.StreamingLifecycle.track(ds).toDF())
+
+    // 6. near-dup gate vs a standing corpus (stream-static band join);
+    // the static index is materialized before the lane so the timed part
+    // is the stream side only
+    val docsDf = Tables.documents(spark, sfDir)
+    val index = graft.streaming.StreamingNearDup.corpusIndex(docsDf).cache()
+    index.count()
+    val baseMs = System.currentTimeMillis()
+    val docRows: Seq[(Timestamp, Long, String)] = docsDf
+      .orderBy("doc_id").select(col("doc_id"), col("text"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (new Timestamp(baseMs + i), r.getLong(0), r.getString(1)) }
+    lane[(Timestamp, Long, String)]("neardup", docRows, "append",
+      ds => graft.streaming.StreamingNearDup.flagged(
+        ds.toDF("ts", "doc_id", "text"), index, "10 minutes"))
+    index.unpersist(blocking = false)
+
+    // 7. stateful position tracking (signal fold per symbol)
+    val signalRows: Seq[graft.streaming.StatefulPositions.SignalEvent] =
+      tickRows.zipWithIndex.map { case ((ts, sym, price, _), i) =>
+        graft.streaming.StatefulPositions.SignalEvent(
+          sym, ts.getTime, price, (i % 3 - 1))
+      }
+    lane[graft.streaming.StatefulPositions.SignalEvent]("positions", signalRows, "append",
+      ds => graft.streaming.StatefulPositions.track(ds).toDF())
+
+    // 8. closed-loop paper-trading engine (strategy + broker, one account)
+    val paperTicks: Seq[graft.streaming.PaperTrading.Tick] =
+      tickRows.zipWithIndex.map { case ((ts, sym, price, _), i) =>
+        graft.streaming.PaperTrading.Tick(sym, i.toLong, ts.getTime, price)
+      }
+    lane[graft.streaming.PaperTrading.Tick]("engine", paperTicks, "append",
+      ds => graft.streaming.PaperTrading.engineLoop(ds, "acct-1", qty = 10.0).toDF())
+
+    val lanesJson = results.map { case (n, (rows, sec, out)) =>
+      f""""$n":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"out_rows":$out}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stream_rows_per_sec","lanes":$lanesJson,"batches":$nBatches,"sf":"$sfDir"}"""
+    println(line)
+    val f = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."),
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "streambench.json"))
+    try {
+      val pw = new java.io.PrintWriter(f)
+      try pw.println(line) finally pw.close()
+    } catch { case e: Throwable => System.err.println(s"streambench write failed: $e") }
+    spark.stop()
+  }
+}
