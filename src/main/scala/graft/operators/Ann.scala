@@ -531,17 +531,20 @@ object Ann {
     * LSH candidate pool (`candScores`: v1 < v2 scored pairs), i.e. the
     * same construction as RetrievalPack's kNN graph at a higher degree.
     *
-    * Search: deterministic entry points (the `beam` lowest vec_ids),
-    * then `hops` rounds of expand-score-prune — each round expands the
+    * Search: deterministic entry points — per-query seeds from the
+    * coarse k-means quantizer when `entryCells` > 0 (the Spark-first
+    * analog of HNSW's upper layers; see the seed comment below), else
+    * the `beam` lowest vec_ids — then `hops` rounds of
+    * expand-score-prune — each round expands the
     * current per-query beam's out-edges, scores the (≤ q·beam·degree)
     * new candidates by exact snapped cosine, and keeps the best `beam`
     * of everything seen. Per-round plan shape: one broadcast join of
     * the (tiny) frontier against the cached edge list, one cached-
     * corpus scan to fetch candidate vectors (candidate ids broadcast),
     * one bounded per-query rank — no row-scale window, no all-pairs
-    * anything; rounds are cached and the predecessor unpersisted (the
-    * ConnectedComponents truncation pattern), so plan depth stays flat
-    * at any hop count. At 100 TB the edge list is n·degree fixed-width
+    * anything; rounds are lazily localCheckpointed and the predecessor
+    * freed (the ConnectedComponents truncation pattern), so plan depth
+    * stays flat at any hop count. At 100 TB the edge list is n·degree fixed-width
     * rows and each query touches ≤ beam·degree·hops vectors — the
     * latency posture HNSW serves centrally, expressed as bounded
     * distributed batches.
@@ -552,20 +555,47 @@ object Ann {
     * path itself is hop-structured, so the operator registers rows-only
     * (the same adjudication as the other sequential/stateful rows).
     */
-  def graphBeamTopK(emb: DataFrame, candScores: DataFrame, nQueries: Int,
-                    k: Int, degree: Int = 8, beam: Int = 16,
-                    hops: Int = 3): DataFrame = {
+  /** Top-`degree` kNN-graph edge list from the v1 < v2 scored candidate
+    * pool — the beam search's graph, exposed so callers running several
+    * searches (or recall sweeps) build it once. Two-level rank (local
+    * winners per input split, then global — the bruteTopK argument): at
+    * high pool density the per-src partner lists are large, and a
+    * single global window would sort every src's full list in one task.
+    * Returned CACHED and materialized; the caller owns the unpersist.
+    */
+  def knnGraphEdges(candScores: DataFrame, degree: Int): DataFrame = {
     val dirs = candScores
       .select(col("v1").as("src"), col("v2").as("dst"), col("cosine"))
       .unionByName(
         candScores.select(col("v2").as("src"), col("v1").as("dst"), col("cosine")))
     val edges = dirs
+      .withColumn("_split", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("src", "_split").orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("_lrk") <= degree)
       .withColumn("rk", row_number().over(
         Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
       .filter(col("rk") <= degree)
       .select("src", "dst")
       .cache()
     edges.count()
+    edges
+  }
+
+  def graphBeamTopK(emb: DataFrame, candScores: DataFrame, nQueries: Int,
+                    k: Int, degree: Int = 8, beam: Int = 16,
+                    hops: Int = 3, entryCells: Int = 0,
+                    nprobe: Int = 2): DataFrame = {
+    val edges = knnGraphEdges(candScores, degree)
+    try graphBeamTopKFromEdges(emb, edges, nQueries, k, beam, hops,
+      entryCells, nprobe)
+    finally edges.unpersist(blocking = false)
+  }
+
+  /** Beam search over a prebuilt [[knnGraphEdges]] list. */
+  def graphBeamTopKFromEdges(emb: DataFrame, edges: DataFrame, nQueries: Int,
+                             k: Int, beam: Int = 16, hops: Int = 3,
+                             entryCells: Int = 0, nprobe: Int = 2): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     // (q_id, vec_id) candidate ids -> exact snapped cosine: candidate
@@ -581,22 +611,71 @@ object Ann {
       scored.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
         .filter(col("rank") <= n)
-    // deterministic entry points: the `beam` lowest vec_ids
-    val entries = emb.select(col("vec_id")).orderBy("vec_id").limit(beam)
-    val seeds = entries.crossJoin(broadcast(q.select(col("q_id"))))
-      .filter(col("vec_id") =!= col("q_id"))
-    var visited = score(seeds).cache()
+    // Entry points. A flat kNN graph has only SHORT links, so a global
+    // entry set cannot navigate to a distant query's neighborhood in a
+    // bounded hop count — the r12 20k-vector sweep measured recall@10
+    // collapse to 0.01-0.39 from lowest-id entries (at 400 vectors the
+    // same walk covers most of the graph, which is why the toy spec
+    // passed). HNSW solves navigability with hierarchy; the Spark-first
+    // equivalent of its upper layers is the coarse quantizer we already
+    // have: with entryCells > 0, hop 0 IS an IVF probe — each query's
+    // `nprobe` nearest cells' members are scored exactly (the same
+    // candidate mass ivfTopK streams, same join shape) and the top
+    // `beam` seed the walk. The beam then already contains the IVF
+    // answer, so seeded recall@k is >= IVF(nprobe) recall by
+    // construction, and the graph hops refine past cell boundaries —
+    // recovering neighbors nprobe pruning lost. entryCells = 0 keeps
+    // the global lowest-id entries (toy graphs, ideal-pool specs).
+    val seedScores =
+      if (entryCells <= 0) {
+        val entries = emb.select(col("vec_id")).orderBy("vec_id").limit(beam)
+        score(entries.crossJoin(broadcast(q.select(col("q_id"))))
+          .filter(col("vec_id") =!= col("q_id")))
+      } else {
+        val (assigned, cent) = kmeansCellsCached(emb, entryCells)
+        val probe = q.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            Port.r(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+          .filter(col("crk") <= nprobe)
+          .select(col("q_id"), col("cell"), col("qe"), col("qn"))
+        // two-level top-beam over the probed members (a hot cell must
+        // not sort in one task — the ivfTopK argument verbatim)
+        emb.join(assigned, "vec_id")
+          .join(broadcast(probe), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine",
+            Port.r(dot(col("e"), col("qe")) / (col("qn") * col("nrm")), 6))
+          .withColumn("_split", spark_partition_id())
+          .withColumn("_lrk", row_number().over(
+            Window.partitionBy("q_id", "_split")
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("_lrk") <= beam)
+          .withColumn("erk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("erk") <= beam)
+          .select("q_id", "vec_id", "cosine")
+      }
+    // Per-hop LAZY localCheckpoint, not cache (the ConnectedComponents
+    // truncation pattern): cache bounds RUNTIME lineage but the LOGICAL
+    // plan still nests every prior hop's unions/joins, and Catalyst
+    // re-analyzes that growing tree on every operation — the r12
+    // 20k-vector profile measured hop costs 2.0 s -> 3.0 s -> 22.8 s
+    // and 21 s for a final window over 28k already-cached rows, all
+    // planner time. localCheckpoint truncates each hop's plan to a
+    // materialized leaf, so plan depth (and hop cost) stays flat.
+    var visited = seedScores.localCheckpoint(eager = false)
     // (q_id, vec_id) nodes whose neighbors were already fetched: a beam
     // that has converged keeps the same top nodes hop after hop, and
     // without this set every hop re-joined the FULL frontier against the
     // edge list just for the left_anti to discard the results (r11
     // advisor). Expanding only the not-yet-expanded delta makes a
-    // converged hop near-free. Tiny frame (≤ beam·queries·hops rows),
-    // cached per hop with deterministic unpersist like `visited`.
+    // converged hop near-free. Tiny frame (≤ beam·queries·hops rows).
     var expanded: DataFrame = null
     // An exception mid-search (executor loss, cancellation) must not
-    // leak the session-lifetime caches (r11 advisor): everything cached
-    // here is released in the finally, success or not.
+    // leak the session-lifetime state (r11 advisor): every checkpoint
+    // block is released in the finally, success or not.
     try {
       visited.count()
       for (_ <- 1 to hops) {
@@ -610,26 +689,32 @@ object Ann {
           .filter(col("vec_id") =!= col("q_id"))
           .distinct()
           .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-        val next = visited.unionByName(score(expand)).cache()
+        val next = visited.unionByName(score(expand)).localCheckpoint(eager = false)
         next.count()
         val nextExpanded =
           (if (expanded == null) frontier
-           else expanded.unionByName(frontier)).cache()
+           else expanded.unionByName(frontier)).localCheckpoint(eager = false)
         nextExpanded.count()
         // predecessors only after both successors are materialized —
-        // frontier's lineage reads the OLD visited/expanded caches
+        // frontier's lineage reads the OLD visited/expanded blocks
         visited.unpersist(blocking = false)
         if (expanded != null) expanded.unpersist(blocking = false)
         visited = next
         expanded = nextExpanded
       }
-      val result = topPerQuery(visited, k).orderBy("q_id", "rank").cache()
-      result.count()
-      result
+      // The result is nQueries·k rows — driver-sized by the operator's
+      // broadcast-queries contract. Materializing it as a LocalRelation
+      // decouples its lifecycle from the loop's checkpoint blocks (a
+      // checkpointed leaf cannot recompute once its blocks are freed
+      // below, so handing out a plan over `visited` would break on
+      // cache eviction — the CC release() caveat, solved here by value).
+      val resultPlan = topPerQuery(visited, k).orderBy("q_id", "rank")
+      val localRows = resultPlan.collect()
+      emb.sparkSession.createDataFrame(
+        java.util.Arrays.asList(localRows: _*), resultPlan.schema)
     } finally {
       visited.unpersist(blocking = false)
       if (expanded != null) expanded.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
     }
   }
 }

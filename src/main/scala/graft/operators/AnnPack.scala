@@ -91,10 +91,19 @@ object AnnPack extends QueryPack {
     // the same adjudication as the sequential/stateful rows; AnnSpec
     // pins recall vs bruteTopK ground truth. Memoized: the graph build
     // and search rounds run once per session.
-    "q_ann_beam_topk" -> ((s, d) =>
+    "q_ann_beam_topk" -> ((s, d) => {
+      // IVF-seeded (r12): hop 0 probes the shared sqrt(n) k-means memo
+      // and seeds the beam with the probed cells' exact top-beam — the
+      // flat lowest-id entries could not navigate a 20k-node graph in 3
+      // hops (recall@10 0.01-0.39 in the r12 BeamScale sweep; 0.997
+      // seeded at beam=16/hops=3, provably >= IVF(nprobe) recall since
+      // the seed beam contains the IVF answer).
+      val emb = embCached(s, d)
       beamCache.getOrElseUpdate((s, d),
-        Ann.graphBeamTopK(embCached(s, d), candScoresCached(s, d),
-          nQueries = 10, k = 10))),
+        Ann.graphBeamTopK(emb, candScoresCached(s, d),
+          nQueries = 10, k = 10,
+          entryCells = Ann.defaultCells(Ann.corpusSize(emb))))
+    }),
     "q_ann_pq_topk" -> ((s, d) =>
       // product quantization ADC search: 8 subspaces x 8 dims, 8-entry
       // codebooks per subspace (2-round per-subspace k-means, same

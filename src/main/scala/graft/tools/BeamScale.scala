@@ -41,17 +41,28 @@ object BeamScale {
     val brute = Ann.bruteTopK(emb, nQueries, k).select("q_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-    for ((beam, hops) <- Seq((8, 2), (16, 3), (32, 4))) {
+    // one edge build shared by the whole sweep (degree fixed)
+    val tE = System.nanoTime()
+    val edges = Ann.knnGraphEdges(poolC, degree = 8)
+    println(f"""{"edge_rows":${edges.count()},"edge_build_sec":${(System.nanoTime() - tE) / 1e9}%.2f}""")
+    poolC.unpersist(blocking = false)
+
+    val cells = Ann.defaultCells(n)
+    for {
+      seeded <- Seq(false, true)
+      (beam, hops) <- Seq((8, 2), (16, 3), (32, 4))
+    } {
       val t1 = System.nanoTime()
-      val res = Ann.graphBeamTopK(emb, poolC, nQueries = nQueries, k = k,
-        degree = 8, beam = beam, hops = hops)
+      val res = Ann.graphBeamTopKFromEdges(emb, edges, nQueries = nQueries,
+        k = k, beam = beam, hops = hops,
+        entryCells = if (seeded) cells else 0)
       val got = res.select("q_id", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t1) / 1e9
       val recall = brute.count(got.contains).toDouble / brute.length
-      println(f"""{"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
+      println(f"""{"seeded":$seeded,"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
     }
-    poolC.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     spark.stop()
   }
 }

@@ -116,6 +116,43 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"beam recall@10 = $recall")
   }
 
+  test("scaled beam search: IVF-seeded recall >= 0.95 @ 20k vectors") {
+    // VERDICT r11 task 4: the toy (400-node) recall spec said nothing
+    // about navigability at scale — lowest-id entries measured 0.10
+    // recall@10 on a 20k-node graph (BeamScale r12 sweep) because a
+    // flat kNN graph has only short links. The IVF-probe seeding must
+    // hold recall at the scaled size: 20k clustered vectors, a
+    // within-cluster candidate pool (the graph-quality control — the
+    // LSH-pool composition is pinned on the real corpus by the spec
+    // below), sqrt(n) entry cells, beam=16/hops=3. Measured 1.00;
+    // pinned at 0.95.
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val clusters = 64; val n = 20000
+    val centers = Array.fill(clusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      (i.toLong, i % clusters,
+        centers(i % clusters).map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }
+    val emb = Ann.withNorm(rows.toDF("vec_id", "cl", "e")).cache()
+    emb.count()
+    val a = emb.select(col("vec_id").as("v1"), col("cl"), col("e").as("e1"), col("nrm").as("n1"))
+    val b = emb.select(col("vec_id").as("v2"), col("cl"), col("e").as("e2"), col("nrm").as("n2"))
+    val pool = a.join(b, Seq("cl")).filter(col("v1") < col("v2"))
+      .withColumn("cosine",
+        graft.functions.Port.r(Ann.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .select("v1", "v2", "cosine")
+    val res = Ann.graphBeamTopK(emb.select("vec_id", "e", "nrm"), pool,
+      nQueries = 50, k = 10, beam = 16, hops = 3,
+      entryCells = Ann.defaultCells(n))
+    val got = res.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.bruteTopK(emb.select("vec_id", "e", "nrm"), 50, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = brute.count(got.contains).toDouble / brute.length
+    assert(recall >= 0.95, s"scaled seeded beam recall@10 = $recall")
+    emb.unpersist(blocking = false)
+  }
+
   test("q_ann_beam_topk over the LSH-pool graph retrieves real neighbors") {
     val rows = graft.operators.AnnPack.queries("q_ann_beam_topk")(spark, TestSpark.Sf)
       .collect()
