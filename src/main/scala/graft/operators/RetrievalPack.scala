@@ -127,8 +127,18 @@ object RetrievalPack extends QueryPack {
   private def graphRankCached(s: SparkSession, d: String): DataFrame =
     rankCache.getOrElseUpdate((s, d), {
       val e = AnnPack.candScoresCached(s, d)
+      // two-level rank (r12, the knnGraphEdges/bruteTopK argument): a
+      // hot vector's partner list is bounded by bands x bucket cap
+      // (~48k worst case), and a single global window would sort it in
+      // one task; local winners per input split first keep every
+      // per-src sort bounded while the global rank sees <= 3·splits
+      // rows per src. Same top-3 set either way.
       val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
         .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
+        .withColumn("_split", spark_partition_id())
+        .withColumn("_lrk", row_number().over(
+          Window.partitionBy("vec_id", "_split").orderBy(col("cosine").desc, col("nbr"))))
+        .filter(col("_lrk") <= 3)
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
         .filter(col("rk") <= 3)
@@ -233,10 +243,10 @@ object RetrievalPack extends QueryPack {
       val e = AnnPack.candScoresCached(s, d)
       val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
         .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
-      dirs
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))).cast("long"))
-        .filter(col("rank") <= 3)
+      // two-level rank (r12): a hot vector's partner list is bounded by
+      // bands x bucket cap (~48k worst case) — local winners per input
+      // split keep any single task's sort bounded; same top-3 set.
+      twoLevelRank(dirs, Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
@@ -283,11 +293,11 @@ object RetrievalPack extends QueryPack {
       // aggregate. Purity is one division of exact integer counts.
       val lab = AnnPack.embCached(s, d).select(col("vec_id"), col("label"))
       val e = AnnPack.candScoresCached(s, d)
-      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
-        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
-        .filter(col("rank") <= 3)
+      // two-level rank (r12): same bounded-task argument as q_knn_graph
+      val dirs = twoLevelRank(
+        e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
+          .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine"))),
+        Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
       dirs.join(lab, "vec_id")
         .join(lab.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .withColumn("same", (col("nbr_label") === col("label")).cast("long"))

@@ -45,11 +45,13 @@ class WindowLayeringSpec extends AnyFunSuite {
     // retrieval family (r10 fourth continuation): BM25 ranks via the
     // two-level top-k (local + global row_number); the hybrid adds the
     // lexical pair, the vector pair (bruteTopK) and the fused rank; the
-    // kNN graph and purity are one bounded per-node rank each
+    // kNN graph and purity moved to the same two-level rank in r12 (a
+    // hot vector's pool partner list — bands x bucket cap, ~48k worst
+    // case — must not sort in one task), so 2 windows each BY DESIGN
     "q_bm25_topk" -> 2,
     "q_rrf_hybrid" -> 5,
-    "q_knn_graph" -> 1,
-    "q_knn_purity" -> 1,
+    "q_knn_graph" -> 2,
+    "q_knn_purity" -> 2,
     // decile cumsum + whole-histogram total over the grid-bounded frame
     "q_quality_deciles" -> 2,
     // r10 late additions (r11 verdict task 5):
