@@ -285,6 +285,12 @@ object AnnPack extends QueryPack {
       nearDupThreshCache.getOrElseUpdate((s, d),
         buildCandScores(s, d, threshold = 0.35))
 
+  /** (full pool resident, thresholded tier resident) — the two-tier
+    * contract probe for DedupEvictionSpec; not part of the API.
+    */
+  private[graft] def nearDupTierState(s: SparkSession, d: String): (Boolean, Boolean) =
+    (nearDupCache.contains((s, d)), nearDupThreshCache.contains((s, d)))
+
   /** The shared 2-round k-means mirror prefix (CTEs c..cn2),
     * parameterized on the cell-count expression — `"8"` for the pinned
     * q_ann_ivf_topk row, a scalar subquery over count(*) for the sqrt(n)

@@ -62,4 +62,28 @@ class DedupEvictionSpec extends AnyFunSuite {
     val rebuilt = SparkEntry.queries("q_dedup_clusters")(spark, TestSpark.Sf).collect()
     assert(rebuilt.length == rows.length)
   }
+
+  test("two-tier LSH cache: dedup-only builds the thresholded tier; a kNN consumer promotes and evicts it (r12)") {
+    import graft.operators.AnnPack
+    Memo.invalidateAll() // cold memos: this test owns the session state
+    def sortedRows(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.Sf).collect()
+        .map(_.toString).sorted.toSeq
+    // a dedup-only session must pin ONLY the 0.35-thresholded frame
+    val dedupRows = sortedRows("q_dedup_embedding")
+    val (full1, tier1) = AnnPack.nearDupTierState(spark, TestSpark.Sf)
+    assert(!full1, "dedup-only session materialized the full unthresholded pool")
+    assert(tier1, "dedup-only session did not memoize the thresholded tier")
+    // the first kNN-graph consumer builds the full pool and evicts the
+    // now-redundant tier (dedup becomes a filter of the pool)
+    SparkEntry.queries("q_knn_graph")(spark, TestSpark.Sf).collect()
+    val (full2, tier2) = AnnPack.nearDupTierState(spark, TestSpark.Sf)
+    assert(full2, "kNN consumer did not materialize the full pool")
+    assert(!tier2, "promotion left the redundant thresholded tier pinned")
+    // hashes unchanged: the thresholded pass and the pool filter are
+    // value-identical (threshold is a pure cosine >= t filter on the
+    // same snapped cosine)
+    assert(sortedRows("q_dedup_embedding") == dedupRows,
+      "dedup results changed across the tier promotion")
+  }
 }
