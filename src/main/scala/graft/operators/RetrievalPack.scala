@@ -124,24 +124,32 @@ object RetrievalPack extends QueryPack {
   private val rankCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
-  private def graphRankCached(s: SparkSession, d: String): DataFrame =
-    rankCache.getOrElseUpdate((s, d), {
+  /** Session-memoized symmetrized top-3 kNN edge frame
+    * (vec_id, nbr, cosine, rank) over the shared LSH pool — ONE
+    * two-level rank serves q_knn_graph, q_knn_purity AND the PageRank
+    * edge build (r12: the 30x rehearsal measured each consumer paying
+    * the full 12-15 s rank per WARM call because only the pool, not
+    * the ranked graph, was memoized). Two-level because a hot vector's
+    * partner list is bounded by bands x bucket cap (~48k worst case)
+    * and must not sort in one task; same top-3 set as a global rank.
+    */
+  private val knnEdgeCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def knnEdgesCached(s: SparkSession, d: String): DataFrame =
+    knnEdgeCache.getOrElseUpdate((s, d), {
       val e = AnnPack.candScoresCached(s, d)
-      // two-level rank (r12, the knnGraphEdges/bruteTopK argument): a
-      // hot vector's partner list is bounded by bands x bucket cap
-      // (~48k worst case), and a single global window would sort it in
-      // one task; local winners per input split first keep every
-      // per-src sort bounded while the global rank sees <= 3·splits
-      // rows per src. Same top-3 set either way.
       val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
         .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
-        .withColumn("_split", spark_partition_id())
-        .withColumn("_lrk", row_number().over(
-          Window.partitionBy("vec_id", "_split").orderBy(col("cosine").desc, col("nbr"))))
-        .filter(col("_lrk") <= 3)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))))
-        .filter(col("rk") <= 3)
+      val r = twoLevelRank(dirs, Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
+        .cache()
+      r.count()
+      r
+    })
+
+  private def graphRankCached(s: SparkSession, d: String): DataFrame =
+    rankCache.getOrElseUpdate((s, d), {
+      val dirs = knnEdgesCached(s, d)
         .select(col("vec_id").as("src"), col("nbr").as("dst"))
       val emb = AnnPack.embCached(s, d)
       val n = emb.count()
@@ -240,13 +248,8 @@ object RetrievalPack extends QueryPack {
       // cached scored candidate pool as q_dedup_embedding (one
       // hyperplane pass serves both); symmetrize the v1<v2 edges, then
       // rank per node over its bounded candidate list.
-      val e = AnnPack.candScoresCached(s, d)
-      val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
-        .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
-      // two-level rank (r12): a hot vector's partner list is bounded by
-      // bands x bucket cap (~48k worst case) — local winners per input
-      // split keep any single task's sort bounded; same top-3 set.
-      twoLevelRank(dirs, Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
+      // the session-memoized ranked graph (shared with purity/PageRank)
+      knnEdgesCached(s, d)
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
@@ -292,12 +295,8 @@ object RetrievalPack extends QueryPack {
       // bounded per-node rank + two label joins + a label-cardinality
       // aggregate. Purity is one division of exact integer counts.
       val lab = AnnPack.embCached(s, d).select(col("vec_id"), col("label"))
-      val e = AnnPack.candScoresCached(s, d)
-      // two-level rank (r12): same bounded-task argument as q_knn_graph
-      val dirs = twoLevelRank(
-        e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
-          .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine"))),
-        Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
+      // the session-memoized ranked graph (shared with q_knn_graph)
+      val dirs = knnEdgesCached(s, d)
       dirs.join(lab, "vec_id")
         .join(lab.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .withColumn("same", (col("nbr_label") === col("label")).cast("long"))
