@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.DerivativesPack,
     graft.operators.EventsPack,
     graft.operators.TpchPack,
+    graft.operators.MicroPack,
     graft.operators.TextPack,
     graft.operators.AnnPack,
     graft.operators.DedupPack,

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Port
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Market-microstructure operators over the raw tick feed: information-
+  * driven bars (dollar / volume thresholds, López de Prado, "Advances in
+  * Financial Machine Learning" ch. 2), tick-rule signed order flow, and
+  * Roll's implied effective spread (Roll 1984). Extends the reference's
+  * time-bar resampling family (data_processing/tick_to_ohlcv.py:69,
+  * resampler.py:283) with the event-driven bar clocks used on tick-scale
+  * research data.
+  *
+  * Scale posture (SURVEY §6): every per-symbol sequential quantity is
+  * computed two-level — intra-(symbol, day-chunk) windows plus a
+  * dimension-scale chunk-linking window — so no symbol's full history
+  * ever sorts in a single task. All running measures are EXACT integers
+  * (price cents, integer volume units), so the chunked decomposition is
+  * bit-identical to the flat single-window form the DuckDB oracle runs:
+  * integer addition is associative, and sign/threshold comparisons on
+  * exact integers cannot flip on re-association (the q_pack_contexts
+  * proof pattern).
+  */
+object Micro {
+
+  /** Dollar-bar threshold: a bar closes when cumulative traded value
+    * crosses a multiple of $100k (10M cents) — ~40-50 ticks/bar on the
+    * synthetic feed, mirroring the "avg ticks per bar" sizing rule.
+    */
+  val DollarBarCents = 10000000L
+
+  /** Volume-bar threshold: one bar per 2000 traded units. */
+  val VolumeBarUnits = 2000L
+
+  /** Day chunk for the two-level windows (ts is epoch-ns). */
+  val ChunkNs = 86400000000000L
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Tick frame with exact integer measures: cent-quantized price
+    * (floor(p·100 + 0.5) — pure IEEE, engine-portable), integer volume
+    * units, and per-tick traded value in cents. All bar/flow/spread
+    * arithmetic happens on these integers; the raw double price is kept
+    * only for OHLC output values.
+    */
+  def intTicks(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d).select(
+      col("symbol"), col("ts"), col("event_id"), col("price"),
+      col("volume").cast("long").as("vol"),
+      floor(col("price") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dollar_c", col("cents") * col("vol"))
+
+  /** Exclusive per-symbol running sum of `measure` (exact longs), two-
+    * level: intra-chunk running sums + broadcast chunk offsets cumulated
+    * through a #chunks-scale window. Equals the flat per-symbol window
+    * exactly (integer associativity).
+    */
+  def exclCum(t: DataFrame, measure: String, chunkNs: Long = ChunkNs): DataFrame = {
+    val wIn = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wc = Window.partitionBy("symbol").orderBy("_ck")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = t.withColumn("_ck", expr(s"ts div $chunkNs"))
+    val offs = base.groupBy("symbol", "_ck").agg(sum(col(measure)).as("_t"))
+      .select(col("symbol"), col("_ck"),
+        coalesce(sum(col("_t")).over(wc), lit(0L)).as("_off"))
+    base.join(broadcast(offs), Seq("symbol", "_ck"))
+      .withColumn("cum_prev",
+        coalesce(sum(col(measure)).over(wIn), lit(0L)) + col("_off"))
+      .drop("_ck", "_off")
+  }
+
+  /** Information-driven bars: tick i belongs to bar
+    * floor(exclusive_cumsum(measure) / threshold) — the bar that was
+    * "open" when the tick arrived; a bar closes once its measure mass
+    * reaches the threshold. OHLC by first/last tick time, exact integer
+    * volume/value sums.
+    */
+  def thresholdBars(t: DataFrame, measure: String, threshold: Long,
+                    chunkNs: Long = ChunkNs): DataFrame =
+    exclCum(t, measure, chunkNs)
+      .withColumn("bar_id", expr(s"cum_prev div ${threshold}L"))
+      .groupBy("symbol", "bar_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        expr("min_by(price, ts)").as("open"),
+        max("price").as("high"),
+        min("price").as("low"),
+        expr("max_by(price, ts)").as("close"),
+        sum("vol").as("volume"),
+        sum("dollar_c").as("dollar_cents"),
+        min("ts").as("ts_start"),
+        max("ts").as("ts_end"))
+      .orderBy("symbol", "bar_id")
+
+  /** Ticks with `dpc` = cent-price diff vs the previous tick of the same
+    * symbol (global stream order, null on the symbol's first tick) and
+    * the chunk-linking columns (`_ck`, `_nextfirstdpc` = the NEXT
+    * chunk's first diff, for cross-boundary leads). Two-level: the
+    * previous/next chunk's boundary cents come from a dimension-scale
+    * chunk summary broadcast back, so the row windows stay chunk-local.
+    */
+  def diffedTicks(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
+    val wRow = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
+    val wCk = Window.partitionBy("symbol").orderBy("_ck")
+    val base = intTicks(s, d).withColumn("_ck", expr(s"ts div $chunkNs"))
+    // (symbol, ts) is unique in the feed (enforced upstream by the
+    // normalizer's dedup); arg by ts alone, window order keeps the
+    // event_id tiebreak for defense.
+    val links = base.groupBy("symbol", "_ck")
+      .agg(expr("max_by(cents, ts)").as("_lastc"),
+        expr("min_by(cents, ts)").as("_firstc"))
+      .select(col("symbol"), col("_ck"),
+        lag("_lastc", 1).over(wCk).as("_prevc"),
+        (lead("_firstc", 1).over(wCk) - col("_lastc")).as("_nextfirstdpc"))
+    base.join(broadcast(links), Seq("symbol", "_ck"))
+      .withColumn("dpc",
+        col("cents") - coalesce(lag("cents", 1).over(wRow), col("_prevc")))
+  }
+
+  /** Tick-rule signed order flow (the classic trade-classification rule):
+    * sign = +1 on an uptick, −1 on a downtick, carried forward through
+    * flat ticks; a symbol's leading undefined stretch defaults to +1.
+    * Aggregated per (symbol, hour): buy/sell volume and the normalized
+    * order-flow imbalance (one IEEE division of exact integer sums).
+    * Carry-forward is two-level: intra-chunk last-non-null + a
+    * dimension-scale chain of per-chunk closing signs.
+    */
+  def tickRuleFlow(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
+    val wRow = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
+    val wCk = Window.partitionBy("symbol").orderBy("_ck")
+    val i1 = diffedTicks(s, d, chunkNs)
+      .withColumn("raw_sign", when(col("dpc") > 0, 1).when(col("dpc") < 0, -1))
+    val chain = i1.groupBy("symbol", "_ck")
+      .agg(expr("max_by(raw_sign, ts) FILTER (WHERE raw_sign IS NOT NULL)").as("_end"))
+      .select(col("symbol"), col("_ck"),
+        last(col("_end"), ignoreNulls = true)
+          .over(wCk.rowsBetween(Window.unboundedPreceding, -1)).as("_chain"))
+    i1
+      .withColumn("_intra", last(col("raw_sign"), ignoreNulls = true)
+        .over(wRow.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(chain), Seq("symbol", "_ck"))
+      .withColumn("sign", coalesce(col("_intra"), col("_chain"), lit(1)))
+      .groupBy(col("symbol"),
+        expr("ts div 3600000000000 * 3600000").as("bucket_ms"))
+      .agg(sum(when(col("sign") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1, col("vol")).otherwise(0L)).as("sell_vol"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("imbalance",
+        (col("buy_vol") - col("sell_vol")).cast("double") /
+          (col("buy_vol") + col("sell_vol")).cast("double"))
+      .orderBy("symbol", "bucket_ms")
+  }
+
+  /** Roll's implied effective spread per symbol (Roll 1984): the serial
+    * covariance of consecutive cent-price changes is −S²/4 under
+    * bid-ask bounce, so S = 2·√(−cov) when cov < 0 (0 otherwise). The
+    * co-moments are EXACT integer sums (decimal(38,0) at any corpus
+    * size / HUGEINT in the mirror); cov is one IEEE division of exact
+    * integers, snapped, and the spread derives from the SNAPPED cov on
+    * both engines — no float summation order anywhere.
+    */
+  def rollSpread(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
+    val wRow = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
+    diffedTicks(s, d, chunkNs)
+      .withColumn("dpn", coalesce(lead("dpc", 1).over(wRow), col("_nextfirstdpc")))
+      .filter(col("dpc").isNotNull && col("dpn").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dpc").cast(dec38)).as("sx"),
+        sum(col("dpn").cast(dec38)).as("sy"),
+        sum((col("dpc") * col("dpn")).cast(dec38)).as("sxy"))
+      .withColumn("num",
+        col("n_pairs").cast(dec38) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_pairs").cast(dec38) * col("n_pairs").cast(dec38))
+      .withColumn("cov_cents2",
+        Port.r(col("num").cast("double") / col("den").cast("double"), 6))
+      .withColumn("roll_spread_cents",
+        Port.r(lit(2) * sqrt(greatest(-col("cov_cents2"), lit(0.0))), 6))
+      .select("symbol", "n_pairs", "cov_cents2", "roll_spread_cents")
+      .orderBy("symbol")
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.Micro
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Microstructure operators: information-driven bars, tick-rule flow,
+  * Roll spread. Pins (1) the threshold-bar boundary semantics on a
+  * hand-computed series, (2) the tick-rule carry-forward contract, (3)
+  * Roll's estimator on a planted bid-ask bounce, and (4) exact parity of
+  * the two-level chunked forms with flat single-window forms under an
+  * artificially small chunk (hour) that forces many boundary links —
+  * the decomposition proof the DuckDB mirror relies on.
+  */
+class MicroSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val HourNs = 3600000000000L
+
+  /** (symbol, ts-seconds, price) → the intTicks column contract
+    * (vol fixed at 10 units so dollar thresholds are easy to plant).
+    */
+  private def ticks(rows: Seq[(String, Long, Double)]): DataFrame =
+    rows.zipWithIndex.map { case ((sym, sec, p), i) =>
+      (sym, sec * 1000000000L, i.toLong, p, 10L,
+        math.floor(p * 100 + 0.5).toLong)
+    }.toDF("symbol", "ts", "event_id", "price", "vol", "cents")
+      .withColumn("dollar_c", col("cents") * col("vol"))
+
+  test("threshold bars: a tick belongs to the bar open when it arrives") {
+    // dollar_c = 10 * cents; prices 5.00 → dollar_c 5000/tick.
+    // threshold 12000: cum_prev 0, 5000, 10000, 15000, 20000
+    //   → bar_id      0,    0,     0,     1,     1
+    val t = ticks(Seq(("A", 1, 5.0), ("A", 2, 5.0), ("A", 3, 5.0),
+      ("A", 4, 5.0), ("A", 5, 5.0)))
+    val bars = Micro.thresholdBars(t, "dollar_c", 12000L).collect()
+    assert(bars.map(r => (r.getAs[Long]("bar_id"), r.getAs[Long]("n_ticks"))).toSeq
+      == Seq((0L, 3L), (1L, 2L)))
+    val b0 = bars.head
+    assert(b0.getAs[Long]("volume") == 30L)
+    assert(b0.getAs[Long]("dollar_cents") == 15000L)
+    assert(b0.getAs[Double]("open") == 5.0 && b0.getAs[Double]("close") == 5.0)
+    assert(b0.getAs[Long]("ts_start") == 1000000000L)
+    assert(b0.getAs[Long]("ts_end") == 3000000000L)
+  }
+
+  test("tick rule: upticks/downticks classify, flats carry, leading run defaults +1") {
+    // prices: 10, 10, 11, 11, 10, 10 → signs: +1(lead), +1(lead/flat),
+    //   +1(up), +1(carry), -1(down), -1(carry); vol 10 each, one hour
+    val rows = Seq(("A", 1L, 10.0), ("A", 2L, 10.0), ("A", 3L, 11.0),
+      ("A", 4L, 11.0), ("A", 5L, 10.0), ("A", 6L, 10.0))
+    // drive through the public path by writing a temp parquet events table
+    val dir = java.nio.file.Files.createTempDirectory("microspec").toString
+    rows.zipWithIndex.map { case ((sym, sec, p), i) =>
+      (i.toLong, sec * 1000000000L, 9L, sym, p, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.tickRuleFlow(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // vol = 1 + 9 % 100 = 10 per tick; 4 buy ticks, 2 sell ticks
+    assert(r.getAs[Long]("buy_vol") == 40L)
+    assert(r.getAs[Long]("sell_vol") == 20L)
+    assert(r.getAs[Long]("n_ticks") == 6L)
+    assert(math.abs(r.getAs[Double]("imbalance") - (20.0 / 60.0)) < 1e-12)
+  }
+
+  test("roll spread: planted bid-ask bounce is recovered exactly") {
+    // mid 50.00, spread 2 cents: trades alternate 50.01 / 49.99.
+    // Δp alternates ±2 cents; with mean≈0 the serial covariance is
+    // −(4)·(n·s_xy-term) — hand-check on 8 ticks: dpc,dpn pairs all
+    // (±2, ∓2) → sxy = −4·n, sx, sy ∈ {0, ±2} small; estimator
+    // 2·√(−cov) ≈ 4 cents = 2·spread under deterministic alternation
+    // (the i.i.d. assumption halves it; the pinned value is the exact
+    // arithmetic, not the econometric interpretation).
+    val rows = (0 until 8).map(i =>
+      (0L + i, (i + 1) * 1000000000L, 9L, "A",
+        if (i % 2 == 0) 50.01 else 49.99, ""))
+    val dir = java.nio.file.Files.createTempDirectory("microspec2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Micro.rollSpread(spark, dir).collect().head
+    // n=8 ticks → 6 (dpc,dpn) pairs; dpc = -2,+2,-2,+2,-2,+2 (from tick 2)
+    // pairs: sx = sum first 6 = 0? dpc seq: -2,2,-2,2,-2,2,-2 (7 diffs);
+    // pairs (dpc_i, dpc_{i+1}) for i=1..6: sx = -2+2-2+2-2+2 = 0,
+    // sy = 2-2+2-2+2-2 = 0, sxy = 6·(-4) = -24, n=6
+    // cov = (6·(-24) - 0)/36 = -4 → spread = 2·√4 = 4 cents
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("cov_cents2") == -4.0)
+    assert(r.getAs[Double]("roll_spread_cents") == 4.0)
+  }
+
+  test("two-level chunked forms equal flat single-window forms under hour chunks") {
+    val sf = TestSpark.Sf
+    // flat references computed inline with plain per-symbol windows
+    val w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    val t = Micro.intTicks(spark, sf)
+
+    // exclusive cumsum
+    val flatCum = t.withColumn("cum_prev",
+      coalesce(sum("dollar_c").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("symbol", "event_id", "cum_prev").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val chunkCum = Micro.exclCum(t, "dollar_c", HourNs)
+      .select("symbol", "event_id", "cum_prev").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(chunkCum == flatCum)
+
+    // tick-rule signs via the flat window
+    val flatSign = t
+      .withColumn("dpc", col("cents") - lag("cents", 1).over(w))
+      .withColumn("raw_sign", when(col("dpc") > 0, 1).when(col("dpc") < 0, -1))
+      .withColumn("sign", coalesce(
+        last(col("raw_sign"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(1)))
+      .groupBy(col("symbol"), expr("ts div 3600000000000 * 3600000").as("bucket_ms"))
+      .agg(sum(when(col("sign") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1, col("vol")).otherwise(0L)).as("sell_vol"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val chunkSign = Micro.tickRuleFlow(spark, sf, HourNs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("buy_vol"), r.getAs[Long]("sell_vol"))).toMap
+    assert(chunkSign == flatSign)
+
+    // roll diffs: flat (dpc, dpn) multiset per symbol
+    val flatPairs = t
+      .withColumn("dpc", col("cents") - lag("cents", 1).over(w))
+      .withColumn("dpn", lead("dpc", 1).over(w))
+      .filter(col("dpc").isNotNull && col("dpn").isNotNull)
+      .groupBy("symbol").agg(count(lit(1)).as("n"), sum("dpc").as("sx"),
+        sum(col("dpc") * col("dpn")).as("sxy"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val chunkRoll = Micro.rollSpread(spark, sf, HourNs)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_pairs")).toMap
+    assert(chunkRoll == flatPairs.map { case (k, v) => k -> v._1 })
+    // and day-chunk (production default) output equals hour-chunk output
+    assert(Micro.rollSpread(spark, sf, HourNs).collect().toSeq ==
+      Micro.rollSpread(spark, sf).collect().toSeq)
+  }
+}
