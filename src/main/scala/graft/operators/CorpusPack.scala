@@ -22,6 +22,18 @@ object CorpusPack extends QueryPack {
   /** Held-out source treated as the evaluation benchmark. */
   val EvalSource = "src19"
 
+  /** Blocklist for q_blocklist_filter (the C4 "bad words" analog on the
+    * synthetic vocabulary): one rare term, one common term, one absent
+    * term — exercising the hit-mass, near-universal-hit and zero-hit
+    * paths. Deploy-time lists swap in here.
+    */
+  val Blocklist: Seq[String] = Seq("dup", "slow", "spam")
+
+  /** Blocklist as a DuckDB list literal (keeps both engines on the one
+    * definition).
+    */
+  private def BlocklistSql: String = Blocklist.map(t => s"'$t'").mkString(", ")
+
   /** Decontamination shingle width. 5-gram (vs TextPack's 3-gram dedup
     * shingles): contamination checks use long n-grams so that shared
     * topical vocabulary does not flag a doc — only near-verbatim spans do.
@@ -307,6 +319,66 @@ object CorpusPack extends QueryPack {
         .withColumn("waste_ratio",
           Port.r(col("padded_tokens") / (col("padded_tokens") + col("n_tokens")), 6))
         .orderBy("source", "ctx_len")
+    }),
+    "q_chunk_dedup" -> ((s, d) => {
+      // Chunk-store dedup audit (RETRO, arXiv:2112.04426 §2.1 builds
+      // its retrieval database from 64-token chunks): per source, how
+      // much of the non-overlapping 64-token chunk index is redundant —
+      // the cost gate before embedding the chunk store, where every
+      // duplicated chunk is a wasted embedding AND a degenerate
+      // nearest-neighbor at query time. A chunk is duplicated when its
+      // content fingerprint occurs more than once in the corpus;
+      // cross_doc separates corpus redundancy from in-doc repetition
+      // (min≠max doc trick — no distinct expansion). Shape: map-side
+      // chunk explode, one fingerprint hash agg, one fingerprint-keyed
+      // join — hash-aggregate scale, never doc×doc.
+      val toks = split(col("text"), " ")
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("toks"),
+          size(toks).cast("long").as("n"))
+        .withColumn("cid",
+          explode(sequence(lit(0L), greatest(lit(1L), expr("(n + 63) div 64")) - 1)))
+        .select(col("doc_id"), col("source"),
+          (least(col("cid") * 64 + 64, col("n")) - col("cid") * 64).as("n_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("cid") * 64 + 1,
+            least(col("cid") * 64 + 64, col("n")) - col("cid") * 64))).as("chunk_md5"))
+      val grp = ch.groupBy("chunk_md5").agg(
+        count(lit(1)).as("occ"),
+        (min("doc_id") =!= max("doc_id")).as("cross_doc"))
+      ch.join(grp, "chunk_md5")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("chunk_tokens"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(when(col("occ") > 1 && col("cross_doc"), 1L).otherwise(0L))
+            .as("cross_doc_dup_chunks"),
+          sum(when(col("occ") > 1, col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+        .withColumn("dup_ratio",
+          col("dup_tokens").cast("double") / col("chunk_tokens").cast("double"))
+        .orderBy("source")
+    }),
+    "q_blocklist_filter" -> ((s, d) => {
+      // C4-style blocklist gate (arXiv:1910.10683 §2.2's "bad words"
+      // filter): per doc, blocklist-token mass plus the two standard
+      // decisions — C4's drop-on-any-hit and the softer ≤2%-mass gate
+      // (a long doc quoting one bad term shouldn't die under the strict
+      // rule alone; emitting both lets the pipeline choose). One
+      // codegen'd higher-order-function pass over the token array — no
+      // explode, no shuffle before the presentation sort; at 100 TB
+      // this runs at scan speed like q_sample_stratified.
+      val toks = split(col("text"), " ")
+      val bl = array(Blocklist.map(lit): _*)
+      val blocked = filter(toks, t => array_contains(bl, t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          size(blocked).cast("long").as("n_blocked"),
+          size(array_distinct(blocked)).cast("long").as("n_blocked_terms"))
+        .withColumn("blocked_ratio",
+          col("n_blocked").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("keep_strict", (col("n_blocked") === 0).cast("int"))
+        .withColumn("keep_soft", (col("blocked_ratio") <= 0.02).cast("int"))
+        .orderBy("doc_id")
     }),
     "q_chunk_docs" -> ((s, d) => {
       // Retrieval-style chunking (the indexing step feeding embedding +
@@ -594,6 +666,53 @@ object CorpusPack extends QueryPack {
         |             / (sum(((n + ctx_len - 1) // ctx_len) * ctx_len - n) + sum(n))
         |             * 1e6 + 0.5) / 1e6 AS waste_ratio
         |FROM e GROUP BY 1, 2 ORDER BY source, ctx_len""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |mx AS (SELECT CAST((max(n) + 63) // 64 AS BIGINT) AS m FROM t),
+        |ids AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS i),
+        |ch AS (
+        |  SELECT t.doc_id, t.source,
+        |         least(CAST(ids.i AS BIGINT) * 64 + 64, t.n) - CAST(ids.i AS BIGINT) * 64 AS n_tokens,
+        |         md5(array_to_string(list_slice(t.toks, CAST(ids.i AS BIGINT) * 64 + 1,
+        |             least(CAST(ids.i AS BIGINT) * 64 + 64, t.n)), ' ')) AS chunk_md5
+        |  FROM t CROSS JOIN ids
+        |  WHERE ids.i < greatest(1, (t.n + 63) // 64)
+        |),
+        |grp AS (
+        |  SELECT chunk_md5, count(*) AS occ, min(doc_id) <> max(doc_id) AS cross_doc
+        |  FROM ch GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT source, count(*) AS n_chunks,
+        |         CAST(sum(c.n_tokens) AS BIGINT) AS chunk_tokens,
+        |         CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |         CAST(sum(CASE WHEN occ > 1 AND cross_doc THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_dup_chunks,
+        |         CAST(sum(CASE WHEN occ > 1 THEN c.n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+        |  FROM ch c JOIN grp USING (chunk_md5) GROUP BY 1
+        |)
+        |SELECT source, n_chunks, chunk_tokens, dup_chunks, cross_doc_dup_chunks, dup_tokens,
+        |       CAST(dup_tokens AS DOUBLE) / CAST(chunk_tokens AS DOUBLE) AS dup_ratio
+        |FROM a ORDER BY source""".stripMargin,
+    "q_blocklist_filter" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              t -> list_contains([$BlocklistSql], t))) AS BIGINT) AS n_blocked,
+         |         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |              t -> list_contains([$BlocklistSql], t)))) AS BIGINT) AS n_blocked_terms
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens, n_blocked, n_blocked_terms,
+         |       CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS blocked_ratio,
+         |       CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS keep_strict,
+         |       CASE WHEN CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.02
+         |            THEN 1 ELSE 0 END AS keep_soft
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -380,6 +380,73 @@ object TextPack extends QueryPack {
           graft.functions.Port.r(max(col("nll")), 6).as("max_neg_logprob"))
         .orderBy("doc_id")
     }),
+    "q_bigram_logprob" -> ((s, d) => {
+      // Bigram-LM corpus-fit score (the CCNet-style perplexity gate,
+      // arXiv:1911.00359, with the corpus itself as the LM): per doc,
+      // the average conditional −ln p(next|tok) over its bigram
+      // positions, counts from the corpus bigram table — the TRANSITION
+      // complement of q_unigram_logprob's rare-token signal (templated
+      // docs score low, token-salad docs score high even when every
+      // token is common). Rides the memoized positional n-gram stream
+      // (every cached row IS a bigram); the count joins are broadcast
+      // at this vocab and shuffle joins at web vocab (the
+      // q_unigram_logprob adjudication).
+      val bg = posShinglesCached(s, d).select(col("doc_id"), col("tok"), col("t1"))
+      val bc = bg.groupBy("tok", "t1").agg(count(lit(1)).as("c12"))
+      val lc = bg.groupBy("tok").agg(count(lit(1)).as("c1"))
+      bg.join(broadcast(bc), Seq("tok", "t1")).join(broadcast(lc), Seq("tok"))
+        .withColumn("nll", -log(col("c12").cast("double") / col("c1")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.functions.Port.r(avg(col("nll")), 6).as("avg_neg_logprob2"),
+          graft.functions.Port.r(max(col("nll")), 6).as("max_neg_logprob2"))
+        .orderBy("doc_id")
+    }),
+    "q_zipf_slope" -> ((s, d) => {
+      // Corpus-health diagnostic: OLS fit of ln(freq) on ln(rank) over
+      // each source's top-1000 vocabulary — Zipf's law predicts a slope
+      // near −1 on natural text; a flat slope flags templated/synthetic
+      // text, a cliff flags boilerplate domination. Vocab is one hash
+      // agg; the rank window is over the per-source VOCAB aggregate
+      // (dimension scale at any corpus size — the q_vocab_topk
+      // adjudication) and capped at 1000 terms. Each ln term snaps to
+      // integer micro-units BEFORE the moment sums (decimal(38,0) /
+      // HUGEINT — no float summation order anywhere); slope/intercept
+      // are single IEEE divisions of exact integers; r² squares the
+      // exact factors in doubles (the decimal square would overflow 38
+      // digits), mirrored operation-for-operation in the oracle.
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val v = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val q = v.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("tok"))).cast("long"))
+        .filter(col("rk") <= 1000)
+        .withColumn("x", floor(log(col("rk").cast("double")) * 1e6 + lit(0.5)).cast(dec38))
+        .withColumn("y", floor(log(col("c").cast("double")) * 1e6 + lit(0.5)).cast(dec38))
+      q.groupBy("source")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("nd", col("n_terms").cast(dec38))
+        .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
+        .withColumn("inum", col("sy") * col("sxx") - col("sx") * col("sxy"))
+        .withColumn("slope", graft.functions.Port.r(
+          col("num").cast("double") / col("dxx").cast("double"), 6))
+        // inum/dxx is in y's micro-units; floor(v + 0.5)/1e6 rescales to
+        // natural-log units AND snaps at 1e-6 in one portable floor
+        .withColumn("intercept",
+          floor(col("inum").cast("double") / col("dxx").cast("double") + lit(0.5)) / 1e6)
+        .withColumn("r2", graft.functions.Port.r(
+          (col("num").cast("double") * col("num").cast("double")) /
+            (col("dxx").cast("double") * col("dyy").cast("double")), 6))
+        .select("source", "n_terms", "slope", "intercept", "r2")
+        .orderBy("source")
+    }),
     "q_tfidf_topterms" -> ((s, d) => {
       // characteristic terms per document: top-3 tokens by tf·idf — the
       // keyword-extraction primitive of a corpus pipeline. TF and DF are
@@ -536,6 +603,62 @@ object TextPack extends QueryPack {
         |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob,
         |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        |  FROM toks
+        |),
+        |b AS (SELECT doc_id, tok, t1 FROM bg WHERE t1 IS NOT NULL),
+        |bc AS (SELECT tok, t1, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |lc AS (SELECT tok, count(*) AS c1 FROM b GROUP BY 1),
+        |scored AS (
+        |  SELECT b.doc_id, -ln(CAST(bc.c12 AS DOUBLE) / lc.c1) AS nll
+        |  FROM b JOIN bc USING (tok, t1) JOIN lc USING (tok)
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob2,
+        |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob2
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |v AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, c,
+        |         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+        |  FROM v
+        |),
+        |q AS (
+        |  SELECT source,
+        |         CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x,
+        |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y
+        |  FROM rk WHERE rk <= 1000
+        |),
+        |a AS (
+        |  SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM q GROUP BY 1
+        |),
+        |b AS (
+        |  SELECT source, n_terms,
+        |         CAST(n_terms AS HUGEINT) * sxy - sx * sy AS num,
+        |         CAST(n_terms AS HUGEINT) * sxx - sx * sx AS dxx,
+        |         CAST(n_terms AS HUGEINT) * syy - sy * sy AS dyy,
+        |         sy * sxx - sx * sxy AS inum
+        |  FROM a
+        |)
+        |SELECT source, n_terms,
+        |       floor(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope,
+        |       floor(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE) + 0.5) / 1e6 AS intercept,
+        |       floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |             / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM b ORDER BY source""".stripMargin,
     "q_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -217,6 +217,53 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup finds planted duplicate chunks and separates cross-doc from in-doc") {
+    val sp = s; import sp.implicits._
+    val block = (0 until 64).map(t => s"d$t").mkString(" ")   // one full chunk
+    val other = (0 until 64).map(t => s"u$t").mkString(" ")
+    val docs = Seq(
+      // doc 0: the block twice (in-doc dup: chunks 0 and 1 identical)
+      (0L, s"$block $block", "en", "srcA", 0L),
+      // doc 1: the block once (cross-doc dup with doc 0)
+      (1L, block, "en", "srcA", 0L),
+      // doc 2: unique content, no dups
+      (2L, other, "en", "srcB", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusPack.queries("q_chunk_dedup")(s, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA")
+    // srcA: 3 chunk instances, all of the same fingerprint → all dups,
+    // and the fingerprint spans docs 0 and 1 → cross-doc too
+    assert(a.getAs[Long]("n_chunks") == 3L)
+    assert(a.getAs[Long]("dup_chunks") == 3L)
+    assert(a.getAs[Long]("cross_doc_dup_chunks") == 3L)
+    assert(a.getAs[Long]("dup_tokens") == 192L)
+    assert(a.getAs[Double]("dup_ratio") == 1.0)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_chunks") == 1L && b.getAs[Long]("dup_chunks") == 0L)
+    assert(b.getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  test("blocklist gate: strict drops any hit, soft tolerates <=2% mass, absent term never fires") {
+    val out = CorpusPack.queries("q_blocklist_filter")(s, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hit, terms) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_blocked"), r.getAs[Long]("n_blocked_terms"))
+      assert(hit <= n && terms <= math.min(hit, CorpusPack.Blocklist.size.toLong))
+      assert(r.getAs[Int]("keep_strict") == (if (hit == 0) 1 else 0))
+      assert(r.getAs[Int]("keep_soft") ==
+        (if (hit.toDouble / n <= 0.02) 1 else 0))
+    }
+    // the corpus carries both kept and dropped docs under the strict rule
+    assert(out.exists(_.getAs[Int]("keep_strict") == 1))
+    assert(out.exists(_.getAs[Int]("keep_strict") == 0))
+    // 'spam' is absent from the corpus: no doc can hit all three terms
+    assert(out.forall(_.getAs[Long]("n_blocked_terms") <= 2))
+  }
+
   test("length quantiles equal brute-force percentile_disc per source") {
     val lens = Tables.documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))

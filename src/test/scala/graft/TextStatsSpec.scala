@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextPack
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed pins for the corpus-LM and corpus-health statistics
+  * (the oracles prove engine parity; these prove the DEFINITIONS).
+  */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("bigram logprob matches the hand-computed conditional -ln p") {
+    val sp = s; import sp.implicits._
+    // corpus: "a b a b a" + "a b b"
+    //   c12: (a,b)=3 (b,a)=2 (b,b)=1; c1: a=3, b=3
+    //   nll:  (a,b)=0, (b,a)=ln(3/2), (b,b)=ln 3
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    Seq((0L, "a b a b a", "en", "srcA", 9L), (1L, "a b b", "en", "srcA", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("q_bigram_logprob")(s, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val nllBA = -math.log(2.0 / 3.0)
+    val nllBB = -math.log(1.0 / 3.0)
+    assert(out(0L).getAs[Long]("n_bigrams") == 4L)
+    assert(out(0L).getAs[Double]("avg_neg_logprob2") == snap(2 * nllBA / 4))
+    assert(out(0L).getAs[Double]("max_neg_logprob2") == snap(nllBA))
+    assert(out(1L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(1L).getAs[Double]("avg_neg_logprob2") == snap(nllBB / 2))
+    assert(out(1L).getAs[Double]("max_neg_logprob2") == snap(nllBB))
+  }
+
+  test("zipf slope recovers -1 on a planted power-law vocabulary") {
+    val sp = s; import sp.implicits._
+    // token k appears round(10000/k) times (k = 1..20, all counts
+    // distinct) → ln(freq) ≈ ln 10000 − 1·ln(rank)
+    val text = (1 to 20).flatMap(k =>
+      Seq.fill(math.round(10000.0 / k).toInt)(f"w$k%02d")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq((0L, text, "en", "srcZ", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextPack.queries("q_zipf_slope")(s, dir).collect().head
+    assert(r.getAs[Long]("n_terms") == 20L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > -1.01 && slope < -0.99, s"slope $slope")
+    assert(r.getAs[Double]("r2") > 0.999)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(10000.0)) < 0.02)
+  }
+
+  test("zipf slope is negative on every real-corpus source") {
+    val out = TextPack.queries("q_zipf_slope")(s, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("slope") < 0.0, r.getAs[String]("source"))
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+}
