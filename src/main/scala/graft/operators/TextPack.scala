@@ -392,9 +392,12 @@ object TextPack extends QueryPack {
       // at this vocab and shuffle joins at web vocab (the
       // q_unigram_logprob adjudication).
       val bg = posShinglesCached(s, d).select(col("doc_id"), col("tok"), col("t1"))
+      // c1 (left-context count) = sum of c12 over the bigram VOCAB — a
+      // dimension-scale window on the aggregate, not a second scan of
+      // the corpus bigram stream; one broadcast join serves both counts
       val bc = bg.groupBy("tok", "t1").agg(count(lit(1)).as("c12"))
-      val lc = bg.groupBy("tok").agg(count(lit(1)).as("c1"))
-      bg.join(broadcast(bc), Seq("tok", "t1")).join(broadcast(lc), Seq("tok"))
+        .withColumn("c1", sum(col("c12")).over(Window.partitionBy("tok")))
+      bg.join(broadcast(bc), Seq("tok", "t1"))
         .withColumn("nll", -log(col("c12").cast("double") / col("c1")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
