@@ -129,7 +129,13 @@ object Micro {
     * Carry-forward is two-level: intra-chunk last-non-null + a
     * dimension-scale chain of per-chunk closing signs.
     */
-  def tickRuleFlow(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
+  /** Per-tick trade classification: every tick of the feed with its
+    * tick-rule `sign` (+1/−1, flats carried, leading run +1). The
+    * carry-forward is two-level (intra-chunk last-non-null + a
+    * dimension-scale chain of per-chunk closing signs); equals the flat
+    * per-symbol carry exactly (signs are exact integers).
+    */
+  def signedTicks(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
     val wRow = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
     val wCk = Window.partitionBy("symbol").orderBy("_ck")
     val i1 = diffedTicks(s, d, chunkNs)
@@ -144,6 +150,25 @@ object Micro {
         .over(wRow.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(chain), Seq("symbol", "_ck"))
       .withColumn("sign", coalesce(col("_intra"), col("_chain"), lit(1)))
+      .select("symbol", "ts", "event_id", "price", "vol", "cents", "dollar_c", "sign")
+  }
+
+  /** Session-memoized signed-tick frame: q_tick_rule_flow and q_vpin
+    * both consume it, and its build is the costliest part of either
+    * (chunk links + two window layers + the chain aggregate over the
+    * full tick feed). One fill per (session, dir, chunk) serves both;
+    * Memo owns eviction like every other session cache.
+    */
+  private val signedCache =
+    graft.Memo.map[(SparkSession, String, Long), DataFrame](_.unpersist())
+
+  def signedTicksCached(s: SparkSession, d: String,
+                        chunkNs: Long = ChunkNs): DataFrame =
+    signedCache.getOrElseUpdate((s, d, chunkNs),
+      signedTicks(s, d, chunkNs).cache())
+
+  def tickRuleFlow(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame =
+    signedTicksCached(s, d, chunkNs)
       .groupBy(col("symbol"),
         expr("ts div 3600000000000 * 3600000").as("bucket_ms"))
       .agg(sum(when(col("sign") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
@@ -153,6 +178,77 @@ object Micro {
         (col("buy_vol") - col("sell_vol")).cast("double") /
           (col("buy_vol") + col("sell_vol")).cast("double"))
       .orderBy("symbol", "bucket_ms")
+
+  /** VPIN — volume-synchronized probability of informed trading (Easley,
+    * López de Prado, O'Hara 2012): the tick-rule-classified feed cut into
+    * fixed-volume buckets; per bucket the absolute order-flow imbalance
+    * |B−S|/V; VPIN = its trailing mean over `window` buckets. The
+    * per-bucket imbalance snaps to integer micro-units BEFORE the
+    * trailing window sum — DuckDB evaluates windowed float sums through
+    * a segment tree (different summation order than Spark's in-order
+    * frame), so only integer window sums are engine-portable. The
+    * trailing window runs over the BUCKET frame (volume-bucket
+    * cardinality, ~V× smaller than ticks — the bars-level window class).
+    */
+  def vpin(s: SparkSession, d: String, chunkNs: Long = ChunkNs,
+           bucketVol: Long = VolumeBarUnits, window: Int = 10): DataFrame = {
+    val b = exclCum(signedTicksCached(s, d, chunkNs), "vol", chunkNs)
+      .withColumn("bucket_id", expr(s"cum_prev div ${bucketVol}L"))
+      .groupBy("symbol", "bucket_id")
+      .agg(sum(when(col("sign") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1, col("vol")).otherwise(0L)).as("sell_vol"),
+        min("ts").as("ts_start"), max("ts").as("ts_end"))
+      .withColumn("imb_micro",
+        floor(abs(col("buy_vol") - col("sell_vol")).cast("double") /
+          (col("buy_vol") + col("sell_vol")).cast("double") * 1e6 + lit(0.5))
+          .cast("long"))
+    val w = Window.partitionBy("symbol").orderBy("bucket_id")
+      .rowsBetween(-(window - 1), 0)
+    b.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("vpin",
+        sum(col("imb_micro")).over(w).cast("double") / (col("n_win") * 1e6))
+      .withColumn("imbalance", col("imb_micro") / 1e6)
+      .select("symbol", "bucket_id", "buy_vol", "sell_vol",
+        "ts_start", "ts_end", "imbalance", "vpin")
+      .orderBy("symbol", "bucket_id")
+  }
+
+  /** Serial autocorrelation of minute-bar close changes per symbol at
+    * lags 1..`maxLag` — the mean-reversion/momentum diagnostic read
+    * before picking a signal family. Exact integer co-moments of cent
+    * diffs (decimal(38,0)/HUGEINT); Pearson per (symbol, lag) as one
+    * division by a sqrt of exactly-derived doubles, mirrored op-for-op.
+    * Windows run over BARS (the adjudicated bars-level class); one
+    * WindowExec carries all five lags.
+    */
+  def returnAcf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val x = Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("x", col("cents") - lag("cents", 1).over(w))
+      .filter(col("x").isNotNull)
+    val lagged = x.select(col("symbol") +: col("bucket_ms") +: col("x") +:
+      (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"y$k")): _*)
+    val stackExpr = (1 to maxLag).map(k => s"${k}L, y$k").mkString(", ")
+    val pairs = lagged
+      .selectExpr("symbol", "x", s"stack($maxLag, $stackExpr) AS (lag, y)")
+      .filter(col("y").isNotNull)
+    pairs.groupBy("symbol", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec38)).as("syy"))
+      .withColumn("nd", col("n_pairs").cast(dec38))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("acf", Port.r(col("num").cast("double") /
+        sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .select("symbol", "lag", "n_pairs", "acf")
+      .orderBy("symbol", "lag")
   }
 
   /** Roll's implied effective spread per symbol (Roll 1984): the serial

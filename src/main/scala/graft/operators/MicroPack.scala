@@ -21,8 +21,30 @@ object MicroPack extends QueryPack {
     "q_volume_bars" -> ((s, d) =>
       Micro.thresholdBars(Micro.intTicks(s, d), "vol", Micro.VolumeBarUnits)),
     "q_tick_rule_flow" -> ((s, d) => Micro.tickRuleFlow(s, d)),
-    "q_roll_spread" -> ((s, d) => Micro.rollSpread(s, d))
+    "q_roll_spread" -> ((s, d) => Micro.rollSpread(s, d)),
+    "q_vpin" -> ((s, d) => Micro.vpin(s, d)),
+    "q_return_acf" -> ((s, d) => Micro.returnAcf(s, d))
   )
+
+  /** Tick-rule sign chain shared by the flow and VPIN mirrors (lazy:
+    * MtCte is declared below).
+    */
+  private lazy val SignCte: String =
+    s"""$MtCte,
+       |s1 AS (
+       |  SELECT symbol, tsn, event_id, vol,
+       |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY tsn, event_id) AS dpc
+       |  FROM mt
+       |),
+       |s2 AS (
+       |  SELECT *, CASE WHEN dpc > 0 THEN 1 WHEN dpc < 0 THEN -1 END AS raw_sign FROM s1
+       |),
+       |s3 AS (
+       |  SELECT *, coalesce(last_value(raw_sign IGNORE NULLS) OVER (
+       |    PARTITION BY symbol ORDER BY tsn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS sign
+       |  FROM s2
+       |)""".stripMargin
 
   /** Shared mirror CTE: integer tick measures (cents, volume units,
     * traded value) over the tick view.
@@ -57,21 +79,7 @@ object MicroPack extends QueryPack {
     "q_dollar_bars" -> barsSql("dollar_c", Micro.DollarBarCents),
     "q_volume_bars" -> barsSql("vol", Micro.VolumeBarUnits),
     "q_tick_rule_flow" ->
-      s"""WITH $MtCte,
-         |s1 AS (
-         |  SELECT symbol, tsn, event_id, vol,
-         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY tsn, event_id) AS dpc
-         |  FROM mt
-         |),
-         |s2 AS (
-         |  SELECT *, CASE WHEN dpc > 0 THEN 1 WHEN dpc < 0 THEN -1 END AS raw_sign FROM s1
-         |),
-         |s3 AS (
-         |  SELECT *, coalesce(last_value(raw_sign IGNORE NULLS) OVER (
-         |    PARTITION BY symbol ORDER BY tsn, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS sign
-         |  FROM s2
-         |),
+      s"""WITH $SignCte,
          |agg AS (
          |  SELECT symbol, tsn // 3600000000000 * 3600000 AS bucket_ms,
          |         CAST(sum(CASE WHEN sign = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
@@ -82,6 +90,77 @@ object MicroPack extends QueryPack {
          |SELECT symbol, bucket_ms, buy_vol, sell_vol, n_ticks,
          |       CAST(buy_vol - sell_vol AS DOUBLE) / CAST(buy_vol + sell_vol AS DOUBLE) AS imbalance
          |FROM agg ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_vpin" ->
+      s"""WITH $SignCte,
+         |c AS (
+         |  SELECT *, coalesce(sum(vol) OVER (PARTITION BY symbol ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM s3
+         |),
+         |b AS (
+         |  SELECT symbol, CAST(cum_prev // ${Micro.VolumeBarUnits} AS BIGINT) AS bucket_id,
+         |         CAST(sum(CASE WHEN sign = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
+         |         CAST(sum(CASE WHEN sign = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell_vol,
+         |         min(tsn) AS ts_start, max(tsn) AS ts_end
+         |  FROM c GROUP BY 1, 2
+         |),
+         |m AS (
+         |  SELECT *, CAST(floor(CAST(abs(buy_vol - sell_vol) AS DOUBLE)
+         |    / CAST(buy_vol + sell_vol AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS imb_micro
+         |  FROM b
+         |),
+         |w AS (
+         |  SELECT *, count(*) OVER wd AS n_win, sum(imb_micro) OVER wd AS s_micro
+         |  FROM m WINDOW wd AS (PARTITION BY symbol ORDER BY bucket_id
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT symbol, bucket_id, buy_vol, sell_vol, ts_start, ts_end,
+         |       imb_micro / 1e6 AS imbalance,
+         |       CAST(s_micro AS DOUBLE) / (n_win * 1e6) AS vpin
+         |FROM w ORDER BY symbol, bucket_id""".stripMargin,
+    "q_return_acf" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, bucket_ms,
+         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS x
+         |  FROM d0
+         |),
+         |d2 AS (SELECT symbol, bucket_ms, x FROM d1 WHERE x IS NOT NULL),
+         |lagged AS (
+         |  SELECT symbol, x,
+         |         lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+         |         lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,
+         |         lag(x, 5) OVER w AS y5
+         |  FROM d2 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |pairs AS (
+         |  SELECT symbol, CAST(l.lag AS BIGINT) AS lag, x,
+         |         CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2 WHEN 3 THEN y3
+         |                    WHEN 4 THEN y4 WHEN 5 THEN y5 END AS y
+         |  FROM lagged CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS lag) l
+         |),
+         |a AS (
+         |  SELECT symbol, lag, count(*) AS n_pairs,
+         |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+         |),
+         |b AS (
+         |  SELECT symbol, lag, n_pairs,
+         |         CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS num,
+         |         CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS dxx,
+         |         CAST(n_pairs AS HUGEINT) * syy - sy * sy AS dyy
+         |  FROM a
+         |)
+         |SELECT symbol, lag, n_pairs,
+         |       floor(CAST(num AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
+         |             * 1e6 + 0.5) / 1e6 AS acf
+         |FROM b ORDER BY symbol, lag""".stripMargin,
     "q_roll_spread" ->
       s"""WITH $MtCte,
          |s1 AS (

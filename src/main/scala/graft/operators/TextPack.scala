@@ -450,6 +450,36 @@ object TextPack extends QueryPack {
         .select("source", "n_terms", "slope", "intercept", "r2")
         .orderBy("source")
     }),
+    "q_token_entropy" -> ((s, d) => {
+      // Per-source Shannon token entropy H = −Σ p·ln p (and H/ln|V|,
+      // the 0..1 normalized form) — the lexical-diversity complement of
+      // q_zipf_slope: low entropy flags boilerplate/templated sources
+      // before they dilute a mix. One vocab hash agg; the source total
+      // is a vocab-dimension window; each c·ln(c/N) term snaps to
+      // integer micro-units before the exact decimal(38,0)/HUGEINT sum
+      // (no float summation order), and both final scores are single
+      // mirrored IEEE op chains over exact integers.
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val v = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+        .withColumn("t_micro",
+          floor(col("c").cast("double") * log(col("c").cast("double") / col("n"))
+            * 1e6 + lit(0.5)).cast(dec38))
+      v.groupBy("source")
+        .agg(max(col("n")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(col("t_micro")).as("s_micro"))
+        .withColumn("entropy", graft.functions.Port.r(
+          -col("s_micro").cast("double") / (col("n_tokens").cast("double") * 1e6), 6))
+        .withColumn("norm_entropy",
+          when(col("vocab_size") > 1, graft.functions.Port.r(
+            col("entropy") / log(col("vocab_size").cast("double")), 6))
+            .otherwise(0.0))
+        .select("source", "n_tokens", "vocab_size", "entropy", "norm_entropy")
+        .orderBy("source")
+    }),
     "q_tfidf_topterms" -> ((s, d) => {
       // characteristic terms per document: top-3 tokens by tf·idf — the
       // keyword-extraction primitive of a corpus pipeline. TF and DF are
@@ -627,6 +657,36 @@ object TextPack extends QueryPack {
         |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob2,
         |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob2
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |v AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, c, sum(c) OVER (PARTITION BY source) AS n FROM v
+        |),
+        |q AS (
+        |  SELECT source, n,
+        |         CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / n) * 1e6 + 0.5)
+        |              AS HUGEINT) AS t_micro
+        |  FROM t
+        |),
+        |a AS (
+        |  SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+        |         count(*) AS vocab_size, sum(t_micro) AS s_micro
+        |  FROM q GROUP BY 1
+        |),
+        |e AS (
+        |  SELECT source, n_tokens, vocab_size,
+        |         floor(-CAST(s_micro AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6)
+        |               * 1e6 + 0.5) / 1e6 AS entropy
+        |  FROM a
+        |)
+        |SELECT source, n_tokens, vocab_size, entropy,
+        |       CASE WHEN vocab_size > 1
+        |            THEN floor(entropy / ln(CAST(vocab_size AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |            ELSE 0.0 END AS norm_entropy
+        |FROM e ORDER BY source""".stripMargin,
     "q_zipf_slope" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -93,6 +93,47 @@ class MicroSpec extends AnyFunSuite {
     assert(r.getAs[Double]("roll_spread_cents") == 4.0)
   }
 
+  test("vpin: single planted bucket reproduces the hand imbalance; real feed stays in [0,1]") {
+    // same 6-tick corpus as the tick-rule test: signs +1 x4, -1 x2,
+    // vol 10 each -> one volume bucket (60 < 2000), |B-S|/V = 20/60
+    val rows = Seq(("A", 1L, 10.0), ("A", 2L, 10.0), ("A", 3L, 11.0),
+      ("A", 4L, 11.0), ("A", 5L, 10.0), ("A", 6L, 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("vpin").toString
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((sym, sec, p), i) =>
+      (i.toLong, sec * 1000000000L, 9L, sym, p, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Micro.vpin(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("imbalance") == math.floor(20.0 / 60.0 * 1e6 + 0.5) / 1e6)
+    assert(r.head.getAs[Double]("vpin") == r.head.getAs[Double]("imbalance"))
+    // real feed: every bucket's vpin is a valid trailing mean in [0, 1]
+    val real = Micro.vpin(spark, TestSpark.Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { b =>
+      val v = b.getAs[Double]("vpin")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("return acf: perfect alternation gives acf(1) = -1 and acf(2) = +1 exactly") {
+    // one tick per minute, price alternating 50.01/49.99 -> minute-bar
+    // closes alternate -> cent diffs alternate ±2 -> lag-1 partner is
+    // exactly -x (Pearson -1), lag-2 partner exactly x (Pearson +1)
+    import spark.implicits._
+    val rows = (0 until 24).map(i =>
+      (i.toLong, i * 60000000000L, 9L, "A", if (i % 2 == 0) 50.01 else 49.99, ""))
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.returnAcf(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(out(1L) == -1.0)
+    assert(out(2L) == 1.0)
+    assert(out(3L) == -1.0)
+  }
+
   test("two-level chunked forms equal flat single-window forms under hour chunks") {
     val sf = TestSpark.Sf
     // flat references computed inline with plain per-symbol windows

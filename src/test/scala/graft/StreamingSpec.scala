@@ -370,4 +370,44 @@ class StreamingNearDupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_doc")))
     assert(rows.toSeq === Seq((1L, 100L)))
   }
+
+  test("streaming dollar bars equal the batch bars (minus open bars) across batch splits") {
+    import graft.operators.Micro
+    import graft.streaming.StreamingInfoBars
+    import graft.streaming.StreamingInfoBars.Tick
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = TestSpark.Sf
+    // the real sf0.001 tick feed replayed in 4 ordered chunks
+    val ticks = Micro.intTicks(spark, sf)
+      .select("symbol", "ts", "event_id", "price", "vol", "cents")
+      .as[Tick].collect().sortBy(t => (t.ts, t.event_id))
+    val chunks = ticks.grouped(math.max(1, ticks.length / 4 + 1)).toSeq
+    val input = MemoryStream[Tick]
+    val threshold = 200000L // $2k: forces many bar closes at sf0.001
+    val q = StreamingInfoBars.track(input.toDS(), threshold, useDollar = true)
+      .writeStream.format("memory").queryName("sbars_info").outputMode("append").start()
+    chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    def key(sym: String, r: (Long, Long, Double, Double, Double, Double, Long, Long, Long, Long)) =
+      (sym, r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)
+    val streamed = spark.table("sbars_info").collect().map(r =>
+      key(r.getAs[String]("symbol"), (r.getAs[Long]("bar_id"), r.getAs[Long]("n_ticks"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"), r.getAs[Long]("dollar_cents"),
+        r.getAs[Long]("ts_start"), r.getAs[Long]("ts_end")))).toSet
+    val batchAll = Micro.thresholdBars(Micro.intTicks(spark, sf), "dollar_c",
+      threshold).collect()
+    // the stream has not closed each symbol's LAST bar — exclude them
+    val lastBar = batchAll.groupBy(_.getAs[String]("symbol"))
+      .map { case (sym, rs) => sym -> rs.map(_.getAs[Long]("bar_id")).max }
+    val batch = batchAll.filter(r =>
+      r.getAs[Long]("bar_id") != lastBar(r.getAs[String]("symbol"))).map(r =>
+      key(r.getAs[String]("symbol"), (r.getAs[Long]("bar_id"), r.getAs[Long]("n_ticks"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"), r.getAs[Long]("dollar_cents"),
+        r.getAs[Long]("ts_start"), r.getAs[Long]("ts_end")))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -49,6 +49,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(10000.0)) < 0.02)
   }
 
+  test("token entropy: uniform vocabulary reaches ln|V| with normalized score 1") {
+    val sp = s; import sp.implicits._
+    // 16 tokens x 10 occurrences each -> H = ln 16, norm = 1
+    val text = (0 until 16).flatMap(k => Seq.fill(10)(f"w$k%02d")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((0L, text, "en", "srcU", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextPack.queries("q_token_entropy")(s, dir).collect().head
+    assert(r.getAs[Long]("vocab_size") == 16L)
+    assert(math.abs(r.getAs[Double]("entropy") - math.log(16.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("norm_entropy") - 1.0) < 1e-5)
+    // real corpus: entropy bounded by ln|V|, normalized in (0, 1]
+    TextPack.queries("q_token_entropy")(s, TestSpark.Sf).collect().foreach { row =>
+      val h = row.getAs[Double]("entropy")
+      val hn = row.getAs[Double]("norm_entropy")
+      assert(h >= 0.0 && h <= math.log(row.getAs[Long]("vocab_size").toDouble) + 1e-6)
+      assert(hn > 0.0 && hn <= 1.0 + 1e-9)
+    }
+  }
+
   test("zipf slope is negative on every real-corpus source") {
     val out = TextPack.queries("q_zipf_slope")(s, TestSpark.Sf).collect()
     assert(out.nonEmpty)
