@@ -150,7 +150,8 @@ object Micro {
         .over(wRow.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(chain), Seq("symbol", "_ck"))
       .withColumn("sign", coalesce(col("_intra"), col("_chain"), lit(1)))
-      .select("symbol", "ts", "event_id", "price", "vol", "cents", "dollar_c", "sign")
+      .select("symbol", "ts", "event_id", "price", "vol", "cents",
+        "dollar_c", "dpc", "sign")
   }
 
   /** Session-memoized signed-tick frame: q_tick_rule_flow and q_vpin
@@ -211,6 +212,73 @@ object Micro {
       .select("symbol", "bucket_id", "buy_vol", "sell_vol",
         "ts_start", "ts_end", "imbalance", "vpin")
       .orderBy("symbol", "bucket_id")
+  }
+
+  /** Kyle's lambda (Kyle 1985): the per-symbol price-impact slope of
+    * the regression Δp_t = λ·(signed volume)_t + ε over ticks — the
+    * cost-model input a sizing layer reads next to q_roll_spread. x =
+    * tick-rule sign × volume, y = cent diff: both exact integers, so
+    * the OLS moments are exact decimal(38,0)/HUGEINT sums; λ and r²
+    * are mirrored single op chains. Rides the session-memoized
+    * signed-tick frame (free when flow/VPIN already ran).
+    */
+  def kyleLambda(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame =
+    signedTicksCached(s, d, chunkNs)
+      .filter(col("dpc").isNotNull)
+      .withColumn("x", col("sign") * col("vol"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("dpc").cast(dec38)).as("sy"),
+        sum((col("x") * col("dpc")).cast(dec38)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("dpc") * col("dpc")).cast(dec38)).as("syy"))
+      .withColumn("nd", col("n_ticks").cast(dec38))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("kyle_lambda", Port.r(
+        col("num").cast("double") / col("dxx").cast("double"), 8))
+      .withColumn("r2", Port.r(
+        (col("num").cast("double") * col("num").cast("double")) /
+          (col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .select("symbol", "n_ticks", "kyle_lambda", "r2")
+      .orderBy("symbol")
+
+  /** Lo-MacKinlay variance ratio VR(q) = Var(q-period diff)/(q·Var(1))
+    * per symbol on minute-bar cent diffs, q ∈ {2, 5, 10} — VR < 1 flags
+    * mean reversion, > 1 trending (read next to q_return_acf before
+    * choosing a signal family). Population variances from exact integer
+    * moments; the q=1 base variance broadcast-joins back onto the
+    * (symbol × q) dimension frame; VR is mirrored IEEE ops, snapped.
+    */
+  def varianceRatio(s: SparkSession, d: String,
+                    qs: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val base = Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+    val lagged = base.select(col("symbol") +: col("cents") +:
+      qs.map(k => (col("cents") - lag(col("cents"), k).over(w)).as(s"d$k")): _*)
+    val stackExpr = qs.map(k => s"${k}L, d$k").mkString(", ")
+    val m = lagged
+      .selectExpr("symbol", s"stack(${qs.size}, $stackExpr) AS (q, y)")
+      .filter(col("y").isNotNull)
+      .groupBy("symbol", "q")
+      .agg(count(lit(1)).as("n_periods"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("y") * col("y")).cast(dec38)).as("syy"))
+      .withColumn("nd", col("n_periods").cast(dec38))
+      .withColumn("variance",
+        (col("nd") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("nd") * col("nd")).cast("double"))
+    val base1 = m.filter(col("q") === 1)
+      .select(col("symbol"), col("variance").as("var1"))
+    m.filter(col("q") =!= 1)
+      .join(broadcast(base1), "symbol")
+      .withColumn("vr", Port.r(col("variance") / (col("q") * col("var1")), 6))
+      .select("symbol", "q", "n_periods", "vr")
+      .orderBy("symbol", "q")
   }
 
   /** Serial autocorrelation of minute-bar close changes per symbol at

@@ -23,7 +23,9 @@ object MicroPack extends QueryPack {
     "q_tick_rule_flow" -> ((s, d) => Micro.tickRuleFlow(s, d)),
     "q_roll_spread" -> ((s, d) => Micro.rollSpread(s, d)),
     "q_vpin" -> ((s, d) => Micro.vpin(s, d)),
-    "q_return_acf" -> ((s, d) => Micro.returnAcf(s, d))
+    "q_return_acf" -> ((s, d) => Micro.returnAcf(s, d)),
+    "q_kyle_lambda" -> ((s, d) => Micro.kyleLambda(s, d)),
+    "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d))
   )
 
   /** Tick-rule sign chain shared by the flow and VPIN mirrors (lazy:
@@ -161,6 +163,69 @@ object MicroPack extends QueryPack {
          |       floor(CAST(num AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
          |             * 1e6 + 0.5) / 1e6 AS acf
          |FROM b ORDER BY symbol, lag""".stripMargin,
+    "q_kyle_lambda" ->
+      s"""WITH $SignCte,
+         |p AS (
+         |  SELECT symbol, sign * vol AS x, dpc FROM s3 WHERE dpc IS NOT NULL
+         |),
+         |a AS (
+         |  SELECT symbol, count(*) AS n_ticks,
+         |         sum(x) AS sx, sum(dpc) AS sy, sum(x * dpc) AS sxy,
+         |         sum(x * x) AS sxx, sum(dpc * dpc) AS syy
+         |  FROM p GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT symbol, n_ticks,
+         |         CAST(n_ticks AS HUGEINT) * sxy - sx * sy AS num,
+         |         CAST(n_ticks AS HUGEINT) * sxx - sx * sx AS dxx,
+         |         CAST(n_ticks AS HUGEINT) * syy - sy * sy AS dyy
+         |  FROM a
+         |)
+         |SELECT symbol, n_ticks,
+         |       floor(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) * 1e8 + 0.5) / 1e8
+         |         AS kyle_lambda,
+         |       floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         |             / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |         AS r2
+         |FROM b ORDER BY symbol""".stripMargin,
+    "q_variance_ratio" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |lagged AS (
+         |  SELECT symbol,
+         |         cents - lag(cents, 1) OVER w AS d1,
+         |         cents - lag(cents, 2) OVER w AS d2,
+         |         cents - lag(cents, 5) OVER w AS d5,
+         |         cents - lag(cents, 10) OVER w AS d10
+         |  FROM d0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |st AS (
+         |  SELECT symbol, CAST(l.q AS BIGINT) AS q,
+         |         CASE l.q WHEN 1 THEN d1 WHEN 2 THEN d2
+         |                  WHEN 5 THEN d5 WHEN 10 THEN d10 END AS y
+         |  FROM lagged CROSS JOIN (SELECT unnest([1, 2, 5, 10]) AS q) l
+         |),
+         |m AS (
+         |  SELECT symbol, q, count(*) AS n_periods,
+         |         sum(y) AS sy, sum(y * y) AS syy
+         |  FROM st WHERE y IS NOT NULL GROUP BY 1, 2
+         |),
+         |v AS (
+         |  SELECT symbol, q, n_periods,
+         |         CAST(CAST(n_periods AS HUGEINT) * syy - sy * sy AS DOUBLE)
+         |           / CAST(CAST(n_periods AS HUGEINT) * n_periods AS DOUBLE) AS variance
+         |  FROM m
+         |)
+         |SELECT v.symbol, v.q, v.n_periods,
+         |       floor(v.variance / (v.q * b.var1) * 1e6 + 0.5) / 1e6 AS vr
+         |FROM v JOIN (SELECT symbol, variance AS var1 FROM v WHERE q = 1) b
+         |  ON v.symbol = b.symbol
+         |WHERE v.q <> 1
+         |ORDER BY v.symbol, v.q""".stripMargin,
     "q_roll_spread" ->
       s"""WITH $MtCte,
          |s1 AS (

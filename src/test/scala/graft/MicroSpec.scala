@@ -134,6 +134,50 @@ class MicroSpec extends AnyFunSuite {
     assert(out(3L) == -1.0)
   }
 
+  test("kyle lambda: planted exact linear impact recovers the slope with r2 = 1") {
+    // vol = 1 + user_id % 100; plant vols 10/20/30 and cent moves 3*vol
+    // on each tick after the first: x = +vol (all upticks), y = 3x exactly
+    // -> lambda = 3, r2 = 1. Moments: sx=60 sy=180 sxy=4200 sxx=1400
+    // syy=12600, n=3 -> num=1800 dxx=600 dyy=5400.
+    val rows = Seq(
+      (0L, 1000000000L, 9L, "A", 100.00, ""),   // base tick, dpc null
+      (1L, 2000000000L, 9L, "A", 100.30, ""),   // vol 10, +30 cents
+      (2L, 3000000000L, 19L, "A", 100.90, ""),  // vol 20, +60 cents
+      (3L, 4000000000L, 29L, "A", 101.80, ""))  // vol 30, +90 cents
+    val dir = java.nio.file.Files.createTempDirectory("kyle").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Micro.kyleLambda(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_ticks") == 3L)
+    assert(r.head.getAs[Double]("kyle_lambda") == 3.0)
+    assert(r.head.getAs[Double]("r2") == 1.0)
+  }
+
+  test("variance ratio: alternating closes give vr = 0 at even q; real feed well-formed") {
+    // one tick per minute, closes alternate 50.01/49.99 -> cent diffs at
+    // even lags are exactly 0 (same parity) -> Var(2) = Var(10) = 0 ->
+    // VR(2) = VR(10) = 0; lag-5 diffs alternate +-2 -> VR(5) ~ 1/5.
+    val rows = (0 until 24).map(i =>
+      (i.toLong, i * 60000000000L, 9L, "A", if (i % 2 == 0) 50.01 else 49.99, ""))
+    val dir = java.nio.file.Files.createTempDirectory("vr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.varianceRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Double]("vr")).toMap
+    assert(out.keySet == Set(2L, 5L, 10L))
+    assert(out(2L) == 0.0)
+    assert(out(10L) == 0.0)
+    assert(math.abs(out(5L) - 0.2) < 0.02)
+    // real feed: every (symbol, q) present, vr finite and non-negative
+    val real = Micro.varianceRatio(spark, TestSpark.Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val v = r.getAs[Double]("vr")
+      assert(!v.isNaN && !v.isInfinite && v >= 0.0)
+    }
+  }
+
   test("two-level chunked forms equal flat single-window forms under hour chunks") {
     val sf = TestSpark.Sf
     // flat references computed inline with plain per-symbol windows
