@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.EventsPack,
     graft.operators.TpchPack,
     graft.operators.MicroPack,
+    graft.operators.VolPack,
     graft.operators.TextPack,
     graft.operators.AnnPack,
     graft.operators.DedupPack,

@@ -49,9 +49,10 @@ object MicroPack extends QueryPack {
        |)""".stripMargin
 
   /** Shared mirror CTE: integer tick measures (cents, volume units,
-    * traded value) over the tick view.
+    * traded value) over the tick view. Package-visible: VolPack's
+    * mirrors start from the same integer tick frame.
     */
-  private val MtCte: String =
+  private[operators] val MtCte: String =
     QueryPack.TicksCte + """,
       |mt AS (
       |  SELECT symbol, epoch_ns(ts) AS tsn, event_id, price,

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.functions.Port
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Daily volatility decomposition and cross-asset lead-lag analytics
+  * over the tick/bar feeds: realized variance + bipower variation with
+  * a jump ratio (Barndorff-Nielsen & Shephard 2004), Amihud (2002)
+  * illiquidity, intraday time-of-day seasonality, and pairwise
+  * lead-lag cross-correlation. Extends the reference's market-stats
+  * family (dashboard.py performance views, analytics/market_stats)
+  * with the volatility diagnostics a risk layer reads next to
+  * q_rolling_corr / q_market_beta.
+  *
+  * Scale posture: the daily measures window-partition by (symbol,
+  * day) — one symbol-day of ticks per task, naturally bounded at any
+  * corpus size, no cross-chunk linking needed because the literature
+  * definitions themselves exclude overnight gaps. All running sums
+  * are exact integers (price cents), so Spark and the DuckDB mirror
+  * agree bit-for-bit regardless of partial-aggregation order. The
+  * lead-lag join shuffles the hour-bar diff frame on the bucket key
+  * (cross-sections are symbol-universe bounded); co-moments are exact
+  * decimal(38,0)/HUGEINT sums and Pearson is one mirrored op chain.
+  */
+object Vol {
+
+  private val dec38 = DecimalType(38, 0)
+  private val DayNs = 86400000000000L
+  private val HourNs = 3600000000000L
+
+  /** Within-day cent diffs per symbol: dpc_i = cents_i − cents_{i−1}
+    * over ticks of the same (symbol, day); a day's first tick has no
+    * diff (overnight excluded, as realized-variance estimators
+    * require).
+    */
+  private def dayDiffs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol", "day").orderBy("ts", "event_id")
+    Micro.intTicks(s, d)
+      .withColumn("day", expr(s"ts div $DayNs"))
+      .withColumn("dpc", col("cents") - lag("cents", 1).over(w))
+  }
+
+  /** Realized variance RV = Σ dpc² and bipower variation
+    * BV = Σ |dpc_i·dpc_{i−1}| per (symbol, day), both exact integer
+    * cent² sums, plus the jump ratio max(1 − (π/2)·BV/RV, 0) — the
+    * continuous-vs-jump decomposition (BV is robust to jumps, RV is
+    * not, so their snapped gap is the jump share). π is the same
+    * nearest-double in every IEEE engine.
+    */
+  def realizedVol(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol", "day").orderBy("ts", "event_id")
+    dayDiffs(s, d)
+      .withColumn("dprev", lag("dpc", 1).over(w))
+      .filter(col("dpc").isNotNull)
+      .groupBy("symbol", "day")
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(col("dpc") * col("dpc")).as("rv_cents2"),
+        coalesce(sum(abs(col("dpc") * col("dprev"))), lit(0L)).as("bv_cents2"))
+      .withColumn("jump_ratio",
+        when(col("rv_cents2") === 0, lit(0.0)).otherwise(Port.r(
+          greatest(lit(1.0) - (lit(math.Pi) / 2) *
+            (col("bv_cents2").cast("double") / col("rv_cents2").cast("double")),
+            lit(0.0)), 6)))
+      .select("symbol", "day", "n_diffs", "rv_cents2", "bv_cents2", "jump_ratio")
+      .orderBy("symbol", "day")
+  }
+
+  /** Amihud (2002) illiquidity per symbol: the mean over days of
+    * |daily return| / daily dollar volume, reported ×1e9. The daily
+    * ratio is snapped to exact 1e-15 integer units BEFORE the
+    * cross-day mean (the windowed-float-sum portability rule), so the
+    * per-symbol sum is order-independent; the mean is one IEEE
+    * division of exact integers.
+    */
+  def amihud(s: SparkSession, d: String): DataFrame =
+    Micro.intTicks(s, d)
+      .withColumn("day", expr(s"ts div $DayNs"))
+      .groupBy("symbol", "day")
+      .agg(expr("min_by(cents, ts)").as("open_c"),
+        expr("max_by(cents, ts)").as("close_c"),
+        sum("dollar_c").as("dollar_c"))
+      .withColumn("illiq_u",
+        floor(abs(col("close_c").cast("double") / col("open_c").cast("double") - 1)
+          / col("dollar_c").cast("double") * lit(1e15) + lit(0.5)).cast("long"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum("illiq_u").as("s_u"))
+      .withColumn("amihud_e9",
+        Port.r(col("s_u").cast("double") / (col("n_days") * 1e6), 6))
+      .select("symbol", "n_days", "amihud_e9")
+      .orderBy("symbol")
+
+  /** Intraday seasonality profile per (symbol, hour-of-day): tick
+    * count, exact volume, within-day realized variance mass, and the
+    * hour's share of the symbol's total volume. The share window runs
+    * over the 24-row-per-symbol AGGREGATED frame, not ticks.
+    */
+  def intradayProfile(s: SparkSession, d: String): DataFrame = {
+    val g = dayDiffs(s, d)
+      .withColumn("hour_of_day", expr(s"(ts % $DayNs) div $HourNs"))
+      .groupBy("symbol", "hour_of_day")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum("vol").as("volume"),
+        coalesce(sum(col("dpc") * col("dpc")), lit(0L)).as("rv_cents2"))
+    g.withColumn("vol_share", Port.r(col("volume").cast("double") /
+        sum(col("volume")).over(Window.partitionBy("symbol")).cast("double"), 6))
+      .select("symbol", "hour_of_day", "n_ticks", "volume", "rv_cents2", "vol_share")
+      .orderBy("symbol", "hour_of_day")
+  }
+
+  /** Pairwise lead-lag cross-correlation: Pearson corr of symbol a's
+    * hour-bar cent diff at bucket t vs symbol b's diff at t − lag·1h,
+    * for every ordered pair a ≠ b and lag ∈ {0, 1, 2} — "does b lead
+    * a". The lead side replicates once per lag (explode) with its
+    * bucket key pre-shifted, so one equi-join on bucket_ms serves all
+    * lags; missing buckets drop out of the inner join naturally.
+    */
+  def leadLagCorr(s: SparkSession, d: String,
+                  lags: Seq[Long] = Seq(0L, 1L, 2L)): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val dx = Bars.ohlcvCached(s, d, 3600)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("x", col("cents") - lag("cents", 1).over(w))
+      .filter(col("x").isNotNull)
+      .select("symbol", "bucket_ms", "x")
+    val lead = dx
+      .withColumn("lag", explode(array(lags.map(lit(_)): _*)))
+      .select(col("symbol").as("symbol_lead"),
+        (col("bucket_ms") + col("lag") * 3600000L).as("bucket_ms"),
+        col("lag"), col("x").as("y"))
+    dx.join(lead, "bucket_ms")
+      .filter(col("symbol") =!= col("symbol_lead"))
+      .groupBy("symbol", "symbol_lead", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec38)).as("syy"))
+      .withColumn("nd", col("n_pairs").cast(dec38))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
+      .withColumn("xcorr", Port.r(col("num").cast("double") /
+        sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .select("symbol", "symbol_lead", "lag", "n_pairs", "xcorr")
+      .orderBy("symbol", "symbol_lead", "lag")
+  }
+}
+
+/** Pack registration + DuckDB mirrors for the Vol family. */
+object VolPack extends graft.QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_realized_vol" -> ((s, d) => Vol.realizedVol(s, d)),
+    "q_amihud_illiq" -> ((s, d) => Vol.amihud(s, d)),
+    "q_intraday_profile" -> ((s, d) => Vol.intradayProfile(s, d)),
+    "q_lead_lag_corr" -> ((s, d) => Vol.leadLagCorr(s, d))
+  )
+
+  /** Mirror CTE: within-day cent diffs over the integer tick frame. */
+  private val DayDiffCte: String =
+    s"""${MicroPack.MtCte},
+       |t2 AS (
+       |  SELECT symbol, tsn // 86400000000000 AS day,
+       |         (tsn % 86400000000000) // 3600000000000 AS hour_of_day,
+       |         tsn, event_id, vol, cents,
+       |         cents - lag(cents) OVER (PARTITION BY symbol, tsn // 86400000000000
+       |           ORDER BY tsn, event_id) AS dpc
+       |  FROM mt
+       |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_realized_vol" ->
+      s"""WITH $DayDiffCte,
+         |t3 AS (
+         |  SELECT *, lag(dpc) OVER (PARTITION BY symbol, day
+         |    ORDER BY tsn, event_id) AS dprev
+         |  FROM t2
+         |),
+         |a AS (
+         |  SELECT symbol, day, count(*) AS n_diffs,
+         |         CAST(sum(dpc * dpc) AS BIGINT) AS rv_cents2,
+         |         CAST(coalesce(sum(abs(dpc * dprev)), 0) AS BIGINT) AS bv_cents2
+         |  FROM t3 WHERE dpc IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT symbol, day, n_diffs, rv_cents2, bv_cents2,
+         |       CASE WHEN rv_cents2 = 0 THEN 0.0 ELSE
+         |         floor(greatest(1.0 - pi() / 2 *
+         |           (CAST(bv_cents2 AS DOUBLE) / CAST(rv_cents2 AS DOUBLE)), 0.0)
+         |           * 1e6 + 0.5) / 1e6 END AS jump_ratio
+         |FROM a ORDER BY symbol, day""".stripMargin,
+    "q_amihud_illiq" ->
+      s"""WITH ${MicroPack.MtCte},
+         |dd AS (
+         |  SELECT symbol, tsn // 86400000000000 AS day,
+         |         arg_min(cents, tsn) AS open_c, arg_max(cents, tsn) AS close_c,
+         |         CAST(sum(dollar_c) AS BIGINT) AS dollar_c
+         |  FROM mt GROUP BY 1, 2
+         |),
+         |u AS (
+         |  SELECT symbol,
+         |         CAST(floor(abs(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE) - 1)
+         |           / CAST(dollar_c AS DOUBLE) * 1e15 + 0.5) AS BIGINT) AS illiq_u
+         |  FROM dd
+         |),
+         |a AS (SELECT symbol, count(*) AS n_days, sum(illiq_u) AS s_u FROM u GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       floor(CAST(s_u AS DOUBLE) / (n_days * 1e6) * 1e6 + 0.5) / 1e6 AS amihud_e9
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_intraday_profile" ->
+      s"""WITH $DayDiffCte,
+         |g AS (
+         |  SELECT symbol, hour_of_day, count(*) AS n_ticks,
+         |         CAST(sum(vol) AS BIGINT) AS volume,
+         |         CAST(coalesce(sum(dpc * dpc), 0) AS BIGINT) AS rv_cents2
+         |  FROM t2 GROUP BY 1, 2
+         |)
+         |SELECT symbol, hour_of_day, n_ticks, volume, rv_cents2,
+         |       floor(CAST(volume AS DOUBLE)
+         |         / CAST(sum(volume) OVER (PARTITION BY symbol) AS DOUBLE)
+         |         * 1e6 + 0.5) / 1e6 AS vol_share
+         |FROM g ORDER BY symbol, hour_of_day""".stripMargin,
+    "q_lead_lag_corr" ->
+      s"""WITH ${graft.QueryPack.barsCteAt(3600)},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |dx AS (
+         |  SELECT symbol, bucket_ms,
+         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS x
+         |  FROM d0
+         |),
+         |dn AS (SELECT * FROM dx WHERE x IS NOT NULL),
+         |ld AS (
+         |  SELECT symbol AS symbol_lead, bucket_ms + l.lag * 3600000 AS bucket_ms,
+         |         CAST(l.lag AS BIGINT) AS lag, x AS y
+         |  FROM dn CROSS JOIN (SELECT unnest([0, 1, 2]) AS lag) l
+         |),
+         |j AS (
+         |  SELECT a.symbol, b.symbol_lead, b.lag, a.x, b.y
+         |  FROM dn a JOIN ld b USING (bucket_ms) WHERE a.symbol <> b.symbol_lead
+         |),
+         |m AS (
+         |  SELECT symbol, symbol_lead, lag, count(*) AS n_pairs,
+         |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM j GROUP BY 1, 2, 3
+         |),
+         |b2 AS (
+         |  SELECT symbol, symbol_lead, lag, n_pairs,
+         |         CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS num,
+         |         CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS dxx,
+         |         CAST(n_pairs AS HUGEINT) * syy - sy * sy AS dyy
+         |  FROM m
+         |)
+         |SELECT symbol, symbol_lead, lag, n_pairs,
+         |       floor(CAST(num AS DOUBLE)
+         |         / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |         AS xcorr
+         |FROM b2 ORDER BY symbol, symbol_lead, lag""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Vol
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Volatility/liquidity operators: realized variance + bipower jump
+  * decomposition, Amihud illiquidity, intraday seasonality, lead-lag
+  * cross-correlation. Pins (1) hand-computed exact-integer moments on
+  * planted corpora, (2) overnight exclusion (a single-tick day yields
+  * no diffs row), and (3) perfect lead-lag recovery when one symbol's
+  * diffs replay another's one hour later.
+  */
+class VolSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write (event_id, ts-ns, user_id, symbol, price) rows as an events
+    * table and return the dir (vol = 1 + user_id % 100).
+    */
+  private def corpus(name: String,
+                     rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    rows.map { case (id, ts, uid, sym, p) => (id, ts, uid, sym, p, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val DayNs = 86400000000000L
+
+  test("realized vol: exact rv/bv moments, jump ratio formula, overnight excluded") {
+    // day 0: prices 10.00, 10.02, 10.04, 11.04 -> diffs +2, +2, +100
+    //   rv = 4 + 4 + 10000 = 10008; bv = |2*2| + |2*100| = 204
+    // day 1: one tick only -> no within-day diff -> no output row
+    val dir = corpus("rv", Seq(
+      (0L, 1000000000L, 9L, "A", 10.00),
+      (1L, 2000000000L, 9L, "A", 10.02),
+      (2L, 3000000000L, 9L, "A", 10.04),
+      (3L, 4000000000L, 9L, "A", 11.04),
+      (4L, DayNs + 1000000000L, 9L, "A", 11.04)))
+    val out = Vol.realizedVol(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("day") == 0L)
+    assert(r.getAs[Long]("n_diffs") == 3L)
+    assert(r.getAs[Long]("rv_cents2") == 10008L)
+    assert(r.getAs[Long]("bv_cents2") == 204L)
+    val expected = math.floor(math.max(
+      1.0 - math.Pi / 2 * (204.0 / 10008.0), 0.0) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("jump_ratio") == expected)
+  }
+
+  test("amihud: per-day snapped ratios, exact cross-day mean") {
+    // day 0: open 100.00 close 101.00, 2 ticks vol 10 each
+    //   dollars = (10000 + 10100) * 10 = 201000 cents; |ret| = 0.01
+    // day 1: flat single tick -> ratio 0
+    val dir = corpus("amihud", Seq(
+      (0L, 1000000000L, 9L, "A", 100.00),
+      (1L, 2000000000L, 9L, "A", 101.00),
+      (2L, DayNs + 1000000000L, 9L, "A", 101.00)))
+    val r = Vol.amihud(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 2L)
+    val u0 = math.floor(math.abs(10100.0 / 10000.0 - 1) / 201000.0 * 1e15 + 0.5)
+    val expected = math.floor(u0 / (2 * 1e6) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("amihud_e9") == expected)
+  }
+
+  test("intraday profile: volume shares and per-hour rv mass") {
+    // hour 0: three ticks (diffs +2, -2 after the first), hour 1: one tick
+    // vol 10 each -> shares 0.75 / 0.25; hour-1 tick's diff (-2) counts
+    // in hour 1 (diff belongs to the arriving tick's hour)
+    val dir = corpus("intraday", Seq(
+      (0L, 1000000000L, 9L, "A", 10.00),
+      (1L, 2000000000L, 9L, "A", 10.02),
+      (2L, 3000000000L, 9L, "A", 10.00),
+      (3L, 3600000000000L + 1000000000L, 9L, "A", 9.98)))
+    val out = Vol.intradayProfile(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour_of_day") ->
+        (r.getAs[Long]("n_ticks"), r.getAs[Long]("volume"),
+          r.getAs[Long]("rv_cents2"), r.getAs[Double]("vol_share"))).toMap
+    assert(out(0L) == ((3L, 30L, 8L, 0.75)))
+    assert(out(1L) == ((1L, 10L, 4L, 0.25)))
+  }
+
+  test("lead-lag: a symbol replaying another's diffs one hour later correlates at 1") {
+    // A's hourly cent diffs: +2, -4, +6, -8, +10 (varied, non-constant);
+    // B's diff at hour t equals A's at t-1 -> corr(B, A, lag=1) = 1.
+    val aDiffs = Seq(2L, -4L, 6L, -8L, 10L)
+    val aCents = aDiffs.scanLeft(10000L)(_ + _)            // hours 0..5
+    val bCents = aDiffs.scanLeft(20000L)(_ + _)            // B shifted: diff at hour t+1 = A diff at t
+    val rows =
+      aCents.zipWithIndex.map { case (c, h) =>
+        (h.toLong, h * 3600000000000L, 9L, "A", c / 100.0) } ++
+      bCents.zipWithIndex.map { case (c, h) =>
+        (100L + h, (h + 1) * 3600000000000L, 9L, "B", c / 100.0) }
+    val dir = corpus("leadlag", rows)
+    val out = Vol.leadLagCorr(spark, dir).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[String]("symbol_lead"),
+        r.getAs[Long]("lag")) -> (r.getAs[Long]("n_pairs"), r.getAs[Double]("xcorr")))
+      .toMap
+    // B at t vs A at t-1: pairs at hours 2..5 (B diffs exist hours 2..6,
+    // A diffs hours 1..5) -> overlap where both defined
+    val (n, c) = out(("B", "A", 1L))
+    assert(n >= 3L)
+    assert(c == 1.0)
+    // and the real feed produces a full ordered-pair x lag grid
+    val real = Vol.leadLagCorr(spark, TestSpark.Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val v = r.getAs[Double]("xcorr")
+      assert(!v.isNaN && v >= -1.0 && v <= 1.0)
+    }
+  }
+}
