@@ -52,8 +52,12 @@ object Vol {
     */
   def realizedVol(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("symbol", "day").orderBy("ts", "event_id")
+    // dprev = dpc_{i-1} = lag(cents,1) - lag(cents,2): expressing it
+    // from cents lags keeps BOTH diffs in the ONE WindowExec that
+    // dayDiffs already runs (lag(dpc) would need a second window pass
+    // reading the first's output).
     dayDiffs(s, d)
-      .withColumn("dprev", lag("dpc", 1).over(w))
+      .withColumn("dprev", lag("cents", 1).over(w) - lag("cents", 2).over(w))
       .filter(col("dpc").isNotNull)
       .groupBy("symbol", "day")
       .agg(count(lit(1)).as("n_diffs"),
