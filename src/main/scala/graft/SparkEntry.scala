@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.TpchPack,
     graft.operators.MicroPack,
     graft.operators.VolPack,
+    graft.operators.IndicatorsPack,
     graft.operators.TextPack,
     graft.operators.AnnPack,
     graft.operators.DedupPack,

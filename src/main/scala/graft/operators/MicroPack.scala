@@ -29,9 +29,10 @@ object MicroPack extends QueryPack {
   )
 
   /** Tick-rule sign chain shared by the flow and VPIN mirrors (lazy:
-    * MtCte is declared below).
+    * MtCte is declared below). Package-visible: IndicatorsPack's OBV
+    * mirror consumes the same classified feed.
     */
-  private lazy val SignCte: String =
+  private[operators] lazy val SignCte: String =
     s"""$MtCte,
        |s1 AS (
        |  SELECT symbol, tsn, event_id, vol,
