@@ -123,6 +123,69 @@ object TextPack extends QueryPack {
 
   private val BpePattern = "\\w+|[^\\w\\s]"
 
+  /** Shared mirror CTE chain for the language-ID family: ranked
+    * per-(doc, lang) stopword hits; consumers filter rk = 1.
+    */
+  private lazy val LangRankedCte: String = {
+    val vals = LangProfiles.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |profiles AS (SELECT * FROM (VALUES $vals) p(plang, tok)),
+       |matched AS (
+       |  SELECT t.doc_id, p.plang, count(*) AS hits
+       |  FROM toks t JOIN profiles p ON t.tok = p.tok GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT d.doc_id, l.plang FROM documents d
+       |  CROSS JOIN (SELECT DISTINCT plang FROM profiles) l
+       |),
+       |scores AS (
+       |  SELECT g.doc_id, g.plang, CAST(coalesce(m.hits, 0) AS BIGINT) AS hits
+       |  FROM grid g LEFT JOIN matched m ON g.doc_id = m.doc_id AND g.plang = m.plang
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
+       |  FROM scores
+       |)""".stripMargin
+  }
+
+  /** Per-doc language-ID prediction frame shared by q_lang_id and
+    * q_lang_confusion — stopword-profile ID as ONE conditional
+    * aggregation: profile-matching tokens pivot to per-language hit
+    * counts in a single per-doc hash agg, and the argmax (hits desc,
+    * lang asc) is a greatest() + first-match when-chain. Two doc-scale
+    * shuffles total (agg + doc join); zero rows explode beyond the
+    * token scan.
+    */
+  private def langIdPred(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val profiles = {
+      import s.implicits._
+      LangProfiles.toDF("plang", "tok")
+    }
+    val langs = LangProfiles.map(_._1).distinct.sorted
+    val hitsWide = toks.join(broadcast(profiles), "tok")
+      .groupBy("doc_id")
+      .agg(sum(when(col("plang") === langs.head, 1L).otherwise(0L)).as(s"h_${langs.head}"),
+        langs.tail.map(l =>
+          sum(when(col("plang") === l, 1L).otherwise(0L)).as(s"h_$l")): _*)
+    val hcols = langs.map(l => coalesce(col(s"h_$l"), lit(0L)))
+    val maxh = greatest(hcols: _*)
+    // first match in asc lang order among the maxima — the exact order
+    // the previous (hits desc, plang asc) window ranking used
+    val pred = langs.zip(hcols).tail.foldLeft(when(hcols.head === maxh, langs.head)) {
+      case (acc, (l, h)) => acc.when(h === maxh, l)
+    }
+    docs.select("doc_id", "lang")
+      .join(hitsWide, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        pred.as("pred_lang"), maxh.as("hits"),
+        (col("lang") === pred).cast("int").as("correct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pair_freqs" -> ((s, d) => {
       // Tokenizer training, step 0: the BPE merge-candidate table —
@@ -194,41 +257,70 @@ object TextPack extends QueryPack {
           sum(col("chars")).as("total_chars"),
           (sum(col("ws_toks")) / count(lit(1))).as("avg_tokens_per_doc"))
         .orderBy("source")),
-    "q_lang_id" -> ((s, d) => {
-      // Stopword-profile language ID as ONE conditional aggregation:
-      // profile-matching tokens pivot to per-language hit counts in a
-      // single per-doc hash agg, and the argmax (hits desc, lang asc —
-      // the same order the previous window ranking used) is a greatest()
-      // + first-match when-chain. Two doc-scale shuffles total (agg +
-      // doc join) vs the old grid/left-join/window form's four; zero
-      // rows explode beyond the token scan.
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val profiles = {
-        import s.implicits._
-        LangProfiles.toDF("plang", "tok")
-      }
-      val langs = LangProfiles.map(_._1).distinct.sorted
-      val hitsWide = toks.join(broadcast(profiles), "tok")
-        .groupBy("doc_id")
-        .agg(sum(when(col("plang") === langs.head, 1L).otherwise(0L)).as(s"h_${langs.head}"),
-          langs.tail.map(l =>
-            sum(when(col("plang") === l, 1L).otherwise(0L)).as(s"h_$l")): _*)
-      val hcols = langs.map(l => coalesce(col(s"h_$l"), lit(0L)))
-      val maxh = greatest(hcols: _*)
-      // first match in asc lang order among the maxima — the exact order
-      // the previous (hits desc, plang asc) window ranking produced
-      val pred = langs.zip(hcols).tail.foldLeft(when(hcols.head === maxh, langs.head)) {
-        case (acc, (l, h)) => acc.when(h === maxh, l)
-      }
-      docs.select("doc_id", "lang")
-        .join(hitsWide, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang").as("true_lang"),
-          pred.as("pred_lang"), maxh.as("hits"),
-          (col("lang") === pred).cast("int").as("correct"))
-        .orderBy("doc_id")
+    "q_tokenizer_fertility" -> ((s, d) =>
+      // Tokenizer-fertility diagnostic per language: BPE-ish tokens per
+      // whitespace word (fertility — the cost multiplier a tokenizer
+      // pays on that language) and chars per BPE token (compression).
+      // Exact integer sums; ratios are single IEEE divisions.
+      Tables.documents(s, d).select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("total_ws_tokens"),
+          sum("bpe").as("total_bpe_tokens"),
+          sum("chars").as("total_chars"))
+        .withColumn("fertility", col("total_bpe_tokens").cast("double") /
+          col("total_ws_tokens").cast("double"))
+        .withColumn("chars_per_token", col("total_chars").cast("double") /
+          col("total_bpe_tokens").cast("double"))
+        .orderBy("lang")),
+    "q_unigram_kl" -> ((s, d) => {
+      // Per-source unigram KL divergence KL(p_source || p_corpus) — the
+      // distribution-shift diagnostic a mixer reads next to
+      // q_corpus_mix/q_token_entropy: high KL flags a source whose
+      // token distribution diverges from the blend. KL·N_s = Σ
+      // c_s·ln((c_s/N_s)/(c_g/N_g)); each term snaps to integer
+      // micro-units BEFORE the exact decimal(38,0)/HUGEINT sum (the
+      // windowed-float-sum rule), final KL is one mirrored division.
+      // Source totals are vocab-dimension windows; the corpus total is
+      // one broadcast scalar (every source token exists globally, so no
+      // zero-q guard is needed).
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val v = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        .withColumn("ns", sum(col("cs")).over(Window.partitionBy("source")))
+        .withColumn("cg", sum(col("cs")).over(Window.partitionBy("tok")))
+      v.crossJoin(broadcast(toks.agg(count(lit(1)).as("ng"))))
+        .withColumn("t_micro",
+          floor(col("cs").cast("double") *
+            log((col("cs").cast("double") / col("ns")) /
+                (col("cg").cast("double") / col("ng"))) * 1e6 + lit(0.5))
+            .cast(dec38))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_terms"),
+          sum(col("t_micro")).as("s_micro"))
+        .withColumn("kl", graft.functions.Port.r(
+          col("s_micro").cast("double") / (col("n_tokens") * 1e6), 6))
+        .select("source", "n_tokens", "n_terms", "kl")
+        .orderBy("source")
     }),
+    "q_lang_id" -> ((s, d) => langIdPred(s, d).orderBy("doc_id")),
+    "q_lang_confusion" -> ((s, d) =>
+      // Language-ID evaluation: the confusion matrix of the stopword
+      // profiler vs the labeled lang column, with each row's share of
+      // its true-language total (recall sits on the diagonal). One
+      // aggregation over the shared prediction frame; the share window
+      // runs over the langs x langs AGGREGATED grid, never docs.
+      langIdPred(s, d)
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("true_lang")).cast("double"))
+        .orderBy("true_lang", "pred_lang")),
     "q_quality_score" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -781,33 +873,61 @@ object TextPack extends QueryPack {
          |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
          |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) / count(*) AS avg_tokens_per_doc
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_lang_id" -> {
-      val vals = LangProfiles.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |),
-         |profiles AS (SELECT * FROM (VALUES $vals) p(plang, tok)),
-         |matched AS (
-         |  SELECT t.doc_id, p.plang, count(*) AS hits
-         |  FROM toks t JOIN profiles p ON t.tok = p.tok GROUP BY 1, 2
-         |),
-         |grid AS (
-         |  SELECT d.doc_id, l.plang FROM documents d
-         |  CROSS JOIN (SELECT DISTINCT plang FROM profiles) l
-         |),
-         |scores AS (
-         |  SELECT g.doc_id, g.plang, CAST(coalesce(m.hits, 0) AS BIGINT) AS hits
-         |  FROM grid g LEFT JOIN matched m ON g.doc_id = m.doc_id AND g.plang = m.plang
-         |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rk
-         |  FROM scores
-         |)
+    "q_lang_id" ->
+      s"""WITH $LangRankedCte
          |SELECT r.doc_id, d.lang AS true_lang, r.plang AS pred_lang, r.hits,
          |       CAST(d.lang = r.plang AS INT) AS correct
          |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
-         |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
-    },
+         |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin,
+    "q_lang_confusion" ->
+      s"""WITH $LangRankedCte,
+         |cm AS (
+         |  SELECT d.lang AS true_lang, r.plang AS pred_lang, count(*) AS n_docs
+         |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+         |  WHERE r.rk = 1 GROUP BY 1, 2
+         |)
+         |SELECT true_lang, pred_lang, n_docs,
+         |       CAST(n_docs AS DOUBLE)
+         |         / CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE) AS row_share
+         |FROM cm ORDER BY true_lang, pred_lang""".stripMargin,
+    "q_tokenizer_fertility" ->
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         |         CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS total_bpe_tokens,
+         |         CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT lang, n_docs, total_ws_tokens, total_bpe_tokens, total_chars,
+         |       CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE) AS fertility,
+         |       CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token
+         |FROM a ORDER BY lang""".stripMargin,
+    "q_unigram_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |v AS (SELECT source, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT *, CAST(sum(cs) OVER (PARTITION BY source) AS BIGINT) AS ns,
+        |         CAST(sum(cs) OVER (PARTITION BY tok) AS BIGINT) AS cg
+        |  FROM v
+        |),
+        |tot AS (SELECT count(*) AS ng FROM toks),
+        |t AS (
+        |  SELECT source, ns,
+        |         CAST(floor(CAST(cs AS DOUBLE) *
+        |           ln((CAST(cs AS DOUBLE) / ns) / (CAST(cg AS DOUBLE) / ng))
+        |           * 1e6 + 0.5) AS HUGEINT) AS t_micro
+        |  FROM v2 CROSS JOIN tot
+        |),
+        |a AS (
+        |  SELECT source, max(ns) AS n_tokens, count(*) AS n_terms,
+        |         sum(t_micro) AS s_micro
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_terms,
+        |       floor(CAST(s_micro AS DOUBLE) / (n_tokens * 1e6) * 1e6 + 0.5) / 1e6 AS kl
+        |FROM a ORDER BY source""".stripMargin,
     "q_quality_score" ->
       """WITH base AS (
         |  SELECT doc_id, length(text) AS n_chars,

@@ -70,6 +70,64 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram kl: identical source distributions diverge by 0; a skewed source by the hand value") {
+    val sp = s; import sp.implicits._
+    // srcA and srcB both "a a b" -> each source's dist == corpus dist
+    // -> KL = 0 exactly for both
+    val dir = java.nio.file.Files.createTempDirectory("kl").toString
+    Seq((0L, "a a b", "en", "srcA", 5L), (1L, "a a b", "en", "srcB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("q_unigram_kl")(s, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 3L)
+      assert(r.getAs[Double]("kl") == 0.0)
+    }
+    // skewed: srcA = "a a a a", srcB = "b b b b" -> p(a|A)=1, q(a)=1/2
+    // -> KL(A||corpus) = ln 2 for both sources (snapped per micro-term)
+    val dir2 = java.nio.file.Files.createTempDirectory("kl2").toString
+    Seq((0L, "a a a a", "en", "srcA", 7L), (1L, "b b b b", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = TextPack.queries("q_unigram_kl")(s, dir2).collect()
+    val expect = math.floor(math.floor(4 * math.log(2.0) * 1e6 + 0.5) / (4 * 1e6)
+      * 1e6 + 0.5) / 1e6
+    out2.foreach(r => assert(r.getAs[Double]("kl") == expect))
+  }
+
+  test("tokenizer fertility: punctuation-heavy text pays more bpe tokens per word") {
+    val sp = s; import sp.implicits._
+    // en: "ab cd" -> 2 ws words, 2 bpe tokens -> fertility 1.0
+    // xx: "ab, cd!" -> 2 ws words, 4 bpe tokens (ab , cd !) -> 2.0
+    val dir = java.nio.file.Files.createTempDirectory("fert").toString
+    Seq((0L, "ab cd", "en", "srcA", 5L), (1L, "ab, cd!", "xx", "srcA", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("q_tokenizer_fertility")(s, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("total_ws_tokens"), r.getAs[Long]("total_bpe_tokens"),
+          r.getAs[Double]("fertility"))).toMap
+    assert(out("en") == ((2L, 2L, 1.0)))
+    assert(out("xx") == ((2L, 4L, 2.0)))
+  }
+
+  test("lang confusion: matrix counts equal the lang_id prediction tallies with row shares") {
+    val out = TextPack.queries("q_lang_confusion")(s, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val preds = TextPack.queries("q_lang_id")(s, TestSpark.Sf).collect()
+      .groupBy(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")))
+      .map { case (k, v) => k -> v.length.toLong }
+    out.foreach { r =>
+      val k = (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"))
+      assert(preds(k) == r.getAs[Long]("n_docs"))
+    }
+    // each true_lang's shares sum to 1
+    out.groupBy(_.getAs[String]("true_lang")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("row_share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("zipf slope is negative on every real-corpus source") {
     val out = TextPack.queries("q_zipf_slope")(s, TestSpark.Sf).collect()
     assert(out.nonEmpty)
