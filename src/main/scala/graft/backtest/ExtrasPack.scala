@@ -43,6 +43,63 @@ object ExtrasPack extends QueryPack {
   private[backtest] case class EmaBar(symbol: String, bucket_ms: Long, close: Double)
   private[backtest] case class EmaOut(symbol: String, bucket_ms: Long, ema12: Double, ema26: Double)
 
+  private[backtest] case class CentBar(symbol: String, bucket_ms: Long, cents: Long)
+  private[backtest] case class EwmaOut(symbol: String, bucket_ms: Long, v: Double)
+
+  /** RiskMetrics EWMA variance of minute-bar cent changes: σ²_t =
+    * Σ_{k<m} λ^k·r²_{t−k} / Σ_{k<m} λ^k with λ = 0.94, truncated at the
+    * same 60 taps as [[emaCols]] (residual tail weight λ^60 ≈ 2.4%) and
+    * normalized by the populated weight mass so early bars are unbiased.
+    * Same ring-buffer scan + fixed-k-order float sum as the EMA — the
+    * oracle's explicit lag-chain adds the identical doubles in the
+    * identical order. r² inputs are exact integer cent² values.
+    */
+  /** EWMA weights λ^k quantized to exact 2^20 integer units, k <
+    * EmaTaps, plus the cumulative masses Σ_{k<m}. Quantized-integer
+    * weights make the whole EWMA numerator an EXACT integer sum —
+    * measured: DuckDB reassociates a 60-term float `+` chain (its
+    * literal chain differed from the left-fold by 1 ulp), and at this
+    * magnitude a 1e-6 snap boundary sits inside that noise, so only an
+    * integer formulation is engine-portable (the windowed-float-sum
+    * rule, constant-weights edition).
+    */
+  private[backtest] def quantWeights(lambda: Double): (Array[Long], Array[Long]) = {
+    val w = Array.tabulate(EmaTaps)(k => math.round(math.pow(lambda, k) * (1L << 20)))
+    (w, w.scanLeft(0L)(_ + _))
+  }
+
+  private def ewmaVarScan(s: SparkSession, d: String, lambda: Double): DataFrame = {
+    import s.implicits._
+    val (w, dens) = quantWeights(lambda)
+    val ds = bars1m(s, d)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents")).as[CentBar]
+    graft.operators.SortedScan.perKey(ds, Seq("symbol"), Seq("bucket_ms"))(_.symbol) {
+      (sym, it) =>
+        val buf = new Array[Long](EmaTaps)
+        var n = 0L
+        var prev = Long.MinValue
+        it.flatMap { b =>
+          if (prev == Long.MinValue) { prev = b.cents; Iterator.empty }
+          else {
+            val dpc = b.cents - prev
+            prev = b.cents
+            buf((n % EmaTaps).toInt) = dpc * dpc
+            n += 1
+            val m = math.min(n, EmaTaps.toLong).toInt
+            val newest = ((n - 1) % EmaTaps).toInt
+            var acc = 0L
+            var k = 0
+            while (k < m) {
+              acc = acc + buf((newest - k + EmaTaps) % EmaTaps) * w(k)
+              k += 1
+            }
+            Iterator.single(EwmaOut(sym, b.bucket_ms, acc.toDouble / dens(m).toDouble))
+          }
+        }
+    }.toDF()
+  }
+
   /** Ring-buffer secondary-sort scan: each row costs O(taps) flops over
     * the last 60 closes held in a fixed 60-slot ring — no 60-element
     * array materialized per row (the r02 collect_list sliding frame
@@ -92,6 +149,12 @@ object ExtrasPack extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_vol" -> ((s, d) =>
+      ewmaVarScan(s, d, 0.94)
+        .select(col("symbol"), col("bucket_ms"),
+          Port.r(col("v"), 6).as("ewma_var_cents2"),
+          Port.r(sqrt(col("v")), 6).as("ewma_vol_cents"))
+        .orderBy("symbol", "bucket_ms")),
     "q_signal_buy_hold" -> ((s, d) =>
       Signals.withRn(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"), lit(1).as("signal"))
@@ -280,6 +343,37 @@ object ExtrasPack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_rl_state" -> RlStateSql,
+    "q_ewma_vol" -> {
+      val (wq, masses) = quantWeights(0.94)
+      val num = (0 until EmaTaps).map { k =>
+        s"(coalesce(lag(r2, $k) OVER w, 0) * CAST(${wq(k)} AS HUGEINT))"
+      }.mkString(" + ")
+      val den = (1 to EmaTaps).map { m =>
+        s"WHEN $m THEN ${masses(m)}"
+      }.mkString(s"CASE least(row_number() OVER w, $EmaTaps) ", " ", " END")
+      s"""WITH ${QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms, CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, bucket_ms,
+         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS dpc
+         |  FROM d0
+         |),
+         |d2 AS (
+         |  SELECT symbol, bucket_ms, dpc * dpc AS r2
+         |  FROM d1 WHERE dpc IS NOT NULL
+         |),
+         |e AS (
+         |  SELECT symbol, bucket_ms, CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS v
+         |  FROM d2 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |)
+         |SELECT symbol, bucket_ms,
+         |       floor(v * 1e6 + 0.5) / 1e6 AS ewma_var_cents2,
+         |       floor(sqrt(v) * 1e6 + 0.5) / 1e6 AS ewma_vol_cents
+         |FROM e ORDER BY symbol, bucket_ms""".stripMargin
+    },
     "q_signal_buy_hold" ->
       s"""WITH ${QueryPack.BarsCte}
          |SELECT symbol, bucket_ms, close, 1 AS signal

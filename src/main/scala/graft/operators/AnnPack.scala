@@ -201,7 +201,22 @@ object AnnPack extends QueryPack {
         .withColumn("width", lit(64L) + col("byte_len") % 576)
         .withColumn("height", lit(64L) + (col("byte_len") * 7) % 416)
         .withColumn("n_frames", lit(1L) + col("byte_len") % 30)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q_frame_manifest" -> ((s, d) =>
+      // Frame-sampling manifest: every 4th frame of each media item
+      // (the oracled twin of Multimodal.frameSample's mapPartitions
+      // path — same frame-count/geometry arithmetic, same stride, so
+      // the spec can pin the two row-for-row). The explode fans out
+      // inside the doc's partition; no shuffle beyond the source scan.
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("byte_len"))
+        .withColumn("width", lit(64L) + col("byte_len") % 576)
+        .withColumn("height", lit(64L) + (col("byte_len") * 7) % 416)
+        .withColumn("n_frames", lit(1L) + col("byte_len") % 30)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
+        .select("doc_id", "frame_idx", "width", "height", "n_frames")
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** Session-memoized embedding near-dup pairs via random-hyperplane LSH
@@ -658,6 +673,21 @@ object AnnPack extends QueryPack {
         |       64 + octet_length(CAST(text AS BLOB)) % 576 AS width,
         |       64 + (octet_length(CAST(text AS BLOB)) * 7) % 416 AS height,
         |       1 + octet_length(CAST(text AS BLOB)) % 30 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |         CAST(64 + byte_len % 576 AS BIGINT) AS width,
+        |         CAST(64 + (byte_len * 7) % 416 AS BIGINT) AS height,
+        |         CAST(1 + byte_len % 30 AS BIGINT) AS n_frames
+        |  FROM m
+        |)
+        |SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+        |       width, height, n_frames
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -63,4 +63,33 @@ class EntrySpec extends AnyFunSuite {
       assert(f.pixels.length == math.min(64, math.max(1, 32 * 32 / 64)))
     }
   }
+
+  test("frame manifest query matches the mapPartitions frame sampler row-for-row") {
+    import spark.implicits._
+    val manifest = SparkEntry.queries("q_frame_manifest")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"))).toSet
+    val media = Multimodal.asMedia(Tables.documents(spark, TestSpark.Sf))
+      .selectExpr("doc_id", "media").as[MediaRow]
+    val sampled = Multimodal.frameSample(media, nth = 4)
+      .collect().map(f => (f.doc_id, f.frame_idx.toLong)).toSet
+    assert(manifest == sampled)
+    assert(manifest.nonEmpty)
+  }
+
+  test("ewma vol: constant cent diffs give ewma variance == diff^2 at every bar") {
+    import spark.implicits._
+    // one tick per minute, price += 5 cents -> r2 = 25 constant ->
+    // quantized weighted mean of a constant is the constant exactly
+    val rows = (0 until 70).map(i =>
+      (i.toLong, i * 60000000000L, 9L, "A", 10.00 + i * 0.05, ""))
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_ewma_vol")(spark, dir).collect()
+    assert(out.length == 69) // first bar has no diff
+    out.foreach { r =>
+      assert(r.getAs[Double]("ewma_var_cents2") == 25.0)
+      assert(r.getAs[Double]("ewma_vol_cents") == 5.0)
+    }
+  }
 }
