@@ -319,6 +319,43 @@ object Micro {
       .orderBy("symbol", "lag")
   }
 
+  /** Hawkes self-exciting intensity at each tick (Hawkes 1971; the
+    * order-flow-clustering diagnostic of the point-process literature):
+    * λ_t = μ + α·Σ_{k≤K} exp(−Δt_k/τ) over the K most recent
+    * same-symbol inter-arrival gaps, with μ = 0.1, α = 0.5, τ = 30 s,
+    * K = 20. Each exp term snaps to integer micro-units BEFORE the sum
+    * (transcendental portability: JVM exp and libm exp can differ by an
+    * ulp, and integer chains are reassociation-proof), so the tap sum
+    * is exact; λ is one mirrored op chain. All K lags ride ONE
+    * WindowExec partitioned by (symbol, day) — bounded at any corpus
+    * size; a day's leading ticks simply see fewer taps (documented:
+    * cross-midnight excitation is dropped, like the RV family's
+    * overnight exclusion).
+    */
+  def hawkesIntensity(s: SparkSession, d: String, taps: Int = 20,
+                      tauNs: Double = 30e9): DataFrame = {
+    val w = Window.partitionBy("symbol", "_day").orderBy("ts", "event_id")
+    val base = intTicks(s, d)
+      .withColumn("_day", expr(s"ts div $ChunkNs"))
+    val lagged = base.select(col("symbol") +: col("ts") +: col("event_id") +:
+      (1 to taps).map(k => lag(col("ts"), k).over(w).as(s"t$k")): _*)
+    val termCols = (1 to taps).map { k =>
+      coalesce(
+        floor(exp((col(s"t$k") - col("ts")).cast("double") / tauNs) * 1e6 + lit(0.5))
+          .cast("long"),
+        lit(0L))
+    }
+    val nContrib = (1 to taps).map(k =>
+      when(col(s"t$k").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    lagged
+      .withColumn("s_u", termCols.reduce(_ + _))
+      .withColumn("n_contrib", nContrib)
+      .withColumn("intensity",
+        Port.r(lit(0.1) + lit(0.5) * (col("s_u").cast("double") / 1e6), 6))
+      .select("symbol", "ts", "event_id", "n_contrib", "intensity")
+      .orderBy("symbol", "ts", "event_id")
+  }
+
   /** Roll's implied effective spread per symbol (Roll 1984): the serial
     * covariance of consecutive cent-price changes is −S²/4 under
     * bid-ask bounce, so S = 2·√(−cov) when cov < 0 (0 otherwise). The

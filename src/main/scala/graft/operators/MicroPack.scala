@@ -25,7 +25,8 @@ object MicroPack extends QueryPack {
     "q_vpin" -> ((s, d) => Micro.vpin(s, d)),
     "q_return_acf" -> ((s, d) => Micro.returnAcf(s, d)),
     "q_kyle_lambda" -> ((s, d) => Micro.kyleLambda(s, d)),
-    "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d))
+    "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d)),
+    "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d))
   )
 
   /** Tick-rule sign chain shared by the flow and VPIN mirrors (lazy:
@@ -165,6 +166,33 @@ object MicroPack extends QueryPack {
          |       floor(CAST(num AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
          |             * 1e6 + 0.5) / 1e6 AS acf
          |FROM b ORDER BY symbol, lag""".stripMargin,
+    "q_hawkes_intensity" -> {
+      val taps = 20
+      val lags = (1 to taps).map(k =>
+        s"lag(tsn, $k) OVER w AS t$k").mkString(",\n         |         ")
+      val terms = (1 to taps).map(k =>
+        s"coalesce(CAST(floor(exp(CAST(t$k - tsn AS DOUBLE) / 3e10) * 1e6 + 0.5) AS BIGINT), 0)")
+        .mkString(" + ")
+      val contrib = (1 to taps).map(k =>
+        s"CASE WHEN t$k IS NULL THEN 0 ELSE 1 END").mkString(" + ")
+      s"""WITH $MtCte,
+         |l AS (
+         |  SELECT symbol, tsn, event_id,
+         |         $lags
+         |  FROM mt WINDOW w AS (PARTITION BY symbol, tsn // 86400000000000
+         |    ORDER BY tsn, event_id)
+         |),
+         |t AS (
+         |  SELECT symbol, tsn AS ts, event_id,
+         |         CAST($contrib AS BIGINT) AS n_contrib,
+         |         CAST($terms AS BIGINT) AS s_u
+         |  FROM l
+         |)
+         |SELECT symbol, ts, event_id, n_contrib,
+         |       floor((0.1 + 0.5 * (CAST(s_u AS DOUBLE) / 1e6)) * 1e6 + 0.5) / 1e6
+         |         AS intensity
+         |FROM t ORDER BY symbol, ts, event_id""".stripMargin
+    },
     "q_kyle_lambda" ->
       s"""WITH $SignCte,
          |p AS (

@@ -178,6 +178,29 @@ class MicroSpec extends AnyFunSuite {
     }
   }
 
+  test("hawkes intensity: base rate with no history, hand value at one tau gap") {
+    // tick 0 at t=0 (no taps -> lambda = mu = 0.1), tick 1 exactly
+    // tau = 30 s later (one tap exp(-1)), tick 2 another 30 s on
+    // (taps exp(-1) + exp(-2))
+    val rows = Seq(
+      (0L, 0L, 9L, "A", 10.0, ""),
+      (1L, 30000000000L, 9L, "A", 10.0, ""),
+      (2L, 60000000000L, 9L, "A", 10.0, ""))
+    val dir = java.nio.file.Files.createTempDirectory("hawkes").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.hawkesIntensity(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_contrib"), r.getAs[Double]("intensity"))).toMap
+    def lam(taps: Double*): Double = {
+      val su = taps.map(x => math.floor(math.exp(x) * 1e6 + 0.5)).sum
+      math.floor((0.1 + 0.5 * (su / 1e6)) * 1e6 + 0.5) / 1e6
+    }
+    assert(out(0L) == ((0L, 0.1)))
+    assert(out(1L) == ((1L, lam(-1.0))))
+    assert(out(2L) == ((2L, lam(-1.0, -2.0))))
+  }
+
   test("two-level chunked forms equal flat single-window forms under hour chunks") {
     val sf = TestSpark.Sf
     // flat references computed inline with plain per-symbol windows
