@@ -277,6 +277,30 @@ object TextPack extends QueryPack {
         .withColumn("chars_per_token", col("total_chars").cast("double") /
           col("total_bpe_tokens").cast("double"))
         .orderBy("lang")),
+    "q_gini_sources" -> ((s, d) => {
+      // Corpus-balance diagnostic: Gini concentration of token mass
+      // across sources within each language — G = Σ(2i−n−1)·c_i /
+      // (n·Σc) over sources ranked ascending by mass (source asc
+      // tiebreak). High G = one source dominates the language's data.
+      // Exact integer numerator, one division; every window runs over
+      // the (lang, source) AGGREGATE (dimension scale at any corpus).
+      val v = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("lang", "source").agg(sum("toks").as("c"))
+      val wr = Window.partitionBy("lang").orderBy(col("c").asc, col("source").asc)
+      v.withColumn("i", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("lang")))
+        .withColumn("num", (lit(2L) * col("i") - col("n") - 1L) * col("c"))
+        .groupBy("lang")
+        .agg(max("n").as("n_sources"), max("tot").as("total_tokens"),
+          sum("num").as("s_num"))
+        .withColumn("gini", graft.functions.Port.r(col("s_num").cast("double") /
+          (col("n_sources") * col("total_tokens")).cast("double"), 6))
+        .select("lang", "n_sources", "total_tokens", "gini")
+        .orderBy("lang")
+    }),
     "q_unigram_kl" -> ((s, d) => {
       // Per-source unigram KL divergence KL(p_source || p_corpus) — the
       // distribution-shift diagnostic a mixer reads next to
@@ -902,6 +926,28 @@ object TextPack extends QueryPack {
          |       CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE) AS fertility,
          |       CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token
          |FROM a ORDER BY lang""".stripMargin,
+    "q_gini_sources" ->
+      """WITH v AS (
+        |  SELECT lang, source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY c, source) AS BIGINT) AS i,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+        |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM v
+        |),
+        |a AS (
+        |  SELECT lang, max(n) AS n_sources, max(tot) AS total_tokens,
+        |         CAST(sum((2 * i - n - 1) * c) AS BIGINT) AS s_num
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT lang, n_sources, total_tokens,
+        |       floor(CAST(s_num AS DOUBLE) / CAST(n_sources * total_tokens AS DOUBLE)
+        |             * 1e6 + 0.5) / 1e6 AS gini
+        |FROM a ORDER BY lang""".stripMargin,
     "q_unigram_kl" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -114,6 +114,66 @@ object Vol {
       .orderBy("symbol", "hour_of_day")
   }
 
+  /** Markov regime-transition matrix per symbol over minute-bar return
+    * states {−1, 0, +1} (down/flat/up by cent diff sign): transition
+    * counts are exact integers; each row's probability divides by the
+    * from-state total via a window over the ≤9-row-per-symbol
+    * AGGREGATED matrix. The regime-persistence diagnostic read next to
+    * q_return_acf/q_variance_ratio.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("s_to", signum(col("cents") - lag("cents", 1).over(w)).cast("int"))
+      .withColumn("s_from", lag("s_to", 1).over(w))
+      .filter(col("s_to").isNotNull && col("s_from").isNotNull)
+      .groupBy("symbol", "s_from", "s_to")
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p", col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy("symbol", "s_from")).cast("double"))
+      .orderBy("symbol", "s_from", "s_to")
+  }
+
+  /** Wald–Wolfowitz runs test per symbol on the up/down sequence of
+    * minute-bar cent diffs (flats dropped, the classic binary form):
+    * R = 1 + Σ[sign flips], E[R] and Var[R] closed-form in the up/down
+    * counts, z = (R − E)/√Var — every factor an exact integer, the
+    * moments mirrored single IEEE op chains, z snapped.
+    */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val signs = Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dpc", col("cents") - lag("cents", 1).over(w))
+      .filter(col("dpc").isNotNull && col("dpc") =!= 0)
+      .withColumn("sg", signum(col("dpc")).cast("int"))
+    // the flip window re-partitions over the FILTERED sign stream
+    val wf = Window.partitionBy("symbol").orderBy("bucket_ms")
+    signs
+      .withColumn("flip",
+        when(lag("sg", 1).over(wf).isNull, 0L)
+          .when(col("sg") =!= lag("sg", 1).over(wf), 1L).otherwise(0L))
+      .groupBy("symbol")
+      .agg(sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_down"),
+        (sum(col("flip")) + 1L).as("n_runs"))
+      .withColumn("m", (lit(2.0) * col("n_up") * col("n_down")).cast("double") /
+        (col("n_up") + col("n_down")).cast("double") + lit(1.0))
+      .withColumn("v",
+        (lit(2.0) * col("n_up") * col("n_down") *
+          (lit(2.0) * col("n_up") * col("n_down") - col("n_up") - col("n_down"))) /
+          ((col("n_up") + col("n_down")).cast("double") *
+            (col("n_up") + col("n_down")).cast("double") *
+            (col("n_up") + col("n_down") - 1).cast("double")))
+      .withColumn("z_score",
+        Port.r((col("n_runs").cast("double") - col("m")) / sqrt(col("v")), 6))
+      .select("symbol", "n_up", "n_down", "n_runs", "z_score")
+      .orderBy("symbol")
+  }
+
   /** Pairwise lead-lag cross-correlation: Pearson corr of symbol a's
     * hour-bar cent diff at bucket t vs symbol b's diff at t − lag·1h,
     * for every ordered pair a ≠ b and lag ∈ {0, 1, 2} — "does b lead
@@ -162,7 +222,9 @@ object VolPack extends graft.QueryPack {
     "q_realized_vol" -> ((s, d) => Vol.realizedVol(s, d)),
     "q_amihud_illiq" -> ((s, d) => Vol.amihud(s, d)),
     "q_intraday_profile" -> ((s, d) => Vol.intradayProfile(s, d)),
-    "q_lead_lag_corr" -> ((s, d) => Vol.leadLagCorr(s, d))
+    "q_lead_lag_corr" -> ((s, d) => Vol.leadLagCorr(s, d)),
+    "q_markov_transitions" -> ((s, d) => Vol.markovTransitions(s, d)),
+    "q_runs_test" -> ((s, d) => Vol.runsTest(s, d))
   )
 
   /** Mirror CTE: within-day cent diffs over the integer tick frame. */
@@ -228,6 +290,74 @@ object VolPack extends graft.QueryPack {
          |         / CAST(sum(volume) OVER (PARTITION BY symbol) AS DOUBLE)
          |         * 1e6 + 0.5) / 1e6 AS vol_share
          |FROM g ORDER BY symbol, hour_of_day""".stripMargin,
+    "q_markov_transitions" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(sign(cents - lag(cents) OVER (PARTITION BY symbol
+         |           ORDER BY bucket_ms)) AS INT) AS s_to
+         |  FROM d0
+         |),
+         |d2 AS (
+         |  SELECT symbol, s_to,
+         |         lag(s_to) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS s_from
+         |  FROM d1
+         |),
+         |m AS (
+         |  SELECT symbol, s_from, s_to, count(*) AS n_trans
+         |  FROM d2 WHERE s_to IS NOT NULL AND s_from IS NOT NULL GROUP BY 1, 2, 3
+         |)
+         |SELECT symbol, s_from, s_to, n_trans,
+         |       CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER (
+         |         PARTITION BY symbol, s_from) AS DOUBLE) AS p
+         |FROM m ORDER BY symbol, s_from, s_to""".stripMargin,
+    "q_runs_test" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, bucket_ms,
+         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS dpc
+         |  FROM d0
+         |),
+         |sg AS (
+         |  SELECT symbol, bucket_ms, CAST(sign(dpc) AS INT) AS sg
+         |  FROM d1 WHERE dpc IS NOT NULL AND dpc <> 0
+         |),
+         |fl AS (
+         |  SELECT symbol, sg,
+         |         CASE WHEN lag(sg) OVER w IS NULL THEN 0
+         |              WHEN sg <> lag(sg) OVER w THEN 1 ELSE 0 END AS flip
+         |  FROM sg WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |a AS (
+         |  SELECT symbol,
+         |         CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |         CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |         CAST(sum(flip) + 1 AS BIGINT) AS n_runs
+         |  FROM fl GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT *,
+         |         CAST(2 AS DOUBLE) * n_up * n_down
+         |           / CAST(n_up + n_down AS DOUBLE) + 1.0 AS m,
+         |         (CAST(2 AS DOUBLE) * n_up * n_down *
+         |           (CAST(2 AS DOUBLE) * n_up * n_down - n_up - n_down))
+         |           / (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE)
+         |              * CAST(n_up + n_down - 1 AS DOUBLE)) AS v
+         |  FROM a
+         |)
+         |SELECT symbol, n_up, n_down, n_runs,
+         |       floor((CAST(n_runs AS DOUBLE) - m) / sqrt(v) * 1e6 + 0.5) / 1e6 AS z_score
+         |FROM b ORDER BY symbol""".stripMargin,
     "q_lead_lag_corr" ->
       s"""WITH ${graft.QueryPack.barsCteAt(3600)},
          |d0 AS (

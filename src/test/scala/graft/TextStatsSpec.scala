@@ -128,6 +128,24 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("gini sources: balanced mass gives 0, a 9:1 split gives 0.4") {
+    val sp = s; import sp.implicits._
+    // en: two sources with equal token mass -> gini 0
+    // xx: source masses 1 and 9 -> G = ((2*1-3)*1 + (2*2-3)*9)/(2*10) = 0.4
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    Seq(
+      (0L, "a b c", "en", "s1", 5L), (1L, "d e f", "en", "s2", 5L),
+      (2L, "a", "xx", "s1", 1L),
+      (3L, "a b c d e f g h i", "xx", "s2", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("q_gini_sources")(s, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_sources"), r.getAs[Double]("gini"))).toMap
+    assert(out("en") == ((2L, 0.0)))
+    assert(out("xx") == ((2L, 0.4)))
+  }
+
   test("zipf slope is negative on every real-corpus source") {
     val out = TextPack.queries("q_zipf_slope")(s, TestSpark.Sf).collect()
     assert(out.nonEmpty)

@@ -82,6 +82,38 @@ class VolSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 10L, 4L, 0.25)))
   }
 
+  test("markov transitions: perfect alternation yields only cross transitions at p = 1") {
+    // minute closes alternate 50.01/49.99 -> states alternate +1/-1
+    val rows = (0 until 24).map(i =>
+      (i.toLong, i * 60000000000L, 9L, "A", if (i % 2 == 0) 50.01 else 49.99))
+    val dir = corpus("markov", rows)
+    val out = Vol.markovTransitions(spark, dir).collect()
+      .map(r => (r.getAs[Int]("s_from"), r.getAs[Int]("s_to")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Double]("p"))).toMap
+    assert(out.keySet == Set((-1, 1), (1, -1)))
+    assert(out((-1, 1))._2 == 1.0)
+    assert(out((1, -1))._2 == 1.0)
+    // 23 diffs -> 22 transitions split 11/11
+    assert(out((-1, 1))._1 + out((1, -1))._1 == 22L)
+  }
+
+  test("runs test: perfect alternation maximizes runs with the hand z-score") {
+    val rows = (0 until 24).map(i =>
+      (i.toLong, i * 60000000000L, 9L, "A", if (i % 2 == 0) 50.01 else 49.99))
+    val dir = corpus("runs", rows)
+    val r = Vol.runsTest(spark, dir).collect().head
+    // 23 diffs: -2 first (12 of -1, 11 of +1), all adjacent flips -> 23 runs
+    val (nu, nd, nr) = (11.0, 12.0, 23.0)
+    assert(r.getAs[Long]("n_up") == nu.toLong)
+    assert(r.getAs[Long]("n_down") == nd.toLong)
+    assert(r.getAs[Long]("n_runs") == nr.toLong)
+    val m = 2.0 * nu * nd / (nu + nd) + 1.0
+    val v = (2.0 * nu * nd * (2.0 * nu * nd - nu - nd)) /
+      ((nu + nd) * (nu + nd) * (nu + nd - 1))
+    val z = math.floor((nr - m) / math.sqrt(v) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z_score") == z)
+  }
+
   test("lead-lag: a symbol replaying another's diffs one hour later correlates at 1") {
     // A's hourly cent diffs: +2, -4, +6, -8, +10 (varied, non-constant);
     // B's diff at hour t equals A's at t-1 -> corr(B, A, lag=1) = 1.
