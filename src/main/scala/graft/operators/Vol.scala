@@ -114,6 +114,63 @@ object Vol {
       .orderBy("symbol", "hour_of_day")
   }
 
+  /** Day-of-week seasonality per symbol: average daily cent return
+    * (close − open, exact integers) and volume by weekday (0 = Sunday;
+    * epoch day 0 was a Thursday). One daily aggregate, one 7-row
+    * weekday aggregate, single-division means.
+    */
+  def seasonalityDow(s: SparkSession, d: String): DataFrame =
+    Micro.intTicks(s, d)
+      .withColumn("day", expr(s"ts div $DayNs"))
+      .groupBy("symbol", "day")
+      .agg(expr("min_by(cents, ts)").as("open_c"),
+        expr("max_by(cents, ts)").as("close_c"),
+        sum("vol").as("volume"))
+      .withColumn("dow", (col("day") + 4) % 7)
+      .groupBy("symbol", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("close_c") - col("open_c")).as("s_ret"),
+        sum("volume").as("total_volume"))
+      .withColumn("avg_ret_cents",
+        col("s_ret").cast("double") / col("n_days").cast("double"))
+      .select("symbol", "dow", "n_days", "avg_ret_cents", "total_volume")
+      .orderBy("symbol", "dow")
+
+  /** Event study around extreme bar moves: for each symbol's top-10
+    * largest absolute minute-bar cent moves (|Δp| desc, time asc
+    * tiebreak), the average move at relative offsets −3..+3 minutes —
+    * the abnormal-return context curve a signal researcher reads
+    * before building an event trigger. The event set is tiny (10 ×
+    * symbols × 7 offsets) and broadcast-joins back onto the bar frame;
+    * means are exact integer sums over counts.
+    */
+  def eventStudy(s: SparkSession, d: String, topK: Int = 10,
+                 maxOff: Int = 3): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val bars = Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("dpc", col("cents") - lag("cents", 1).over(w))
+      .filter(col("dpc").isNotNull)
+      .select("symbol", "bucket_ms", "dpc")
+    val events = bars
+      .withColumn("rk", row_number().over(Window.partitionBy("symbol")
+        .orderBy(abs(col("dpc")).desc, col("bucket_ms").asc)))
+      .filter(col("rk") <= topK)
+      .withColumn("off", explode(array((-maxOff to maxOff).map(k => lit(k.toLong)): _*)))
+      .select(col("symbol"), col("off"),
+        (col("bucket_ms") + col("off") * 60000L).as("bucket_ms"))
+    bars.join(broadcast(events), Seq("symbol", "bucket_ms"))
+      .groupBy("symbol", "off")
+      .agg(count(lit(1)).as("n_obs"),
+        sum("dpc").as("s_dpc"),
+        sum(abs(col("dpc"))).as("s_abs"))
+      .withColumn("avg_dpc", col("s_dpc").cast("double") / col("n_obs").cast("double"))
+      .withColumn("avg_abs_dpc", col("s_abs").cast("double") / col("n_obs").cast("double"))
+      .select("symbol", "off", "n_obs", "avg_dpc", "avg_abs_dpc")
+      .orderBy("symbol", "off")
+  }
+
   /** Markov regime-transition matrix per symbol over minute-bar return
     * states {−1, 0, +1} (down/flat/up by cent diff sign): transition
     * counts are exact integers; each row's probability divides by the
@@ -224,7 +281,9 @@ object VolPack extends graft.QueryPack {
     "q_intraday_profile" -> ((s, d) => Vol.intradayProfile(s, d)),
     "q_lead_lag_corr" -> ((s, d) => Vol.leadLagCorr(s, d)),
     "q_markov_transitions" -> ((s, d) => Vol.markovTransitions(s, d)),
-    "q_runs_test" -> ((s, d) => Vol.runsTest(s, d))
+    "q_runs_test" -> ((s, d) => Vol.runsTest(s, d)),
+    "q_seasonality_dow" -> ((s, d) => Vol.seasonalityDow(s, d)),
+    "q_event_study" -> ((s, d) => Vol.eventStudy(s, d))
   )
 
   /** Mirror CTE: within-day cent diffs over the integer tick frame. */
@@ -290,6 +349,66 @@ object VolPack extends graft.QueryPack {
          |         / CAST(sum(volume) OVER (PARTITION BY symbol) AS DOUBLE)
          |         * 1e6 + 0.5) / 1e6 AS vol_share
          |FROM g ORDER BY symbol, hour_of_day""".stripMargin,
+    "q_seasonality_dow" ->
+      s"""WITH ${MicroPack.MtCte},
+         |dd AS (
+         |  SELECT symbol, tsn // 86400000000000 AS day,
+         |         arg_min(cents, tsn) AS open_c, arg_max(cents, tsn) AS close_c,
+         |         CAST(sum(vol) AS BIGINT) AS volume
+         |  FROM mt GROUP BY 1, 2
+         |),
+         |a AS (
+         |  SELECT symbol, (day + 4) % 7 AS dow, count(*) AS n_days,
+         |         CAST(sum(close_c - open_c) AS BIGINT) AS s_ret,
+         |         CAST(sum(volume) AS BIGINT) AS total_volume
+         |  FROM dd GROUP BY 1, 2
+         |)
+         |SELECT symbol, dow, n_days,
+         |       CAST(s_ret AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_ret_cents,
+         |       total_volume
+         |FROM a ORDER BY symbol, dow""".stripMargin,
+    "q_event_study" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, bucket_ms,
+         |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS dpc
+         |  FROM d0
+         |),
+         |dn AS (SELECT * FROM d1 WHERE dpc IS NOT NULL),
+         |ev AS (
+         |  SELECT symbol, bucket_ms FROM (
+         |    SELECT symbol, bucket_ms,
+         |           row_number() OVER (PARTITION BY symbol
+         |             ORDER BY abs(dpc) DESC, bucket_ms) AS rk
+         |    FROM dn
+         |  ) WHERE rk <= 10
+         |),
+         |probe AS (
+         |  SELECT e.symbol, CAST(o.off AS BIGINT) AS off,
+         |         e.bucket_ms + o.off * 60000 AS bucket_ms
+         |  FROM ev e CROSS JOIN (
+         |    SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS off) o
+         |),
+         |j AS (
+         |  SELECT b.symbol, p.off, b.dpc
+         |  FROM dn b JOIN probe p
+         |    ON b.symbol = p.symbol AND b.bucket_ms = p.bucket_ms
+         |),
+         |a AS (
+         |  SELECT symbol, off, count(*) AS n_obs,
+         |         CAST(sum(dpc) AS BIGINT) AS s_dpc,
+         |         CAST(sum(abs(dpc)) AS BIGINT) AS s_abs
+         |  FROM j GROUP BY 1, 2
+         |)
+         |SELECT symbol, off, n_obs,
+         |       CAST(s_dpc AS DOUBLE) / CAST(n_obs AS DOUBLE) AS avg_dpc,
+         |       CAST(s_abs AS DOUBLE) / CAST(n_obs AS DOUBLE) AS avg_abs_dpc
+         |FROM a ORDER BY symbol, off""".stripMargin,
     "q_markov_transitions" ->
       s"""WITH ${graft.QueryPack.BarsCte},
          |d0 AS (

@@ -114,6 +114,45 @@ class VolSpec extends AnyFunSuite {
     assert(r.getAs[Double]("z_score") == z)
   }
 
+  test("seasonality dow: weekday means from planted daily opens/closes") {
+    // day 0 (Thursday, dow 4): open 100.00 close 101.00 -> +100 cents
+    // day 1 (Friday, dow 5): open 101.00 close 100.50 -> -50 cents
+    // day 7 (Thursday): open 100.00 close 100.20 -> +20 cents
+    def t(day: Long, sec: Long) = day * DayNs + sec * 1000000000L
+    val dir = corpus("dow", Seq(
+      (0L, t(0, 1), 9L, "A", 100.00), (1L, t(0, 2), 9L, "A", 101.00),
+      (2L, t(1, 1), 9L, "A", 101.00), (3L, t(1, 2), 9L, "A", 100.50),
+      (4L, t(7, 1), 9L, "A", 100.00), (5L, t(7, 2), 9L, "A", 100.20)))
+    val out = Vol.seasonalityDow(spark, dir).collect()
+      .map(r => r.getAs[Long]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("avg_ret_cents"))).toMap
+    assert(out(4L) == ((2L, 60.0))) // (100 + 20) / 2
+    assert(out(5L) == ((1L, -50.0)))
+  }
+
+  test("event study: the spike minute dominates and its neighbors appear at the right offsets") {
+    // one tick per minute, flat at 50.00 except a +1.00 spike at minute 30
+    // (diff +100) and the -100 reversion at minute 31; all other diffs 0.
+    // Top-10 by |dpc|: the two spike bars + 8 zero-diff ties (by time).
+    val rows = (1 until 60).map { i =>
+      val p = if (i == 30) 51.00 else 50.00
+      (i.toLong, i * 60000000000L, 9L, "A", p)
+    }
+    val dir = corpus("evstudy", rows)
+    val out = Vol.eventStudy(spark, dir).collect()
+      .map(r => r.getAs[Long]("off") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("avg_dpc"))).toMap
+    // at off 0 the two spike bars (+100, -100) average to 0 with the
+    // 8 zero ties -> avg 0; every offset cell must net to an integer
+    // multiple of 100/n_obs
+    assert(out.contains(0L))
+    assert(out(0L)._2 == 0.0)
+    // off = +1 sees the -100 reversion following the +100 spike
+    assert(out(1L)._2 < 0.0)
+    // off = -1 sees the +100 spike preceding the reversion
+    assert(out(-1L)._2 > 0.0)
+  }
+
   test("lead-lag: a symbol replaying another's diffs one hour later correlates at 1") {
     // A's hourly cent diffs: +2, -4, +6, -8, +10 (varied, non-constant);
     // B's diff at hour t equals A's at t-1 -> corr(B, A, lag=1) = 1.
