@@ -319,6 +319,52 @@ object Micro {
       .orderBy("symbol", "lag")
   }
 
+  case class CusumTick(symbol: String, ts: Long, event_id: Long, cents: Long)
+  case class CusumEvent(symbol: String, ts: Long, event_id: Long,
+                        direction: Int, s_cents: Long, n_ticks: Long)
+
+  /** CUSUM event filter (López de Prado AFML ch. 2.5.2.1, the
+    * event-based sampling scheme): symmetric cumulative sums of cent
+    * diffs, S⁺ = max(0, S⁺+Δ), S⁻ = min(0, S⁻+Δ); emit an event and
+    * reset both when either crosses ±h. The reset makes the recursion
+    * genuinely sequential (NOT window-expressible — the event set
+    * feeds back into the state), so this is a SortedScan per symbol:
+    * rows-only in the driver gate, spec-pinned against an in-test
+    * sequential fold; state is three longs regardless of history
+    * length, parallel across symbols.
+    */
+  def cusumEvents(s: SparkSession, d: String, h: Long = 20L): DataFrame = {
+    import s.implicits._
+    val ds = intTicks(s, d)
+      .select(col("symbol"), col("ts"), col("event_id"), col("cents")).as[CusumTick]
+    SortedScan.perKey(ds, Seq("symbol"), Seq("ts", "event_id"))(_.symbol) {
+      (sym, it) =>
+        var prev = Long.MinValue
+        var sp = 0L
+        var sm = 0L
+        var n = 0L
+        it.flatMap { t =>
+          if (prev == Long.MinValue) { prev = t.cents; Iterator.empty }
+          else {
+            val dpc = t.cents - prev
+            prev = t.cents
+            n += 1
+            sp = math.max(0L, sp + dpc)
+            sm = math.min(0L, sm + dpc)
+            if (sp >= h) {
+              val e = CusumEvent(sym, t.ts, t.event_id, 1, sp, n)
+              sp = 0L; sm = 0L; n = 0L
+              Iterator.single(e)
+            } else if (sm <= -h) {
+              val e = CusumEvent(sym, t.ts, t.event_id, -1, sm, n)
+              sp = 0L; sm = 0L; n = 0L
+              Iterator.single(e)
+            } else Iterator.empty
+          }
+        }
+    }.toDF().orderBy("symbol", "ts", "event_id")
+  }
+
   /** Hawkes self-exciting intensity at each tick (Hawkes 1971; the
     * order-flow-clustering diagnostic of the point-process literature):
     * λ_t = μ + α·Σ_{k≤K} exp(−Δt_k/τ) over the K most recent

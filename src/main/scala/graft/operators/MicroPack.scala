@@ -26,7 +26,10 @@ object MicroPack extends QueryPack {
     "q_return_acf" -> ((s, d) => Micro.returnAcf(s, d)),
     "q_kyle_lambda" -> ((s, d) => Micro.kyleLambda(s, d)),
     "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d)),
-    "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d))
+    "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d)),
+    // rows-only (no oracle): the reset feedback makes CUSUM genuinely
+    // sequential; MicroSpec pins it against an in-test sequential fold
+    "q_cusum_events" -> ((s, d) => Micro.cusumEvents(s, d))
   )
 
   /** Tick-rule sign chain shared by the flow and VPIN mirrors (lazy:

@@ -277,6 +277,38 @@ object TextPack extends QueryPack {
         .withColumn("chars_per_token", col("total_chars").cast("double") /
           col("total_bpe_tokens").cast("double"))
         .orderBy("lang")),
+    "q_preference_pairs" -> ((s, d) => {
+      // Preference-pair construction for reward-model data prep: per
+      // (lang, source) cell, the highest- and lowest-quality doc
+      // (q_quality_score's composite; doc_id asc tiebreaks) as a
+      // (chosen, rejected) pair with the quality gap. Extremes via
+      // struct-ordered min/max aggregates — one hash agg, NO ranking
+      // window over the doc corpus (scale posture: the cell count is
+      // dimension-scale; the oracle may rank because DuckDB is only
+      // the referee).
+      val q = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        size(filter(split(col("text"), " "),
+          t => t === "the" || t === "a")).cast("long").as("n_stop"))
+        .withColumn("quality",
+          least(col("n_chars") / 500.0, lit(1.0)) * 0.4 +
+            (col("n_distinct") / col("n_tokens")) * 0.3 +
+            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3)
+      q.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("hi"),
+          min(struct(col("quality"), col("doc_id").as("id"))).as("lo"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          (-col("hi.nid")).as("chosen_doc_id"),
+          col("lo.id").as("rejected_doc_id"),
+          graft.functions.Port.r(col("hi.quality"), 6).as("chosen_q"),
+          graft.functions.Port.r(col("lo.quality"), 6).as("rejected_q"),
+          graft.functions.Port.r(col("hi.quality") - col("lo.quality"), 6).as("q_gap"))
+        .orderBy("lang", "source")
+    }),
     "q_gini_sources" -> ((s, d) => {
       // Corpus-balance diagnostic: Gini concentration of token mass
       // across sources within each language — G = Σ(2i−n−1)·c_i /
@@ -926,6 +958,40 @@ object TextPack extends QueryPack {
          |       CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE) AS fertility,
          |       CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token
          |FROM a ORDER BY lang""".stripMargin,
+    "q_preference_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, length(text) AS n_chars,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t = 'the' OR t = 'a')) AS n_stop
+        |  FROM documents
+        |),
+        |qd AS (
+        |  SELECT doc_id, lang, source,
+        |         least(n_chars / 500.0, 1.0) * 0.4 + (n_distinct / n_tokens) * 0.3
+        |           + (1.0 - n_stop / n_tokens) * 0.3 AS quality
+        |  FROM base
+        |),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY quality DESC, doc_id) AS rk_hi,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY quality, doc_id) AS rk_lo
+        |  FROM qd
+        |),
+        |hi AS (SELECT lang, source, doc_id AS chosen_doc_id, quality AS cq
+        |       FROM r WHERE rk_hi = 1),
+        |lo AS (SELECT lang, source, doc_id AS rejected_doc_id, quality AS rq
+        |       FROM r WHERE rk_lo = 1),
+        |n AS (SELECT lang, source, count(*) AS n_docs FROM qd GROUP BY 1, 2)
+        |SELECT n.lang, n.source, n.n_docs, chosen_doc_id, rejected_doc_id,
+        |       floor(cq * 1e6 + 0.5) / 1e6 AS chosen_q,
+        |       floor(rq * 1e6 + 0.5) / 1e6 AS rejected_q,
+        |       floor((cq - rq) * 1e6 + 0.5) / 1e6 AS q_gap
+        |FROM n JOIN hi USING (lang, source) JOIN lo USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q_gini_sources" ->
       """WITH v AS (
         |  SELECT lang, source,

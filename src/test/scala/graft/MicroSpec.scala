@@ -201,6 +201,49 @@ class MicroSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, lam(-1.0, -2.0))))
   }
 
+  test("cusum events: planted drift triggers at threshold; real feed matches a sequential fold") {
+    // diffs +2 per tick with h=20 -> an event exactly every 10 diffs
+    val rows = (0 until 31).map(i =>
+      (i.toLong, (i + 1) * 1000000000L, 9L, "A", 10.00 + i * 0.02, ""))
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.cusumEvents(spark, dir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Int]("direction") == 1)
+      assert(r.getAs[Long]("s_cents") == 20L)
+      assert(r.getAs[Long]("n_ticks") == 10L)
+    }
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(10L, 20L, 30L))
+
+    // real feed: the distributed scan equals a driver-side sequential fold
+    val got = Micro.cusumEvents(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("direction"), r.getAs[Long]("s_cents"))).toSeq
+    val ticks = Micro.intTicks(spark, TestSpark.Sf)
+      .select("symbol", "ts", "event_id", "cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val expect = ticks.groupBy(_._1).toSeq.flatMap { case (sym, ts) =>
+      var prev = Long.MinValue
+      var sp = 0L; var sm = 0L
+      ts.flatMap { case (_, _, eid, cents) =>
+        if (prev == Long.MinValue) { prev = cents; None }
+        else {
+          val dpc = cents - prev; prev = cents
+          sp = math.max(0L, sp + dpc); sm = math.min(0L, sm + dpc)
+          if (sp >= 20L) { val e = (sym, eid, 1, sp); sp = 0; sm = 0; Some(e) }
+          else if (sm <= -20L) { val e = (sym, eid, -1, sm); sp = 0; sm = 0; Some(e) }
+          else None
+        }
+      }
+    }
+    assert(got.toSet == expect.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("two-level chunked forms equal flat single-window forms under hour chunks") {
     val sf = TestSpark.Sf
     // flat references computed inline with plain per-symbol windows

@@ -146,6 +146,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("xx") == ((2L, 0.4)))
   }
 
+  test("preference pairs: the high-quality doc is chosen over the stopword-heavy one") {
+    val sp = s; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pref").toString
+    Seq(
+      (0L, "the the the", "en", "s1", 11L),          // repetitive + all-stopword
+      (1L, "alpha beta gamma", "en", "s1", 16L))     // distinct, no stopwords
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextPack.queries("q_preference_pairs")(s, dir).collect().head
+    assert(r.getAs[Long]("chosen_doc_id") == 1L)
+    assert(r.getAs[Long]("rejected_doc_id") == 0L)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Double]("q_gap") > 0.4)
+  }
+
   test("zipf slope is negative on every real-corpus source") {
     val out = TextPack.queries("q_zipf_slope")(s, TestSpark.Sf).collect()
     assert(out.nonEmpty)
