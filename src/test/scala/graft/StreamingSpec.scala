@@ -411,3 +411,35 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 }
+
+class StreamingCusumSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import graft.operators.Micro
+  import graft.streaming.StreamingCusum
+  import graft.streaming.StreamingCusum.Tick
+
+  test("streaming CUSUM events equal the batch filter event-for-event across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = TestSpark.Sf
+    val ticks = Micro.intTicks(spark, sf)
+      .select("symbol", "ts", "event_id", "cents")
+      .as[Tick].collect().sortBy(t => (t.ts, t.event_id))
+    val chunks = ticks.grouped(math.max(1, ticks.length / 4 + 1)).toSeq
+    val input = MemoryStream[Tick]
+    val q = StreamingCusum.track(input.toDS(), h = 20L)
+      .writeStream.format("memory").queryName("scusum").outputMode("append").start()
+    chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("scusum").collect().map(r =>
+      (r.getAs[String]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("direction"), r.getAs[Long]("s_cents"), r.getAs[Long]("n_ticks")))
+      .toSet
+    val batch = Micro.cusumEvents(spark, sf).collect().map(r =>
+      (r.getAs[String]("symbol"), r.getAs[Long]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("direction"), r.getAs[Long]("s_cents"), r.getAs[Long]("n_ticks")))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+}
