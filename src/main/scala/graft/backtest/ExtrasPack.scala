@@ -159,6 +159,68 @@ object ExtrasPack extends QueryPack {
       Signals.withRn(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"), lit(1).as("signal"))
         .orderBy("symbol", "bucket_ms")),
+    "q_ic_decay" -> ((s, d) => {
+      // Information-coefficient decay: pooled Pearson corr of each raw
+      // signal vs the forward cent move at horizons 1/5/10 bars — the
+      // signal-evaluation table read before q_strategy_comparison.
+      // Signals are exact ±1/0 ints and forward moves exact cent
+      // diffs, so ALL co-moments are exact decimal(38,0)/HUGEINT sums;
+      // constant-signal cells pin ic = 0 (no NaN divergence). One
+      // WindowExec carries all three leads; stack melts strategy and
+      // horizon so ONE moment aggregate serves the 9 cells.
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val f = allThreeCached(s, d)
+        .withColumn("cents", floor(col("close") * 100 + lit(0.5)).cast("long"))
+        .select(col("symbol"), col("bucket_ms"),
+          col("s_ma").cast("long").as("x1"), col("s_mr").cast("long").as("x2"),
+          col("s_mo").cast("long").as("x3"),
+          (lead(col("cents"), 1).over(w) - col("cents")).as("f1"),
+          (lead(col("cents"), 5).over(w) - col("cents")).as("f5"),
+          (lead(col("cents"), 10).over(w) - col("cents")).as("f10"))
+      f.selectExpr("symbol",
+        "stack(3, 'ma_cross', x1, 'mean_reversion', x2, 'momentum', x3) AS (strategy, x)",
+        "f1", "f5", "f10")
+        .selectExpr("strategy", "x",
+          "stack(3, 1L, f1, 5L, f5, 10L, f10) AS (horizon, y)")
+        .filter(col("y").isNotNull)
+        .groupBy("strategy", "horizon")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("y").cast(dec38)).as("sy"),
+          sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec38)).as("syy"))
+        .withColumn("nd", col("n_obs").cast(dec38))
+        .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
+        .withColumn("ic", when(col("dxx") === 0 || col("dyy") === 0, lit(0.0))
+          .otherwise(Port.r(col("num").cast("double") /
+            sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6)))
+        .select("strategy", "horizon", "n_obs", "ic")
+        .orderBy("strategy", "horizon")
+    }),
+    "q_signal_turnover" -> ((s, d) => {
+      // Signal turnover per (symbol, strategy): mean |Δsignal| and flip
+      // count — the trading-cost burden read next to q_ic_decay (an IC
+      // that doesn't clear the turnover cost is not a signal). Exact
+      // integer sums, one division.
+      val w2 = Window.partitionBy("symbol", "strategy").orderBy("bucket_ms")
+      allThreeCached(s, d).selectExpr("symbol", "bucket_ms",
+        """stack(3, 'ma_cross', CAST(s_ma AS LONG),
+          |'mean_reversion', CAST(s_mr AS LONG),
+          |'momentum', CAST(s_mo AS LONG)) AS (strategy, x)""".stripMargin)
+        .withColumn("dx", abs(col("x") - lag("x", 1).over(w2)))
+        .groupBy("symbol", "strategy")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(when(col("dx") > 0, 1L).otherwise(0L)).as("n_changes"),
+          coalesce(sum("dx"), lit(0L)).as("s_dx"))
+        .withColumn("turnover",
+          col("s_dx").cast("double") / col("n_bars").cast("double"))
+        .select("symbol", "strategy", "n_bars", "n_changes", "turnover")
+        .orderBy("symbol", "strategy")
+    }),
     "q_signal_ensemble" -> ((s, d) =>
       // one fused window pass for all three member signals — the old
       // three-pipeline + two-join form re-sorted the same bars thrice
@@ -341,6 +403,35 @@ object ExtrasPack extends QueryPack {
        |FROM st ORDER BY symbol, bucket_ms""".stripMargin
   }
 
+  /** Shared mirror CTE: the three raw signals per (symbol, bar) —
+    * values hash-proven equal to allThreeCached's s_ma/s_mr/s_mo by
+    * the q_signal_ensemble oracle. Final CTE: `votes` (keeps close
+    * for downstream forward-return mirrors).
+    */
+  private val VotesCte: String =
+    s"""${QueryPack.BarsCte},
+       |sig AS (
+       |  SELECT symbol, bucket_ms,
+       |         row_number() OVER w AS rn,
+       |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
+       |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma,
+       |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
+       |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+       |         lag(close, 20) OVER w AS lag20, close
+       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+       |),
+       |votes AS (
+       |  SELECT symbol, bucket_ms, close,
+       |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS s1,
+       |         CASE WHEN rn < 20 THEN 0
+       |              WHEN (close - mu20) / sd20 < -2.0 THEN 1
+       |              WHEN (close - mu20) / sd20 > 2.0 THEN -1 ELSE 0 END AS s2,
+       |         CASE WHEN rn <= 20 THEN 0
+       |              WHEN close / lag20 - 1 > 0.02 THEN 1
+       |              WHEN close / lag20 - 1 < -0.02 THEN -1 ELSE 0 END AS s3
+       |  FROM sig
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_rl_state" -> RlStateSql,
     "q_ewma_vol" -> {
@@ -382,32 +473,77 @@ object ExtrasPack extends QueryPack {
       s"""WITH ${BtSql.StackedStrategiesWithPeakCte}
          |${BtSql.metricsSelect("strategy, symbol")}""".stripMargin,
     "q_signal_ensemble" ->
-      s"""WITH ${QueryPack.BarsCte},
-         |sig AS (
-         |  SELECT symbol, bucket_ms,
-         |         row_number() OVER w AS rn,
-         |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-         |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma,
-         |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
-         |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
-         |         lag(close, 20) OVER w AS lag20, close
-         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
-         |),
-         |votes AS (
-         |  SELECT symbol, bucket_ms,
-         |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS s1,
-         |         CASE WHEN rn < 20 THEN 0
-         |              WHEN (close - mu20) / sd20 < -2.0 THEN 1
-         |              WHEN (close - mu20) / sd20 > 2.0 THEN -1 ELSE 0 END AS s2,
-         |         CASE WHEN rn <= 20 THEN 0
-         |              WHEN close / lag20 - 1 > 0.02 THEN 1
-         |              WHEN close / lag20 - 1 < -0.02 THEN -1 ELSE 0 END AS s3
-         |  FROM sig
-         |)
+      s"""WITH $VotesCte
          |SELECT symbol, bucket_ms, s1, s2, s3,
          |       CASE WHEN s1 + s2 + s3 >= 2 THEN 1
          |            WHEN s1 + s2 + s3 <= -2 THEN -1 ELSE 0 END AS signal
          |FROM votes ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_ic_decay" ->
+      s"""WITH $VotesCte,
+         |f AS (
+         |  SELECT symbol, bucket_ms, s1, s2, s3,
+         |         lead(cents, 1) OVER w - cents AS f1,
+         |         lead(cents, 5) OVER w - cents AS f5,
+         |         lead(cents, 10) OVER w - cents AS f10
+         |  FROM (SELECT *, CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents FROM votes)
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |st AS (
+         |  SELECT symbol, CAST(g.strategy AS VARCHAR) AS strategy,
+         |         CAST(CASE g.strategy WHEN 'ma_cross' THEN s1
+         |                  WHEN 'mean_reversion' THEN s2 ELSE s3 END AS BIGINT) AS x,
+         |         f1, f5, f10
+         |  FROM f CROSS JOIN (SELECT unnest(
+         |    ['ma_cross', 'mean_reversion', 'momentum']) AS strategy) g
+         |),
+         |hz AS (
+         |  SELECT strategy, CAST(h.horizon AS BIGINT) AS horizon, x,
+         |         CASE h.horizon WHEN 1 THEN f1 WHEN 5 THEN f5 ELSE f10 END AS y
+         |  FROM st CROSS JOIN (SELECT unnest([1, 5, 10]) AS horizon) h
+         |),
+         |m AS (
+         |  SELECT strategy, horizon, count(*) AS n_obs,
+         |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM hz WHERE y IS NOT NULL GROUP BY 1, 2
+         |),
+         |b AS (
+         |  SELECT strategy, horizon, n_obs,
+         |         CAST(n_obs AS HUGEINT) * sxy - sx * sy AS num,
+         |         CAST(n_obs AS HUGEINT) * sxx - sx * sx AS dxx,
+         |         CAST(n_obs AS HUGEINT) * syy - sy * sy AS dyy
+         |  FROM m
+         |)
+         |SELECT strategy, horizon, n_obs,
+         |       CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0 ELSE
+         |         floor(CAST(num AS DOUBLE)
+         |           / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |       END AS ic
+         |FROM b ORDER BY strategy, horizon""".stripMargin,
+    "q_signal_turnover" ->
+      s"""WITH $VotesCte,
+         |st AS (
+         |  SELECT symbol, bucket_ms, CAST(g.strategy AS VARCHAR) AS strategy,
+         |         CAST(CASE g.strategy WHEN 'ma_cross' THEN s1
+         |                  WHEN 'mean_reversion' THEN s2 ELSE s3 END AS BIGINT) AS x
+         |  FROM votes CROSS JOIN (SELECT unnest(
+         |    ['ma_cross', 'mean_reversion', 'momentum']) AS strategy) g
+         |),
+         |d AS (
+         |  SELECT symbol, strategy,
+         |         abs(x - lag(x) OVER (PARTITION BY symbol, strategy
+         |           ORDER BY bucket_ms)) AS dx
+         |  FROM st
+         |),
+         |a AS (
+         |  SELECT symbol, strategy, count(*) AS n_bars,
+         |         CAST(sum(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         |         CAST(coalesce(sum(dx), 0) AS BIGINT) AS s_dx
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT symbol, strategy, n_bars, n_changes,
+         |       CAST(s_dx AS DOUBLE) / CAST(n_bars AS DOUBLE) AS turnover
+         |FROM a ORDER BY symbol, strategy""".stripMargin,
     "q_ema_macd" ->
       s"""WITH ${QueryPack.BarsCte},
          |emas AS (

@@ -64,4 +64,32 @@ class BacktestSpec extends AnyFunSuite {
       assert(exp >= 0.0 && exp <= 1.0)
     }
   }
+
+  test("ic decay and turnover: 9-cell grid, bounded ic, flips cross-check the ensemble votes") {
+    val ic = SparkEntry.queries("q_ic_decay")(spark, TestSpark.Sf).collect()
+    assert(ic.length == 9)
+    val byCell = ic.map(r => (r.getAs[String]("strategy"), r.getAs[Long]("horizon")) ->
+      (r.getAs[Long]("n_obs"), r.getAs[Double]("ic"))).toMap
+    byCell.values.foreach { case (n, v) =>
+      assert(n > 0)
+      assert(v >= -1.0 && v <= 1.0)
+    }
+    // longer horizons lose lead rows -> n_obs non-increasing in horizon
+    Seq("ma_cross", "mean_reversion", "momentum").foreach { st =>
+      assert(byCell((st, 1L))._1 >= byCell((st, 10L))._1)
+    }
+    // turnover n_changes equals flips recomputed from the (hash-verified)
+    // ensemble vote stream
+    val votes = SparkEntry.queries("q_signal_ensemble")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getAs[String]("symbol"), r.getAs[Long]("bucket_ms"),
+        r.getAs[Int]("s1").toLong))
+      .sortBy(t => (t._1, t._2))
+    val flips = votes.groupBy(_._1).map { case (sym, rows) =>
+      sym -> rows.map(_._3).sliding(2).count(p => p.length == 2 && p(0) != p(1)).toLong
+    }
+    val turn = SparkEntry.queries("q_signal_turnover")(spark, TestSpark.Sf)
+      .collect().filter(_.getAs[String]("strategy") == "ma_cross")
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("n_changes")).toMap
+    assert(turn == flips)
+  }
 }
