@@ -96,6 +96,29 @@ object BacktestPack extends QueryPack {
         .select("symbol", "bucket_ms", "log_equity", "log_peak", "dd")
         .orderBy("symbol", "bucket_ms")
     }),
+    "q_underwater_stretches" -> ((s, d) => {
+      // Drawdown DURATION decomposition: consecutive underwater runs of
+      // the ma-cross equity curve as (symbol, stretch) rows with length,
+      // span and trough — the time-under-water complement of
+      // q_drawdown_series' depth view. Underwater is an EXACT comparison
+      // (log_equity lives on the 1e-8 integer grid and log_peak is its
+      // running max), stretch ids are exact running counts of
+      // at-peak bars, and the trough takes min over per-row SNAPPED dd —
+      // every grouping decision is engine-portable by construction.
+      val cum = Window.partitionBy("symbol").orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      btMaCross(s, d)
+        .withColumn("log_peak", max(col("log_equity")).over(cum))
+        .withColumn("uw", (col("log_equity") < col("log_peak")).cast("long"))
+        .withColumn("stretch_id", sum(lit(1L) - col("uw")).over(cum))
+        .filter(col("uw") === 1)
+        .withColumn("dd", Port.r(exp(col("log_equity") - col("log_peak")) - 1, 6))
+        .groupBy("symbol", "stretch_id")
+        .agg(count(lit(1)).as("n_bars"),
+          min("bucket_ms").as("ts_start"), max("bucket_ms").as("ts_end"),
+          min("dd").as("trough_dd"))
+        .orderBy("symbol", "stretch_id")
+    }),
     "q_portfolio_multi_asset" -> ((s, d) => {
       // Two-level prefix sum for the global equity curve: the full
       // bucket stream cumulates INSIDE day chunks (partitioned window),
@@ -393,6 +416,24 @@ object BacktestPack extends QueryPack {
          |SELECT symbol, bucket_ms, log_equity, log_peak,
          |       floor(dd * 1e6 + 0.5) / 1e6 AS dd
          |FROM wp ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_underwater_stretches" ->
+      s"""WITH ${BtSql.WithPeakCte},
+         |u AS (
+         |  SELECT symbol, bucket_ms, dd,
+         |         CASE WHEN log_equity < log_peak THEN 1 ELSE 0 END AS uw
+         |  FROM wp
+         |),
+         |st AS (
+         |  SELECT *, sum(1 - uw) OVER (PARTITION BY symbol ORDER BY bucket_ms
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stretch_id
+         |  FROM u
+         |)
+         |SELECT symbol, CAST(stretch_id AS BIGINT) AS stretch_id,
+         |       count(*) AS n_bars,
+         |       min(bucket_ms) AS ts_start, max(bucket_ms) AS ts_end,
+         |       min(floor(dd * 1e6 + 0.5) / 1e6) AS trough_dd
+         |FROM st WHERE uw = 1 GROUP BY 1, 2
+         |ORDER BY symbol, stretch_id""".stripMargin,
     "q_portfolio_multi_asset" ->
       s"""WITH ${BtSql.maCrossChain(3600)},
          |port AS (

@@ -114,6 +114,39 @@ object Vol {
       .orderBy("symbol", "hour_of_day")
   }
 
+  /** Ornstein-Uhlenbeck mean-reversion half-life per symbol: OLS slope
+    * b of Δc_t on c_{t−1} over minute-bar cents (exact integer
+    * moments), half-life = −ln 2 / ln(1+b) in bars when −1 < b < 0
+    * (null otherwise — no reversion to time). −ln 2 is emitted as the
+    * same literal double on both engines (the JVM-vs-libm rule);
+    * ln(1+b) runs on identical doubles and the result snaps at 1e-4.
+    */
+  def ouHalfLife(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("xl", lag("cents", 1).over(w))
+      .filter(col("xl").isNotNull)
+      .withColumn("y", col("cents") - col("xl"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("xl").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("xl") * col("y")).cast(dec38)).as("sxy"),
+        sum((col("xl") * col("xl")).cast(dec38)).as("sxx"))
+      .withColumn("nd", col("n_obs").cast(dec38))
+      .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b", col("num").cast("double") / col("dxx").cast("double"))
+      .withColumn("slope", Port.r(col("b"), 8))
+      .withColumn("half_life_bars",
+        when(col("b") < 0 && col("b") > -1,
+          Port.r(lit(-math.log(2.0)) / log(lit(1.0) + col("b")), 4)))
+      .select("symbol", "n_obs", "slope", "half_life_bars")
+      .orderBy("symbol")
+  }
+
   /** Day-of-week seasonality per symbol: average daily cent return
     * (close − open, exact integers) and volume by weekday (0 = Sunday;
     * epoch day 0 was a Thursday). One daily aggregate, one 7-row
@@ -283,7 +316,8 @@ object VolPack extends graft.QueryPack {
     "q_markov_transitions" -> ((s, d) => Vol.markovTransitions(s, d)),
     "q_runs_test" -> ((s, d) => Vol.runsTest(s, d)),
     "q_seasonality_dow" -> ((s, d) => Vol.seasonalityDow(s, d)),
-    "q_event_study" -> ((s, d) => Vol.eventStudy(s, d))
+    "q_event_study" -> ((s, d) => Vol.eventStudy(s, d)),
+    "q_ou_half_life" -> ((s, d) => Vol.ouHalfLife(s, d))
   )
 
   /** Mirror CTE: within-day cent diffs over the integer tick frame. */
@@ -349,6 +383,38 @@ object VolPack extends graft.QueryPack {
          |         / CAST(sum(volume) OVER (PARTITION BY symbol) AS DOUBLE)
          |         * 1e6 + 0.5) / 1e6 AS vol_share
          |FROM g ORDER BY symbol, hour_of_day""".stripMargin,
+    "q_ou_half_life" -> {
+      val negLn2 = -math.log(2.0)
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |d0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM bars
+         |),
+         |d1 AS (
+         |  SELECT symbol, cents,
+         |         lag(cents) OVER (PARTITION BY symbol ORDER BY bucket_ms) AS xl
+         |  FROM d0
+         |),
+         |d2 AS (SELECT symbol, xl, cents - xl AS y FROM d1 WHERE xl IS NOT NULL),
+         |a AS (
+         |  SELECT symbol, count(*) AS n_obs,
+         |         sum(xl) AS sx, sum(y) AS sy, sum(xl * y) AS sxy, sum(xl * xl) AS sxx
+         |  FROM d2 GROUP BY 1
+         |),
+         |b0 AS (
+         |  SELECT symbol, n_obs,
+         |         CAST(CAST(n_obs AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |           / CAST(CAST(n_obs AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS b
+         |  FROM a
+         |)
+         |SELECT symbol, n_obs,
+         |       floor(b * 1e8 + 0.5) / 1e8 AS slope,
+         |       CASE WHEN b < 0 AND b > -1 THEN
+         |         floor(CAST($negLn2 AS DOUBLE) / ln(1.0 + b) * 1e4 + 0.5) / 1e4
+         |       END AS half_life_bars
+         |FROM b0 ORDER BY symbol""".stripMargin
+    },
     "q_seasonality_dow" ->
       s"""WITH ${MicroPack.MtCte},
          |dd AS (

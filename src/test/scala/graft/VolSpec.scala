@@ -114,6 +114,46 @@ class VolSpec extends AnyFunSuite {
     assert(r.getAs[Double]("z_score") == z)
   }
 
+  test("ou half-life: geometric decay toward a mean recovers slope -0.5 and half-life 1") {
+    // deviations from 100.00 halve each minute: 64, 32, ..., 1 cents ->
+    // y = -0.5 * (x - mean) exactly -> OLS slope -0.5, half-life
+    // -ln2/ln(0.5) = 1 bar
+    val devs = Seq(64, 32, 16, 8, 4, 2, 1)
+    val rows = devs.zipWithIndex.map { case (dv, i) =>
+      (i.toLong, i * 60000000000L, 9L, "A", 100.00 + dv / 100.0)
+    }
+    val dir = corpus("ou", rows)
+    val r = Vol.ouHalfLife(spark, dir).collect().head
+    assert(r.getAs[Long]("n_obs") == 6L)
+    assert(r.getAs[Double]("slope") == -0.5)
+    val expect = math.floor(-math.log(2.0) / math.log(1.0 - 0.5) * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("half_life_bars") == expect)
+  }
+
+  test("underwater stretches recompose exactly from the drawdown series") {
+    val dd = SparkEntry.queries("q_drawdown_series")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getAs[String]("symbol"), r.getAs[Long]("bucket_ms"),
+        r.getAs[Double]("log_equity"), r.getAs[Double]("log_peak"),
+        r.getAs[Double]("dd"))).sortBy(t => (t._1, t._2))
+    val expect = dd.groupBy(_._1).toSeq.flatMap { case (sym, rows) =>
+      var sid = 0L
+      rows.map { case (_, ts, le, lp, d) =>
+        val uw = le < lp
+        if (!uw) sid += 1
+        (sym, sid, ts, d, uw)
+      }.filter(_._5).groupBy(t => (t._1, t._2)).map { case ((s2, id), rs) =>
+        (s2, id, rs.length.toLong, rs.map(_._3).min, rs.map(_._3).max,
+          rs.map(_._4).min)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_underwater_stretches")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getAs[String]("symbol"), r.getAs[Long]("stretch_id"),
+        r.getAs[Long]("n_bars"), r.getAs[Long]("ts_start"),
+        r.getAs[Long]("ts_end"), r.getAs[Double]("trough_dd"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("seasonality dow: weekday means from planted daily opens/closes") {
     // day 0 (Thursday, dow 4): open 100.00 close 101.00 -> +100 cents
     // day 1 (Friday, dow 5): open 101.00 close 100.50 -> -50 cents
