@@ -319,6 +319,26 @@ object Micro {
       .orderBy("symbol", "lag")
   }
 
+  /** Price-impact curve: mean |Δp| per (symbol, trade-size bucket) —
+    * the NONLINEAR companion of q_kyle_lambda's single slope (square-
+    * root-law diagnostics read this table). Sizes bucket on the fixed
+    * vol grid (vol ∈ 1..100 → decile = (vol−1) div 10); means are
+    * exact integer |cent-diff| sums over counts, one division each.
+    */
+  def priceImpactCurve(s: SparkSession, d: String,
+                       chunkNs: Long = ChunkNs): DataFrame =
+    diffedTicks(s, d, chunkNs)
+      .filter(col("dpc").isNotNull)
+      .withColumn("size_bucket", expr("(vol - 1) div 10"))
+      .groupBy("symbol", "size_bucket")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum("vol").as("total_vol"),
+        sum(abs(col("dpc"))).as("s_abs"))
+      .withColumn("avg_abs_move_cents",
+        col("s_abs").cast("double") / col("n_ticks").cast("double"))
+      .select("symbol", "size_bucket", "n_ticks", "total_vol", "avg_abs_move_cents")
+      .orderBy("symbol", "size_bucket")
+
   case class CusumTick(symbol: String, ts: Long, event_id: Long, cents: Long)
   case class CusumEvent(symbol: String, ts: Long, event_id: Long,
                         direction: Int, s_cents: Long, n_ticks: Long)

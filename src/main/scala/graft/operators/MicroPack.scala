@@ -27,6 +27,7 @@ object MicroPack extends QueryPack {
     "q_kyle_lambda" -> ((s, d) => Micro.kyleLambda(s, d)),
     "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d)),
     "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d)),
+    "q_price_impact_curve" -> ((s, d) => Micro.priceImpactCurve(s, d)),
     // rows-only (no oracle): the reset feedback makes CUSUM genuinely
     // sequential; MicroSpec pins it against an in-test sequential fold
     "q_cusum_events" -> ((s, d) => Micro.cusumEvents(s, d))
@@ -196,6 +197,24 @@ object MicroPack extends QueryPack {
          |         AS intensity
          |FROM t ORDER BY symbol, ts, event_id""".stripMargin
     },
+    "q_price_impact_curve" ->
+      s"""WITH $MtCte,
+         |s1 AS (
+         |  SELECT symbol, vol,
+         |         cents - lag(cents) OVER (PARTITION BY symbol
+         |           ORDER BY tsn, event_id) AS dpc
+         |  FROM mt
+         |),
+         |a AS (
+         |  SELECT symbol, (vol - 1) // 10 AS size_bucket,
+         |         count(*) AS n_ticks,
+         |         CAST(sum(vol) AS BIGINT) AS total_vol,
+         |         CAST(sum(abs(dpc)) AS BIGINT) AS s_abs
+         |  FROM s1 WHERE dpc IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT symbol, size_bucket, n_ticks, total_vol,
+         |       CAST(s_abs AS DOUBLE) / CAST(n_ticks AS DOUBLE) AS avg_abs_move_cents
+         |FROM a ORDER BY symbol, size_bucket""".stripMargin,
     "q_kyle_lambda" ->
       s"""WITH $SignCte,
          |p AS (

@@ -201,6 +201,25 @@ class MicroSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, lam(-1.0, -2.0))))
   }
 
+  test("price impact curve: size buckets separate planted small/large-trade moves") {
+    // vol = 1 + uid % 100: uid 4 -> vol 5 (bucket 0), uid 94 -> vol 95
+    // (bucket 9); small trades move 2 cents, large trades 10 cents
+    val rows = Seq(
+      (0L, 1000000000L, 4L, "A", 100.00, ""),
+      (1L, 2000000000L, 4L, "A", 100.02, ""),
+      (2L, 3000000000L, 94L, "A", 100.12, ""),
+      (3L, 4000000000L, 4L, "A", 100.14, ""),
+      (4L, 5000000000L, 94L, "A", 100.24, ""))
+    val dir = java.nio.file.Files.createTempDirectory("impact").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.priceImpactCurve(spark, dir).collect()
+      .map(r => r.getAs[Long]("size_bucket") ->
+        (r.getAs[Long]("n_ticks"), r.getAs[Double]("avg_abs_move_cents"))).toMap
+    assert(out(0L) == ((2L, 2.0)))
+    assert(out(9L) == ((2L, 10.0)))
+  }
+
   test("cusum events: planted drift triggers at threshold; real feed matches a sequential fold") {
     // diffs +2 per tick with h=20 -> an event exactly every 10 diffs
     val rows = (0 until 31).map(i =>
