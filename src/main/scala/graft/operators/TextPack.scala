@@ -461,6 +461,33 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_dedup_containment" -> ((s, d) => {
+      // Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) catches a
+      // short doc EMBEDDED in a long one — symmetric Jaccard dilutes
+      // that pair below any workable threshold (a 10-shingle doc inside
+      // a 100-shingle doc scores J≈0.1 but containment 1.0), so quote-
+      // expansion and boilerplate-wrapping duplicates only fall to this
+      // gate. Same bounded shingle-postings join as the Jaccard pool
+      // (df-capped postings keep the pair explosion linear at scale);
+      // ratios are exact-integer divisions.
+      val shd = shinglesCached(s, d)
+      val ok = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000).select("shingle")
+      val shf = shd.join(ok, "shingle").select("doc_id", "shingle")
+      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = shf.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = shf.select(col("doc_id").as("doc2"), col("shingle"))
+      a.join(b, "shingle").filter(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+        .withColumn("containment", col("inter") / least(col("sz1"), col("sz2")))
+        .filter(col("containment") >= 0.8)
+        .withColumn("jaccard",
+          col("inter") / (col("sz1") + col("sz2") - col("inter")))
+        .select("doc1", "doc2", "inter", "sz1", "sz2", "containment", "jaccard")
+        .orderBy("doc1", "doc2")
+    }),
     "q_dedup_incremental" -> ((s, d) => {
       // Ingestion-time dedup: the question a production pipeline asks on
       // every new crawl — which of the NEWEST arrivals (here the top
@@ -958,6 +985,25 @@ object TextPack extends QueryPack {
          |       CAST(total_bpe_tokens AS DOUBLE) / CAST(total_ws_tokens AS DOUBLE) AS fertility,
          |       CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token
          |FROM a ORDER BY lang""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $ShinglesCte,
+         |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+         |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+         |prs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |cp AS (
+         |  SELECT doc1, doc2, inter, s1.sz AS sz1, s2.sz AS sz2,
+         |         inter / least(s1.sz, s2.sz) AS containment,
+         |         inter / (s1.sz + s2.sz - inter) AS jaccard
+         |  FROM prs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+         |  WHERE inter / least(s1.sz, s2.sz) >= 0.8
+         |)
+         |SELECT doc1, doc2, inter, sz1, sz2, containment, jaccard
+         |FROM cp ORDER BY doc1, doc2""".stripMargin,
     "q_preference_pairs" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, length(text) AS n_chars,

@@ -18,6 +18,30 @@ class DedupSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("containment catches an embedded doc that symmetric jaccard misses") {
+    import spark.implicits._
+    // doc 0 is a contiguous prefix of doc 1: all of 0's shingles appear
+    // in 1 -> containment 1.0, while jaccard = 8/28 < 0.5 (invisible to
+    // the symmetric gate)
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (11 to 30).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((0L, short, "en", "s1", short.length.toLong),
+      (1L, long, "en", "s1", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextPack.queries("q_dedup_containment")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) == ((0L, 1L)))
+    assert(r.getAs[Long]("inter") == 8L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    // and the symmetric gate indeed does NOT pair them
+    val sym = TextPack.queries("q_dedup_ngram_jaccard")(spark, dir).collect()
+    assert(!sym.exists(x => x.getAs[Long]("doc1") == 0L && x.getAs[Long]("doc2") == 1L))
+  }
+
   test("simhash pairs respect the hamming bound and are near-dups structurally") {
     val pairs = DedupPack.queries("q_dedup_simhash")(spark, TestSpark.Sf).collect()
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
