@@ -209,7 +209,9 @@ object AnnPack extends QueryPack {
       // the spec can pin the two row-for-row). The explode fans out
       // inside the doc's partition; no shuffle beyond the source scan.
       Tables.documents(s, d)
-        .select(col("doc_id"), length(col("text")).cast("long").as("byte_len"))
+        // octet_length, not length: the DuckDB mirror measures UTF-8
+        // bytes, and Multimodal.frameSample reads media.length (bytes)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len"))
         .withColumn("width", lit(64L) + col("byte_len") % 576)
         .withColumn("height", lit(64L) + (col("byte_len") * 7) % 416)
         .withColumn("n_frames", lit(1L) + col("byte_len") % 30)

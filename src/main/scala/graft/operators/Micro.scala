@@ -237,11 +237,15 @@ object Micro {
       .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
       .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
-      .withColumn("kyle_lambda", Port.r(
-        col("num").cast("double") / col("dxx").cast("double"), 8))
-      .withColumn("r2", Port.r(
-        (col("num").cast("double") * col("num").cast("double")) /
-          (col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .withColumn("kyle_lambda",
+        // zero-variance guard (mirrors q_ic_decay): constant signed flow
+        // or constant diffs give dxx/dyy = 0 — pin to 0 in both engines
+        when(col("dxx") === 0, lit(0.0)).otherwise(Port.r(
+          col("num").cast("double") / col("dxx").cast("double"), 8)))
+      .withColumn("r2",
+        when(col("dxx") === 0 || col("dyy") === 0, lit(0.0)).otherwise(Port.r(
+          (col("num").cast("double") * col("num").cast("double")) /
+            (col("dxx").cast("double") * col("dyy").cast("double")), 6)))
       .select("symbol", "n_ticks", "kyle_lambda", "r2")
       .orderBy("symbol")
 
@@ -313,8 +317,10 @@ object Micro {
       .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
       .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
-      .withColumn("acf", Port.r(col("num").cast("double") /
-        sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .withColumn("acf",
+        when(col("dxx") === 0 || col("dyy") === 0, lit(0.0))
+          .otherwise(Port.r(col("num").cast("double") /
+            sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6)))
       .select("symbol", "lag", "n_pairs", "acf")
       .orderBy("symbol", "lag")
   }
@@ -392,7 +398,15 @@ object Micro {
     * K = 20. Each exp term snaps to integer micro-units BEFORE the sum
     * (transcendental portability: JVM exp and libm exp can differ by an
     * ulp, and integer chains are reassociation-proof), so the tap sum
-    * is exact; λ is one mirrored op chain. All K lags ride ONE
+    * is exact; λ is one mirrored op chain. NOTE this is probabilistic,
+    * not a proof: the snap fixes reassociation but an exp() value
+    * landing within an ulp of a .5 micro-unit boundary can still flip
+    * between engines (same residual risk as the ln() taps in
+    * q_zipf_slope / q_token_entropy / q_unigram_kl). Measured posture:
+    * zero flips across every sf and the 10x rehearsal; the fully-proof
+    * alternative is a shared integer lookup keyed on the quantized gap
+    * (q_ewma_vol's quantWeights pattern), at the cost of a bounded
+    * gap-domain assumption the tick feed does not satisfy. All K lags ride ONE
     * WindowExec partitioned by (symbol, day) — bounded at any corpus
     * size; a day's leading ticks simply see fewer taps (documented:
     * cross-midnight excitation is dropped, like the RV family's

@@ -167,8 +167,11 @@ object MicroPack extends QueryPack {
          |  FROM a
          |)
          |SELECT symbol, lag, n_pairs,
-         |       floor(CAST(num AS DOUBLE) / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
-         |             * 1e6 + 0.5) / 1e6 AS acf
+         |       CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+         |            ELSE floor(CAST(num AS DOUBLE)
+         |              / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
+         |              * 1e6 + 0.5) / 1e6
+         |       END AS acf
          |FROM b ORDER BY symbol, lag""".stripMargin,
     "q_hawkes_intensity" -> {
       val taps = 20
@@ -234,11 +237,13 @@ object MicroPack extends QueryPack {
          |  FROM a
          |)
          |SELECT symbol, n_ticks,
-         |       floor(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) * 1e8 + 0.5) / 1e8
-         |         AS kyle_lambda,
-         |       floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-         |             / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
-         |         AS r2
+         |       CASE WHEN dxx = 0 THEN 0.0
+         |            ELSE floor(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) * 1e8 + 0.5) / 1e8
+         |       END AS kyle_lambda,
+         |       CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+         |            ELSE floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         |              / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |       END AS r2
          |FROM b ORDER BY symbol""".stripMargin,
     "q_variance_ratio" ->
       s"""WITH ${graft.QueryPack.BarsCte},

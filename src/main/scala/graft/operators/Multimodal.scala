@@ -26,7 +26,7 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       struct(
         lit("text/plain").as("mime"),
-        length(col("text")).cast("long").as("byte_len"),
+        octet_length(col("text")).cast("long").as("byte_len"),
         md5(col("text")).as("content_md5")).as("meta"))
 
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,

@@ -259,7 +259,13 @@ object Vol {
             (col("n_up") + col("n_down")).cast("double") *
             (col("n_up") + col("n_down") - 1).cast("double")))
       .withColumn("z_score",
-        Port.r((col("n_runs").cast("double") - col("m")) / sqrt(col("v")), 6))
+        // degenerate guard: one-sided sign streams (n_up or n_down = 0)
+        // or a single diff make v = 0 / undefined — pin z to 0 in both
+        // engines rather than compare NaN/Inf handling across them
+        when(col("n_up") === 0 || col("n_down") === 0 ||
+          col("n_up") + col("n_down") <= 1, lit(0.0))
+          .otherwise(
+            Port.r((col("n_runs").cast("double") - col("m")) / sqrt(col("v")), 6)))
       .select("symbol", "n_up", "n_down", "n_runs", "z_score")
       .orderBy("symbol")
   }
@@ -298,8 +304,12 @@ object Vol {
       .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
       .withColumn("dxx", col("nd") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dyy", col("nd") * col("syy") - col("sy") * col("sy"))
-      .withColumn("xcorr", Port.r(col("num").cast("double") /
-        sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6))
+      .withColumn("xcorr",
+        // zero-variance guard (same as q_ic_decay): a constant diff
+        // series yields dxx/dyy = 0 — pin corr to 0 in both engines
+        when(col("dxx") === 0 || col("dyy") === 0, lit(0.0))
+          .otherwise(Port.r(col("num").cast("double") /
+            sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6)))
       .select("symbol", "symbol_lead", "lag", "n_pairs", "xcorr")
       .orderBy("symbol", "symbol_lead", "lag")
   }
@@ -541,7 +551,9 @@ object VolPack extends graft.QueryPack {
          |  FROM a
          |)
          |SELECT symbol, n_up, n_down, n_runs,
-         |       floor((CAST(n_runs AS DOUBLE) - m) / sqrt(v) * 1e6 + 0.5) / 1e6 AS z_score
+         |       CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down <= 1 THEN 0.0
+         |            ELSE floor((CAST(n_runs AS DOUBLE) - m) / sqrt(v) * 1e6 + 0.5) / 1e6
+         |       END AS z_score
          |FROM b ORDER BY symbol""".stripMargin,
     "q_lead_lag_corr" ->
       s"""WITH ${graft.QueryPack.barsCteAt(3600)},
@@ -579,9 +591,10 @@ object VolPack extends graft.QueryPack {
          |  FROM m
          |)
          |SELECT symbol, symbol_lead, lag, n_pairs,
-         |       floor(CAST(num AS DOUBLE)
-         |         / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
-         |         AS xcorr
+         |       CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+         |            ELSE floor(CAST(num AS DOUBLE)
+         |              / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |       END AS xcorr
          |FROM b2 ORDER BY symbol, symbol_lead, lag""".stripMargin
   )
 }

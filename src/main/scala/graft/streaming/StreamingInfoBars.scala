@@ -33,29 +33,36 @@ object StreamingInfoBars {
                     volume: Long, dollar_cents: Long,
                     ts_start: Long, ts_end: Long)
 
-  /** Pure per-tick transition (unit-testable without a stream): returns
-    * the next state and the bar emitted if this tick opened a NEW bar
-    * (i.e. the previous bar closed strictly before it).
+  /** Pure per-tick transition (unit-testable without a stream): folds the
+    * tick into its bar and — EAGERLY — emits that bar the moment the
+    * running measure total crosses its closing boundary, rather than
+    * holding a fully-closed bar until the symbol's next tick arrives
+    * (which on a quiet symbol could withhold it indefinitely). Invariant
+    * after every step: `acc` is Some only while the bar is still open,
+    * i.e. acc.barId == cum / threshold.
     */
   def step(st: BarState, t: Tick, measureOf: Tick => Long,
            threshold: Long): (BarState, Option[BarRow]) = {
     val barId = st.cum / threshold
     val measure = measureOf(t)
-    st.acc match {
+    val acc = st.acc match {
       case Some(a) if a.barId == barId =>
-        (BarState(st.cum + measure, Some(a.copy(
-          nTicks = a.nTicks + 1,
+        a.copy(nTicks = a.nTicks + 1,
           high = math.max(a.high, t.price), low = math.min(a.low, t.price),
           close = t.price, volume = a.volume + t.vol,
-          dollarCents = a.dollarCents + t.cents * t.vol,
-          tsEnd = t.ts))), None)
-      case prev =>
-        val fresh = BarAcc(barId, 1L, t.price, t.price, t.price, t.price,
+          dollarCents = a.dollarCents + t.cents * t.vol, tsEnd = t.ts)
+      case _ =>
+        BarAcc(barId, 1L, t.price, t.price, t.price, t.price,
           t.vol, t.cents * t.vol, t.ts, t.ts)
-        val emitted = prev.map(a => BarRow(t.symbol, a.barId, a.nTicks,
-          a.open, a.high, a.low, a.close, a.volume, a.dollarCents,
-          a.tsStart, a.tsEnd))
-        (BarState(st.cum + measure, Some(fresh)), emitted)
+    }
+    val newCum = st.cum + measure
+    if (newCum / threshold > barId) {
+      // this tick's mass crossed the boundary: the bar closed NOW
+      (BarState(newCum, None), Some(BarRow(t.symbol, acc.barId, acc.nTicks,
+        acc.open, acc.high, acc.low, acc.close, acc.volume, acc.dollarCents,
+        acc.tsStart, acc.tsEnd)))
+    } else {
+      (BarState(newCum, Some(acc)), None)
     }
   }
 

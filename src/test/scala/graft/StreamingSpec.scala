@@ -398,11 +398,13 @@ class StreamingNearDupSpec extends AnyFunSuite {
         r.getAs[Long]("ts_start"), r.getAs[Long]("ts_end")))).toSet
     val batchAll = Micro.thresholdBars(Micro.intTicks(spark, sf), "dollar_c",
       threshold).collect()
-    // the stream has not closed each symbol's LAST bar — exclude them
-    val lastBar = batchAll.groupBy(_.getAs[String]("symbol"))
-      .map { case (sym, rs) => sym -> rs.map(_.getAs[Long]("bar_id")).max }
+    // eager emission: a bar is streamed the moment its measure mass
+    // crosses the threshold, so the only withheld bar per symbol is the
+    // TRULY open one — bar_id == floor(total measure / threshold)
+    val openBar = ticks.groupBy(_.symbol)
+      .map { case (sym, ts2) => sym -> ts2.map(t => t.cents * t.vol).sum / threshold }
     val batch = batchAll.filter(r =>
-      r.getAs[Long]("bar_id") != lastBar(r.getAs[String]("symbol"))).map(r =>
+      r.getAs[Long]("bar_id") != openBar(r.getAs[String]("symbol"))).map(r =>
       key(r.getAs[String]("symbol"), (r.getAs[Long]("bar_id"), r.getAs[Long]("n_ticks"),
         r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
         r.getAs[Double]("close"), r.getAs[Long]("volume"), r.getAs[Long]("dollar_cents"),
