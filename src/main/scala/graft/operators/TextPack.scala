@@ -467,20 +467,11 @@ object TextPack extends QueryPack {
       // that pair below any workable threshold (a 10-shingle doc inside
       // a 100-shingle doc scores J≈0.1 but containment 1.0), so quote-
       // expansion and boilerplate-wrapping duplicates only fall to this
-      // gate. Same bounded shingle-postings join as the Jaccard pool
-      // (df-capped postings keep the pair explosion linear at scale);
-      // ratios are exact-integer divisions.
-      val shd = shinglesCached(s, d)
-      val ok = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000).select("shingle")
-      val shf = shd.join(ok, "shingle").select("doc_id", "shingle")
-      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = shf.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = shf.select(col("doc_id").as("doc2"), col("shingle"))
-      a.join(b, "shingle").filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+      // gate. Rides the shared prefix-filtered verified-pair memo
+      // (containment >= 0.8 implies containment-over-min >= 1/2, so the
+      // candidate set is guaranteed complete); ratios are exact-integer
+      // divisions.
+      verifiedPairs(s, d)
         .withColumn("containment", col("inter") / least(col("sz1"), col("sz2")))
         .filter(col("containment") >= 0.8)
         .withColumn("jaccard",
@@ -741,35 +732,109 @@ object TextPack extends QueryPack {
       (result, release)
     })._1
 
-  /** Session-memoized near-dup pairs: the shingle inverted-index self-join
-    * is the most expensive text operator and feeds two queries
-    * (q_dedup_ngram_jaccard, q_corpus_filter) — one cached build per
-    * (session, dataset).
+  /** Session-memoized PREFIX-FILTERED verified near-dup pairs — the
+    * shared candidate+verify table behind q_dedup_ngram_jaccard,
+    * q_dedup_containment, q_corpus_filter, q_dedup_incremental and
+    * q_dedup_clusters.
+    *
+    * Candidate generation is AllPairs/PPJoin-style prefix filtering
+    * (Bayardo et al., WWW'07; Xiao et al., WWW'08): order each doc's
+    * shingles by ascending document frequency (rarest first) and join
+    * only the doc's PREFIX — its first sz - ceil(sz/2) + 1 rarest
+    * shingles — against the full posting lists. Soundness: any pair
+    * with containment-over-min >= 1/2 (which covers Jaccard >= 0.5,
+    * since J <= inter/min_sz, AND containment >= 0.8) has
+    * inter >= ceil(min_sz/2), so the smaller doc can miss at most
+    * min_sz - ceil(min_sz/2) shingles of the other — at least one of
+    * its first min_sz - ceil(min_sz/2) + 1 shingles, in ANY fixed
+    * order, lands in the other doc. df-ascending is the order that
+    * makes this cheap: a HOT shingle (high df — the capped stopword
+    * shingle that made the old all-pairs join O(sum df^2)) sorts into
+    * every doc's suffix, so its prefix-postings count collapses to ~0
+    * and the join mass concentrates on rare shingles with small df.
+    * Exact verification (intersection count over the full filtered
+    * shingle sets) then runs only over candidate pairs, so the final
+    * frame is identical to the all-pairs formulation — the df<=1000
+    * stopword-shingle cap stays as a second, now non-load-bearing,
+    * linearity guard.
     */
-  private val pairsCache =
+  private val verifiedPairsCache =
     graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d), {
+  /** (doc1, doc2, inter, sz1, sz2) for every pair whose
+    * containment-over-min can reach 1/2 — threshold filters are applied
+    * by the consumers.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairsCache.getOrElseUpdate((s, d), {
       val shd = shinglesCached(s, d)
       // stopword-shingle cut: postings capped (no-op at this corpus,
       // linearity guard at scale)
-      val ok = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000).select("shingle")
-      val shf = shd.join(ok, "shingle").select("doc_id", "shingle")
-      val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = shf.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = shf.select(col("doc_id").as("doc2"), col("shingle"))
-      a.join(b, "shingle").filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
-        .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc1", "doc2", "inter", "sz1", "sz2", "jaccard")
-        .orderBy("doc1", "doc2")
+      val dfTab = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000)
+      val shf = shd.join(dfTab, "shingle").select("doc_id", "shingle", "df")
+      // ONE per-doc shuffle: shingles sorted rarest-first (df asc, ties
+      // by shingle text for determinism) + set size. This single
+      // subtree feeds prefix extraction, the candidate posting stream,
+      // both size columns AND the verify sets — Spark's ReusedExchange
+      // picks the common shuffle up across the branches.
+      val docTab = shf.groupBy("doc_id").agg(
+        array_sort(collect_list(struct(col("df"), col("shingle")))).as("ss"),
+        count(lit(1)).as("sz"))
+      // prefix = the doc's sz - ceil(sz/2) + 1 rarest shingles
+      val prefix = docTab.select(col("doc_id").as("doc_p"), col("sz").as("sz_p"),
+        explode(expr("slice(ss, 1, sz - (sz + 1) div 2 + 1)")).as("e"))
+        .select(col("doc_p"), col("sz_p"), col("e.shingle").as("shingle"))
+      val postings = docTab.select(col("doc_id").as("doc_f"), col("sz").as("sz_f"),
+        explode(col("ss")).as("e"))
+        .select(col("doc_f"), col("sz_f"), col("e.shingle").as("shingle"))
+      // count filter (the PPJoin overlap upper bound): a pair's true
+      // intersection is at most its prefix-hit count plus the prefix
+      // side's entire suffix, so require
+      //   hits + (sz_p - prefix_len) >= alpha(sz_p, sz_f)
+      // where alpha = min over the pool's consumers of their exact
+      // integer overlap lower bound — ceil((sz1+sz2)/3) for
+      // Jaccard >= 0.5, ceil(4*min/5) for containment >= 0.8. For the
+      // SMALLER doc's orientation the bound always passes when the pair
+      // truly qualifies (alpha >= ceil(min_sz/2)), so keeping a pair if
+      // EITHER orientation passes is exact-complete; it prunes the
+      // one-shared-rare-shingle noise pairs that dominate the candidate
+      // stream before any verify cost is paid.
+      val cand = prefix.join(postings, "shingle")
+        .filter(col("doc_p") =!= col("doc_f"))
+        .groupBy("doc_p", "doc_f", "sz_p", "sz_f")
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") + expr("(sz_p + 1) div 2") - 1 >=
+          least(expr("(sz_p + sz_f + 2) div 3"),
+            expr("(4 * least(sz_p, sz_f) + 4) div 5")))
+        .select(least(col("doc_p"), col("doc_f")).as("doc1"),
+          greatest(col("doc_p"), col("doc_f")).as("doc2"))
+        .distinct()
+      // exact verify: per-candidate IN-ROW intersection over compact
+      // per-doc shingle sets (hash-set array_intersect, codegen'd) —
+      // cost is |cand| x (sz1+sz2), never a posting re-explosion. The
+      // doc-set table is one row per doc; at this sf it auto-broadcasts
+      // (AQE), at corpus scale the two joins shuffle |cand| rows — mass
+      // linear in the candidate stream either way.
+      val docSets = docTab.select(col("doc_id"),
+        expr("transform(ss, x -> x.shingle)").as("sset"), col("sz"))
+      cand
+        .join(docSets.select(col("doc_id").as("doc1"),
+          col("sset").as("s1"), col("sz").as("sz1")), "doc1")
+        .join(docSets.select(col("doc_id").as("doc2"),
+          col("sset").as("s2"), col("sz").as("sz2")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+          col("sz1"), col("sz2"))
         .cache()
     })
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d)
+      .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc1", "doc2", "inter", "sz1", "sz2", "jaccard")
+      .orderBy("doc1", "doc2")
 
   def oracles: Map[String, String] = Map(
     "q_repetition_filter" ->
