@@ -344,8 +344,9 @@ object ExtrasPack extends QueryPack {
         .orderBy("symbol", "bucket_ms")
     }),
     "q_trailing_stops" -> ((s, d) =>
-      // rows-only: the trailing state is path-dependent (typed per-symbol
-      // scan); StopLossSpec pins the invariants
+      // oracled via a per-symbol recursive CTE (the trailing state is
+      // path-dependent — a typed per-symbol scan here); StopLossSpec
+      // additionally pins the invariants
       StopLoss.run(Signals.maCrossPlain(bars1m(s, d))).toDF()
         .orderBy("symbol", "entry_ms")),
     "q_fixed_risk_sizing" -> ((s, d) => {
@@ -433,6 +434,79 @@ object ExtrasPack extends QueryPack {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the trailing-stop state machine (risk_monitor.py:415) is
+    // path-dependent, so its mirror is a per-symbol recursive CTE: the
+    // working table holds one (side, entry, peak) state row per symbol
+    // and advances every symbol one bar per iteration. MATERIALIZED on
+    // the signal CTE is load-bearing (else DuckDB re-evaluates the
+    // window chain per iteration). Double arithmetic is ordered exactly
+    // as the Scala scan (left-assoc products), so equality is exact.
+    "q_trailing_stops" ->
+      s"""WITH RECURSIVE ${graft.QueryPack.BarsCte},
+         |sig AS MATERIALIZED (
+         |  SELECT symbol, bucket_ms, close,
+         |         CAST(row_number() OVER w AS BIGINT) AS rn,
+         |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
+         |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |sb AS MATERIALIZED (
+         |  SELECT symbol, bucket_ms, close, rn,
+         |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS signal
+         |  FROM sig
+         |),
+         |rec AS (
+         |  SELECT symbol, 0 AS rn, 0 AS side,
+         |         CAST(0 AS BIGINT) AS entry_ms, CAST(0 AS DOUBLE) AS entry_px,
+         |         CAST(0 AS DOUBLE) AS peak,
+         |         CAST(NULL AS BIGINT) AS exit_ms, CAST(NULL AS DOUBLE) AS exit_px,
+         |         CAST(NULL AS DOUBLE) AS peak_px, CAST(NULL AS VARCHAR) AS exit_reason,
+         |         CAST(NULL AS BIGINT) AS t_entry_ms, CAST(NULL AS DOUBLE) AS t_entry_px
+         |  FROM (SELECT DISTINCT symbol FROM sb)
+         |  UNION ALL
+         |  SELECT symbol, b_rn,
+         |         CASE WHEN p_side = 0 THEN b_signal
+         |              WHEN stop_hit OR b_signal <> p_side THEN 0
+         |              ELSE p_side END AS side,
+         |         CASE WHEN p_side = 0 AND b_signal <> 0 THEN b_ms ELSE p_entry_ms END AS entry_ms,
+         |         CASE WHEN p_side = 0 AND b_signal <> 0 THEN b_close ELSE p_entry_px END AS entry_px,
+         |         CASE WHEN p_side = 0 THEN (CASE WHEN b_signal <> 0 THEN b_close ELSE p_peak END)
+         |              ELSE peak2 END AS peak,
+         |         CASE WHEN p_side <> 0 AND (stop_hit OR b_signal <> p_side) THEN b_ms END AS exit_ms,
+         |         CASE WHEN p_side <> 0 AND (stop_hit OR b_signal <> p_side) THEN b_close END AS exit_px,
+         |         CASE WHEN p_side <> 0 AND (stop_hit OR b_signal <> p_side) THEN peak2 END AS peak_px,
+         |         CASE WHEN p_side <> 0 AND stop_hit THEN 'trailing_stop'
+         |              WHEN p_side <> 0 AND b_signal <> p_side THEN 'signal_exit' END AS exit_reason,
+         |         CASE WHEN p_side <> 0 AND (stop_hit OR b_signal <> p_side) THEN p_entry_ms END AS t_entry_ms,
+         |         CASE WHEN p_side <> 0 AND (stop_hit OR b_signal <> p_side) THEN p_entry_px END AS t_entry_px
+         |  FROM (
+         |    SELECT b.symbol, b.rn AS b_rn, b.bucket_ms AS b_ms, b.close AS b_close,
+         |           b.signal AS b_signal,
+         |           r.side AS p_side, r.entry_ms AS p_entry_ms, r.entry_px AS p_entry_px,
+         |           r.peak AS p_peak,
+         |           CASE WHEN r.side * b.close > r.side * r.peak THEN b.close ELSE r.peak END AS peak2,
+         |           r.side * b.close <= r.side *
+         |             (CASE WHEN r.side * b.close > r.side * r.peak THEN b.close ELSE r.peak END)
+         |             * (1.0 - r.side * 0.02) AS stop_hit
+         |    FROM rec r JOIN sb b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+         |  )
+         |),
+         |trades AS (
+         |  SELECT symbol, t_entry_ms AS entry_ms, exit_ms, t_entry_px AS entry_px,
+         |         exit_px, peak_px, exit_reason
+         |  FROM rec WHERE exit_reason IS NOT NULL
+         |),
+         |last_state AS (
+         |  SELECT r.symbol, r.entry_ms, b.bucket_ms AS exit_ms, r.entry_px,
+         |         b.close AS exit_px, r.peak AS peak_px, 'end_of_data' AS exit_reason
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) AS rr
+         |        FROM rec) r
+         |  JOIN (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) AS rr
+         |        FROM sb) b ON b.symbol = r.symbol AND b.rr = 1
+         |  WHERE r.rr = 1 AND r.side <> 0
+         |)
+         |SELECT * FROM (SELECT * FROM trades UNION ALL SELECT * FROM last_state)
+         |ORDER BY symbol, entry_ms""".stripMargin,
     "q_rl_state" -> RlStateSql,
     "q_ewma_vol" -> {
       val (wq, masses) = quantWeights(0.94)

@@ -28,8 +28,10 @@ object MicroPack extends QueryPack {
     "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d)),
     "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d)),
     "q_price_impact_curve" -> ((s, d) => Micro.priceImpactCurve(s, d)),
-    // rows-only (no oracle): the reset feedback makes CUSUM genuinely
-    // sequential; MicroSpec pins it against an in-test sequential fold
+    // oracled via a per-symbol recursive CTE (the reset feedback is
+    // genuinely sequential — the CTE advances every symbol one tick per
+    // iteration); MicroSpec additionally pins it against an in-test
+    // sequential fold
     "q_cusum_events" -> ((s, d) => Micro.cusumEvents(s, d))
   )
 
@@ -85,6 +87,47 @@ object MicroPack extends QueryPack {
        |FROM c GROUP BY symbol, bar_id ORDER BY symbol, bar_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the CUSUM reset recursion is sequential by definition, so the
+    // mirror IS a recursion: a recursive CTE whose working table holds
+    // one (symbol, state) row per symbol and advances every symbol one
+    // tick per iteration. MATERIALIZED on the diff CTE is load-bearing:
+    // without it DuckDB re-evaluates the window per iteration (~40x).
+    "q_cusum_events" ->
+      """WITH RECURSIVE
+        |t AS MATERIALIZED (
+        |  SELECT event_type AS symbol, epoch_ns(ts) AS ts, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |),
+        |d AS MATERIALIZED (
+        |  SELECT symbol, ts, event_id, rn,
+        |         cents - lag(cents) OVER (PARTITION BY symbol ORDER BY rn) AS dpc
+        |  FROM t
+        |),
+        |rec AS (
+        |  SELECT symbol, 1 AS rn, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sm,
+        |         CAST(0 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS ts,
+        |         CAST(NULL AS BIGINT) AS event_id, 0 AS direction,
+        |         CAST(NULL AS BIGINT) AS s_cents, CAST(NULL AS BIGINT) AS n_ticks
+        |  FROM (SELECT DISTINCT symbol FROM t)
+        |  UNION ALL
+        |  SELECT symbol, rn,
+        |         CASE WHEN sp2 >= 20 OR sm2 <= -20 THEN 0 ELSE sp2 END AS sp,
+        |         CASE WHEN sp2 >= 20 OR sm2 <= -20 THEN 0 ELSE sm2 END AS sm,
+        |         CASE WHEN sp2 >= 20 OR sm2 <= -20 THEN 0 ELSE n2 END AS n,
+        |         ts, event_id,
+        |         CASE WHEN sp2 >= 20 THEN 1 WHEN sm2 <= -20 THEN -1 ELSE 0 END AS direction,
+        |         CASE WHEN sp2 >= 20 THEN sp2 WHEN sm2 <= -20 THEN sm2 ELSE NULL END AS s_cents,
+        |         CASE WHEN sp2 >= 20 OR sm2 <= -20 THEN n2 ELSE NULL END AS n_ticks
+        |  FROM (
+        |    SELECT d.symbol, d.rn, greatest(0, rec.sp + d.dpc) AS sp2,
+        |           least(0, rec.sm + d.dpc) AS sm2, rec.n + 1 AS n2, d.ts, d.event_id
+        |    FROM rec JOIN d ON d.symbol = rec.symbol AND d.rn = rec.rn + 1
+        |  )
+        |)
+        |SELECT symbol, ts, event_id, direction, s_cents, n_ticks
+        |FROM rec WHERE direction <> 0 ORDER BY symbol, ts, event_id""".stripMargin,
     "q_dollar_bars" -> barsSql("dollar_c", Micro.DollarBarCents),
     "q_volume_bars" -> barsSql("vol", Micro.VolumeBarUnits),
     "q_tick_rule_flow" ->
