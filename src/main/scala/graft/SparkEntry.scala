@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.DedupPack,
     graft.operators.CorpusPack,
     graft.operators.SpanPack,
-    graft.operators.RetrievalPack
+    graft.operators.RetrievalPack,
+    graft.sources.CorpusJob
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
