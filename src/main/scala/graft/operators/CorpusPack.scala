@@ -38,7 +38,7 @@ object CorpusPack extends QueryPack {
     * shingles): contamination checks use long n-grams so that shared
     * topical vocabulary does not flag a doc — only near-verbatim spans do.
     */
-  private def shingles5(docs: DataFrame): DataFrame = {
+  private[graft] def shingles5(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), col("source"),

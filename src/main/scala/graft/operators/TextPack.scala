@@ -220,17 +220,22 @@ object TextPack extends QueryPack {
       // 3-grams whose FIRST occurrence (lowest doc_id) is this doc —
       // the "what does this doc add" contribution metric behind
       // keep/drop decisions on a near-duplicate tail (a doc that is
-      // pure re-statement of earlier corpus scores ~0). Rides the
-      // memoized distinct shingle table: one groupBy(shingle) min, one
-      // shingle-key join back, one per-doc aggregate — linear in
-      // distinct shingles at any corpus size; novelty is one division
-      // of exact integer counts.
+      // pure re-statement of earlier corpus scores ~0). NO shingle-key
+      // join: because the shingle table is distinct per (doc, shingle),
+      // a doc's novel count is exactly the number of first-occurrence
+      // rows it owns — groupBy(shingle).min, re-grouped by the winning
+      // doc. Both aggregates are combine-safe (partial min/count), so a
+      // hot shingle carrying 10% of corpus mass collapses map-side
+      // instead of landing one join task with 10% of all postings; the
+      // only join left is doc-keyed (uniform by construction).
       val sh = shinglesCached(s, d)
-      val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty",
           graft.functions.Port.r(col("n_novel") / col("n_shingles"), 6))
         .orderBy("doc_id")
@@ -999,15 +1004,16 @@ object TextPack extends QueryPack {
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH $ShinglesCte,
-         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)
-         |SELECT s.doc_id, count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_novel,
+         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1),
+         |nv AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM fst GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_shingles,
+         |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
          |       ${graft.functions.Port.rsql(
-                   "CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+                   "CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pd.n_shingles", 6)}
          |         AS novelty
-         |FROM shd s JOIN fst f ON s.shingle = f.shingle
-         |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
+         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
+         |ORDER BY pd.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_tokens,

@@ -153,15 +153,40 @@ object StreamBench {
     lane[graft.streaming.PaperTrading.Tick]("engine", paperTicks, "append",
       ds => graft.streaming.PaperTrading.engineLoop(ds, "acct-1", qty = 10.0).toDF())
 
+    // 9. CUSUM event filter (mapGroupsWithState; all-integer state)
+    val cusumTicks: Seq[graft.streaming.StreamingCusum.Tick] =
+      graft.operators.Micro.intTicks(spark, sfDir)
+        .orderBy("ts", "event_id")
+        .select(col("symbol"), col("ts"), col("event_id"), col("cents"))
+        .collect().toSeq
+        .map(r => graft.streaming.StreamingCusum.Tick(
+          r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    lane[graft.streaming.StreamingCusum.Tick]("cusum", cusumTicks, "append",
+      ds => graft.streaming.StreamingCusum.track(ds).toDF())
+
+    // 10. information-driven dollar bars (eager close-on-threshold)
+    val infoTicks: Seq[graft.streaming.StreamingInfoBars.Tick] =
+      graft.operators.Micro.intTicks(spark, sfDir)
+        .orderBy("ts", "event_id")
+        .select(col("symbol"), col("ts"), col("event_id"), col("price"),
+          col("vol"), col("cents"))
+        .collect().toSeq
+        .map(r => graft.streaming.StreamingInfoBars.Tick(
+          r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))
+    lane[graft.streaming.StreamingInfoBars.Tick]("infobars", infoTicks, "append",
+      ds => graft.streaming.StreamingInfoBars.track(
+        ds, graft.operators.Micro.DollarBarCents, useDollar = true).toDF())
+
     val lanesJson = results.map { case (n, (rows, sec, out)) =>
       f""""$n":{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,"out_rows":$out}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"stream_rows_per_sec","lanes":$lanesJson,"batches":$nBatches,"sf":"$sfDir"}"""
     println(line)
-    val f = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."),
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "streambench.json"))
+    val name = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILE", "streambench.json")
+    val f = if (new java.io.File(name).isAbsolute) new java.io.File(name)
+      else new java.io.File(sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), name)
     try {
       val pw = new java.io.PrintWriter(f)
       try pw.println(line) finally pw.close()
