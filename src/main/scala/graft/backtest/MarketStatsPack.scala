@@ -127,6 +127,46 @@ object MarketStatsPack extends QueryPack {
           Port.r(num / nullif(den, lit(0.0)), 6).as("roll_corr"))
         .orderBy("symbol", "bucket_ms")
     }),
+    "q_corr_matrix" -> ((s, d) => {
+      // Full symbol×symbol Pearson correlation of hourly returns over
+      // the pairs' COMMON buckets (upper triangle incl. diagonal) —
+      // the portfolio-optimizer input q_asset_stats reads one axis of.
+      // Output is dimension² (symbols × symbols); the pair build is a
+      // bucket-keyed self-join whose per-bucket fanout is bounded by
+      // the symbol universe — linear in bars at any history length,
+      // never bars×bars. Same exact-moment parity as the rest of the
+      // pack: 1e-12-quantized returns, exact decimal(38,0)/HUGEINT
+      // co-moments, zero-variance pairs pin 0.0 on both engines (the
+      // q_ic_decay degenerate-data rule).
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val rets = graft.operators.Bars.ohlcvCached(s, d, 3600)
+        .select(col("symbol"), col("bucket_ms"), col("close"))
+        .withColumn("x", col("close") / lag(col("close"), 1).over(w) - 1)
+        .filter(col("x").isNotNull)
+        .select(col("symbol"), col("bucket_ms"),
+          floor(col("x") * 1e12 + lit(0.5)).cast(dec).as("xi"))
+      val a = rets.select(col("symbol").as("sym1"), col("bucket_ms"),
+        col("xi").as("x1"))
+      val b = rets.select(col("symbol").as("sym2"), col("bucket_ms"),
+        col("xi").as("x2"))
+      val m = a.join(b, "bucket_ms")
+        .filter(col("sym1") <= col("sym2"))
+        .groupBy("sym1", "sym2")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("x1")).as("sx"), sum(col("x2")).as("sy"),
+          sum(col("x1") * col("x2")).as("sxy"),
+          sum(col("x1") * col("x1")).as("sxx"),
+          sum(col("x2") * col("x2")).as("syy"))
+      val num = (col("n_obs") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val dxx = col("n_obs") * col("sxx") - col("sx") * col("sx")
+      val dyy = col("n_obs") * col("syy") - col("sy") * col("sy")
+      m.select(col("sym1"), col("sym2"), col("n_obs"),
+        when(dxx === 0 || dyy === 0, lit(0.0)).otherwise(
+          Port.r(num / sqrt(dxx.cast("double") * dyy.cast("double")), 6))
+          .as("corr"))
+        .orderBy("sym1", "sym2")
+    }),
     "q_market_beta" -> ((s, d) => {
       // CAPM regression per symbol on daily returns: beta vs the
       // equal-weight market, intercept alpha, and R². One aggregate of
@@ -186,6 +226,33 @@ object MarketStatsPack extends QueryPack {
          |SELECT symbol, bucket_ms,
          |       ${Port.rsql("CAST(20*sxy - sx*sy AS DOUBLE) / nullif(sqrt(CAST(greatest(20*sxx - sx*sx, 0) AS DOUBLE) * CAST(greatest(20*syy - sy*sy, 0) AS DOUBLE)), 0)", 6)} AS roll_corr
          |FROM wnd WHERE rn >= 20 ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_corr_matrix" ->
+      s"""WITH ${graft.QueryPack.barsCteAt(3600)},
+         |rets AS (
+         |  SELECT symbol, bucket_ms,
+         |         close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms) - 1 AS x
+         |  FROM bars
+         |),
+         |qz AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(x * 1e12 + 0.5) AS HUGEINT) AS xi
+         |  FROM rets WHERE x IS NOT NULL
+         |),
+         |p AS (
+         |  SELECT a.symbol AS sym1, b.symbol AS sym2, count(*) AS n_obs,
+         |         sum(a.xi) AS sx, sum(b.xi) AS sy, sum(a.xi * b.xi) AS sxy,
+         |         sum(a.xi * a.xi) AS sxx, sum(b.xi * b.xi) AS syy
+         |  FROM qz a JOIN qz b USING (bucket_ms)
+         |  WHERE a.symbol <= b.symbol
+         |  GROUP BY 1, 2
+         |)
+         |SELECT sym1, sym2, n_obs,
+         |       CASE WHEN n_obs * sxx - sx * sx = 0 OR n_obs * syy - sy * sy = 0
+         |            THEN 0.0 ELSE
+         |         ${Port.rsql(
+                     "CAST(n_obs * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n_obs * sxx - sx * sx AS DOUBLE) * CAST(n_obs * syy - sy * sy AS DOUBLE))", 6)}
+         |       END AS corr
+         |FROM p ORDER BY sym1, sym2""".stripMargin,
     "q_market_beta" ->
       s"""WITH ${graft.QueryPack.barsCteAt(86400)}$retsCte,
          |qz AS (

@@ -162,6 +162,29 @@ object CorpusPack extends QueryPack {
         .withColumn("contaminated", (col("n_hit_shingles") > 0).cast("int"))
         .orderBy("doc_id")
     }),
+    "q_eval_coverage" -> ((s, d) => {
+      // q_decontaminate's REVERSE view: per held-out eval doc, how much
+      // of its 5-gram surface already exists anywhere in the training
+      // corpus — the "is this eval actually held out" audit run before
+      // a decontamination pass is trusted. The corpus side collapses to
+      // a DISTINCT shingle set before the join (df = 1 per key on the
+      // build side by construction, so no hot-shingle output blowup is
+      // possible), and the probe side is eval-sized — the cheap
+      // direction at any corpus scale.
+      val shd = shingles5Cached(s, d)
+      val ev = shd.filter(col("source") === EvalSource).select("doc_id", "shingle")
+      val corpSh = shd.filter(col("source") =!= EvalSource)
+        .select("shingle").distinct()
+      val cov = ev.join(corpSh, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("coverage",
+          Port.r(col("n_covered") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
     "q_pii_scrub" -> ((s, d) =>
       // Payload scrubbing over the raw event feed: count PII-shaped
       // spans (emails / IPs / phones / numeric identifiers) and redact
@@ -538,6 +561,24 @@ object CorpusPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_eval_coverage" ->
+      s"""WITH $Shingles5Cte,
+         |ev AS (SELECT doc_id, shingle FROM shd5 WHERE source = '$EvalSource'),
+         |corpsh AS (
+         |  SELECT DISTINCT shingle FROM shd5 WHERE source != '$EvalSource'
+         |),
+         |cov AS (
+         |  SELECT e.doc_id, count(*) AS n_covered
+         |  FROM ev e JOIN corpsh c ON e.shingle = c.shingle GROUP BY e.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_shingles,
+         |       CAST(coalesce(v.n_covered, 0) AS BIGINT) AS n_covered,
+         |       ${graft.functions.Port.rsql(
+                   "CAST(coalesce(v.n_covered, 0) AS DOUBLE) / s.n_shingles", 6)}
+         |         AS coverage
+         |FROM sizes s LEFT JOIN cov v ON s.doc_id = v.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $Shingles5Cte,
          |ev AS (SELECT doc_id AS eval_doc, shingle FROM shd5 WHERE source = '$EvalSource'),

@@ -464,4 +464,42 @@ object Micro {
       .select("symbol", "n_pairs", "cov_cents2", "roll_spread_cents")
       .orderBy("symbol")
   }
+
+  /** Effective spread per (symbol, hour) from the trade feed against
+    * the STRICTLY-PREVIOUS quote's midpoint — the TAQ methodology
+    * (eff = 2·|p − m|/m, here reported directly as |p − m|/m in bps):
+    * the quote basis is the last trade at each prior instant
+    * (deterministic: max_by event_id within a tied timestamp), made
+    * visible one nanosecond later so a trade never sees its own quote.
+    * One AsOfJoin (single shuffle on symbol, no range explosion); the
+    * per-trade bps snaps to integer micro-units BEFORE the hash
+    * aggregate so the hourly mean is an exact integer sum / (n·1e6).
+    * `buy_frac` classifies by the quote-rule sign(p − m).
+    *
+    * Reference family: data_processing/cleaner.py spread statistics
+    * (q_spread_stats) — this is the trade-conditioned counterpart the
+    * dashboard reads next to it.
+    */
+  def effectiveSpread(s: SparkSession, d: String): DataFrame = {
+    val t = graft.Tables.ticks(s, d)
+    val quotes = t.groupBy(col("symbol"), col("ts"))
+      .agg(max_by(col("price"), col("event_id")).as("qp"))
+      .select(col("symbol"), (col("ts") + 1).as("ts"),
+        (col("qp") * 0.999).as("bid"), (col("qp") * 1.001).as("ask"))
+    val trades = t.select("symbol", "ts", "event_id", "price")
+    AsOfJoin.backward(trades, quotes, "symbol", "ts", Seq("bid", "ask"))
+      .filter(col("bid").isNotNull)
+      .withColumn("mid", (col("bid") + col("ask")) / 2)
+      .withColumn("eff_u",
+        floor(abs(col("price") - col("mid")) / col("mid") * 1e4 * 1e6 + lit(0.5))
+          .cast("long"))
+      .withColumn("buy", (col("price") > col("mid")).cast("long"))
+      .groupBy(col("symbol"),
+        expr("ts div 3600000000000 * 3600000").as("bucket_ms"))
+      .agg(count(lit(1)).as("n_trades"),
+        (sum(col("eff_u")).cast("double") / (count(lit(1)) * 1e6))
+          .as("avg_eff_bps"),
+        Port.r(sum(col("buy")).cast("double") / count(lit(1)), 6).as("buy_frac"))
+      .orderBy("symbol", "bucket_ms")
+  }
 }

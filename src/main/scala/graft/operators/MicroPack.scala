@@ -28,6 +28,7 @@ object MicroPack extends QueryPack {
     "q_variance_ratio" -> ((s, d) => Micro.varianceRatio(s, d)),
     "q_hawkes_intensity" -> ((s, d) => Micro.hawkesIntensity(s, d)),
     "q_price_impact_curve" -> ((s, d) => Micro.priceImpactCurve(s, d)),
+    "q_effective_spread" -> ((s, d) => Micro.effectiveSpread(s, d)),
     // oracled via a per-symbol recursive CTE (the reset feedback is
     // genuinely sequential — the CTE advances every symbol one tick per
     // iteration); MicroSpec additionally pins it against an in-test
@@ -87,6 +88,36 @@ object MicroPack extends QueryPack {
        |FROM c GROUP BY symbol, bar_id ORDER BY symbol, bar_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_effective_spread" ->
+      s"""WITH ${QueryPack.TicksCte},
+         |lq AS (
+         |  SELECT symbol, epoch_ns(ts) AS tsn, arg_max(price, event_id) AS qp
+         |  FROM ticks GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT symbol, tsn + 1 AS avail,
+         |         qp * 0.999 AS bid, qp * 1.001 AS ask
+         |  FROM lq
+         |),
+         |t AS (SELECT symbol, epoch_ns(ts) AS tsn, event_id, price FROM ticks),
+         |j AS (
+         |  SELECT t.symbol, t.tsn, t.price, r.bid, r.ask
+         |  FROM t ASOF LEFT JOIN r
+         |    ON t.symbol = r.symbol AND t.tsn >= r.avail
+         |),
+         |e AS (
+         |  SELECT symbol, tsn,
+         |         CAST(floor(abs(price - (bid + ask) / 2) / ((bid + ask) / 2)
+         |           * 1e4 * 1e6 + 0.5) AS BIGINT) AS eff_u,
+         |         CASE WHEN price > (bid + ask) / 2 THEN 1 ELSE 0 END AS buy
+         |  FROM j WHERE bid IS NOT NULL
+         |)
+         |SELECT symbol, tsn // 3600000000000 * 3600000 AS bucket_ms,
+         |       count(*) AS n_trades,
+         |       CAST(sum(eff_u) AS DOUBLE) / (count(*) * 1e6) AS avg_eff_bps,
+         |       ${graft.functions.Port.rsql(
+                   "CAST(sum(buy) AS DOUBLE) / count(*)", 6)} AS buy_frac
+         |FROM e GROUP BY 1, 2 ORDER BY symbol, bucket_ms""".stripMargin,
     // the CUSUM reset recursion is sequential by definition, so the
     // mirror IS a recursion: a recursive CTE whose working table holds
     // one (symbol, state) row per symbol and advances every symbol one

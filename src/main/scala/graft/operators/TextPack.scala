@@ -551,6 +551,40 @@ object TextPack extends QueryPack {
           graft.functions.Port.r(max(col("nll")), 6).as("max_neg_logprob"))
         .orderBy("doc_id")
     }),
+    "q_perplexity_histogram" -> ((s, d) => {
+      // The CCNet-style perplexity-gate picture (arXiv:1911.00359 §3.2
+      // buckets a corpus by LM perplexity into head/middle/tail): a
+      // fixed-grid histogram of per-doc unigram NLL (0.5-nat bins) per
+      // source, with each bin's doc/token mass and its share of the
+      // source — the table a quality-cutoff decision is read from.
+      // Fixed bins, NOT ranked deciles: a global rank would need a
+      // corpus-scale unpartitioned window, while the grid is one hash
+      // aggregate and the share window runs over the (source × bin)
+      // dimension frame. Per-doc NLL snaps to integer micro-units
+      // (q_unigram_logprob's measured posture), so the bin id is an
+      // exact integer div and every mass column an exact sum.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val perDoc = toks.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("c").cast("double") / col("n_total")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          floor(avg(col("nll")) * 1e6 + lit(0.5)).cast("long").as("nll_u"))
+      val wSrc = Window.partitionBy("source")
+      perDoc.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("bin", expr("nll_u div 500000"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("bin_lo", col("bin") / 2.0)
+        .withColumn("doc_share",
+          graft.functions.Port.r(
+            col("n_docs") / sum(col("n_docs")).over(wSrc), 6))
+        .select("source", "bin", "bin_lo", "n_docs", "n_tokens", "doc_share")
+        .orderBy("source", "bin")
+    }),
     "q_bigram_logprob" -> ((s, d) => {
       // Bigram-LM corpus-fit score (the CCNet-style perplexity gate,
       // arXiv:1911.00359, with the corpus itself as the LM): per doc,
@@ -881,6 +915,32 @@ object TextPack extends QueryPack {
         |       floor(avg(nll) * 1e6 + 0.5) / 1e6 AS avg_neg_logprob,
         |       floor(max(nll) * 1e6 + 0.5) / 1e6 AS max_neg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_perplexity_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id, -ln(CAST(v.c AS DOUBLE) / n_total) AS nll
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(floor(avg(nll) * 1e6 + 0.5) AS BIGINT) AS nll_u
+        |  FROM scored GROUP BY doc_id
+        |),
+        |binned AS (
+        |  SELECT d.source, p.nll_u // 500000 AS bin,
+        |         count(*) AS n_docs, CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens
+        |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source, bin, bin / 2.0 AS bin_lo, n_docs, n_tokens,
+        |       floor(CAST(n_docs AS DOUBLE)
+        |         / sum(n_docs) OVER (PARTITION BY source) * 1e6 + 0.5) / 1e6
+        |         AS doc_share
+        |FROM binned ORDER BY source, bin""".stripMargin,
     "q_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -92,4 +92,20 @@ class BacktestSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("n_changes")).toMap
     assert(turn == flips)
   }
+
+  test("corr matrix: full upper triangle, unit diagonal, bounded values") {
+    val out = graft.backtest.MarketStatsPack.queries("q_corr_matrix")(
+      spark, TestSpark.Sf).collect()
+    val syms = out.map(_.getAs[String]("sym1")).distinct.sorted
+    val n = syms.length
+    assert(out.length == n * (n + 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      val (a, b, c) = (r.getAs[String]("sym1"), r.getAs[String]("sym2"),
+        r.getAs[Double]("corr"))
+      assert(a <= b)
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"$a/$b corr=$c")
+      if (a == b) assert(c == 1.0, s"diagonal $a corr=$c")
+      assert(r.getAs[Long]("n_obs") > 0)
+    }
+  }
 }

@@ -30,6 +30,18 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("eval coverage scores exactly the eval docs with bounded coverage") {
+    val out = CorpusPack.queries("q_eval_coverage")(s, d).cache()
+    val evalDocs = Tables.documents(s, d)
+      .filter(col("source") === CorpusPack.EvalSource)
+      .filter(size(split(col("text"), " ")) >= 5)
+    assert(out.count() === evalDocs.count(), "one row per 5-grammable eval doc")
+    assert(out.join(evalDocs.select("doc_id"), "doc_id").count() === out.count())
+    assert(out.filter(col("n_covered") > col("n_shingles")).count() === 0)
+    assert(out.filter(col("coverage") < 0 || col("coverage") > 1).count() === 0)
+    out.unpersist()
+  }
+
   test("pii scrub finds numeric payload ids and collapses the payload space") {
     val out = CorpusPack.queries("q_pii_scrub")(s, d).cache()
     assert(out.filter(col("num_hits") <= 0).count() === 0, "props payloads carry numeric ids")

@@ -310,4 +310,25 @@ class MicroSpec extends AnyFunSuite {
     assert(Micro.rollSpread(spark, sf, HourNs).collect().toSeq ==
       Micro.rollSpread(spark, sf).collect().toSeq)
   }
+
+  test("effective spread: strictly-previous quote midpoint, hand values") {
+    // two ticks: the first has no earlier quote (excluded); the second
+    // trades at 10.10 against the quote built from the first (10.00):
+    // bid 9.99 / ask 10.01, mid their exact IEEE average
+    val dir = java.nio.file.Files.createTempDirectory("effspread").toString
+    Seq((0L, 1000000000L, 9L, "A", 10.00, ""),
+      (1L, 2000000000L, 9L, "A", 10.10, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Micro.effectiveSpread(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("symbol") == "A")
+    assert(r.getAs[Long]("bucket_ms") == 0L)
+    assert(r.getAs[Long]("n_trades") == 1L)
+    val mid = (10.00 * 0.999 + 10.00 * 1.001) / 2
+    val effU = math.floor(math.abs(10.10 - mid) / mid * 1e4 * 1e6 + 0.5)
+    assert(r.getAs[Double]("avg_eff_bps") == effU / 1e6)
+    assert(r.getAs[Double]("buy_frac") == 1.0)
+  }
 }

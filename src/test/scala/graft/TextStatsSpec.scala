@@ -170,4 +170,29 @@ class TextStatsSpec extends AnyFunSuite {
       assert(r2 >= 0.0 && r2 <= 1.0)
     }
   }
+
+  test("perplexity histogram conserves doc and token mass per source") {
+    import org.apache.spark.sql.functions._
+    val out = TextPack.queries("q_perplexity_histogram")(s, TestSpark.Sf).cache()
+    val perSrc = out.groupBy("source")
+      .agg(sum("n_docs").as("docs"), sum("n_tokens").as("toks"),
+        sum("doc_share").as("share"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("toks"), r.getAs[Double]("share"))).toMap
+    val truth = Tables.documents(s, TestSpark.Sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("toks"))).toMap
+    assert(perSrc.keySet == truth.keySet)
+    truth.foreach { case (src, (docs, toks)) =>
+      val (d2, t2, share) = perSrc(src)
+      assert(d2 == docs, s"$src doc mass")
+      assert(t2 == toks, s"$src token mass")
+      assert(math.abs(share - 1.0) < 1e-4, s"$src share sums to 1")
+    }
+    assert(out.filter(col("bin") < 0).count() === 0)
+    out.unpersist()
+  }
 }
