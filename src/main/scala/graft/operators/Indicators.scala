@@ -121,6 +121,48 @@ object Indicators {
       .orderBy("symbol", "bucket_ms")
   }
 
+  /** Candlestick pattern flags on minute bars — every rule is a pure
+    * integer comparison on exact cents (no float enters any predicate,
+    * so the flags are engine-exact by construction):
+    * doji (10·|c−o| ≤ h−l on a non-flat bar), hammer (lower shadow ≥
+    * 2·body, upper shadow ≤ body, non-zero body), and bullish/bearish
+    * engulfing vs the previous bar's body. Emits only bars matching at
+    * least one pattern — the sparse event stream a signal layer joins.
+    */
+  def candlePatterns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"),
+        floor(col("open") * 100 + lit(0.5)).cast("long").as("o"),
+        floor(col("high") * 100 + lit(0.5)).cast("long").as("h"),
+        floor(col("low") * 100 + lit(0.5)).cast("long").as("l"),
+        floor(col("close") * 100 + lit(0.5)).cast("long").as("c"))
+      .withColumn("po", lag("o", 1).over(w))
+      .withColumn("pc", lag("c", 1).over(w))
+      .withColumn("body", abs(col("c") - col("o")))
+      .withColumn("doji",
+        (lit(10) * col("body") <= col("h") - col("l") &&
+          col("h") > col("l")).cast("long"))
+      .withColumn("hammer",
+        (col("body") > 0 &&
+          least(col("o"), col("c")) - col("l") >= lit(2) * col("body") &&
+          col("h") - greatest(col("o"), col("c")) <= col("body")).cast("long"))
+      .withColumn("bull_engulf",
+        coalesce(
+          (col("pc") < col("po") && col("c") > col("o") &&
+            col("o") <= col("pc") && col("c") >= col("po")).cast("long"),
+          lit(0L)))
+      .withColumn("bear_engulf",
+        coalesce(
+          (col("pc") > col("po") && col("c") < col("o") &&
+            col("o") >= col("pc") && col("c") <= col("po")).cast("long"),
+          lit(0L)))
+      .filter(col("doji") + col("hammer") + col("bull_engulf") +
+        col("bear_engulf") > 0)
+      .select("symbol", "bucket_ms", "doji", "hammer", "bull_engulf", "bear_engulf")
+      .orderBy("symbol", "bucket_ms")
+  }
+
   /** Classic floor-trader pivot points from the PREVIOUS day's daily
     * bar: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L), S2=P−(H−L). All
     * levels are computed in thirds-of-cents integers (T = h+l+c cents,
@@ -223,7 +265,8 @@ object IndicatorsPack extends graft.QueryPack {
     "q_williams_r" -> ((s, d) => Indicators.williamsR(s, d)),
     "q_donchian" -> ((s, d) => Indicators.donchian(s, d)),
     "q_pivot_points" -> ((s, d) => Indicators.pivotPoints(s, d)),
-    "q_gap_analysis" -> ((s, d) => Indicators.gapAnalysis(s, d))
+    "q_gap_analysis" -> ((s, d) => Indicators.gapAnalysis(s, d)),
+    "q_candle_patterns" -> ((s, d) => Indicators.candlePatterns(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -266,6 +309,35 @@ object IndicatorsPack extends graft.QueryPack {
          |SELECT symbol, bucket_ms, tr_cents,
          |       CAST(s_tr AS DOUBLE) / CAST(n_win AS DOUBLE) AS atr_cents
          |FROM b3 ORDER BY symbol, bucket_ms""".stripMargin,
+    "q_candle_patterns" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |b0 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(floor(open * 100 + 0.5) AS BIGINT) AS o,
+         |         CAST(floor(high * 100 + 0.5) AS BIGINT) AS h,
+         |         CAST(floor(low * 100 + 0.5) AS BIGINT) AS l,
+         |         CAST(floor(close * 100 + 0.5) AS BIGINT) AS c
+         |  FROM bars
+         |),
+         |b1 AS (
+         |  SELECT *, abs(c - o) AS body,
+         |         lag(o) OVER ws AS po, lag(c) OVER ws AS pc
+         |  FROM b0 WINDOW ws AS (PARTITION BY symbol ORDER BY bucket_ms)
+         |),
+         |b2 AS (
+         |  SELECT symbol, bucket_ms,
+         |         CAST(10 * body <= h - l AND h > l AS BIGINT) AS doji,
+         |         CAST(body > 0 AND least(o, c) - l >= 2 * body
+         |              AND h - greatest(o, c) <= body AS BIGINT) AS hammer,
+         |         CAST(coalesce(pc < po AND c > o AND o <= pc AND c >= po,
+         |              false) AS BIGINT) AS bull_engulf,
+         |         CAST(coalesce(pc > po AND c < o AND o >= pc AND c <= po,
+         |              false) AS BIGINT) AS bear_engulf
+         |  FROM b1
+         |)
+         |SELECT * FROM b2
+         |WHERE doji + hammer + bull_engulf + bear_engulf > 0
+         |ORDER BY symbol, bucket_ms""".stripMargin,
     "q_williams_r" ->
       s"""WITH ${graft.QueryPack.BarsCte},
          |b0 AS (

@@ -128,6 +128,52 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("direction") == -1L)
   }
 
+  test("vwap drift: bar vs day-running VWAP, exact cross-product ratio") {
+    // minute0: 10.00 x vol 10 -> bar vwap 10, day vwap 10, drift 0
+    // minute1: 20.00 x vol 10 -> bar vwap 20, day vwap 15,
+    //   drift = (20000*20)/(10*30000) - 1 = 1/3 -> 3333.33 bps
+    val dir = corpus("vwapdrift", Seq(
+      (0L, 0L, 9L, "A", 10.00),
+      (1L, 60000000000L, 9L, "A", 20.00)))
+    val out = graft.operators.BarsPack.queries("q_vwap_drift")(spark, dir)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("vwap_bar") == 10.0)
+    assert(out(0).getAs[Double]("vwap_day") == 10.0)
+    assert(out(0).getAs[Double]("drift_bps") == 0.0)
+    assert(out(1).getAs[Double]("vwap_bar") == 20.0)
+    assert(out(1).getAs[Double]("vwap_day") == 15.0)
+    assert(out(1).getAs[Double]("drift_bps") ==
+      math.floor((20000.0 * 20 / (10.0 * 30000) - 1) * 1e4 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("candle patterns: integer-exact doji, hammer, engulfing flags") {
+    // bar1 (2 ticks 10.00, 10.01 -> o=1000 c=1001 h=1001 l=1000):
+    //   body=1, range=1: not doji (10 > 1); hammer: lower shadow 0 < 2
+    // bar2 (ticks 10.10, 10.30, 10.08 -> o=1010 h=1030 l=1008 c=1008):
+    //   down body 2, range 22: doji (20 <= 22); not hammer (upper 20 > 2)
+    // bar3 (ticks 10.05, 10.40 -> o=1005 c=1040, up body 35 engulfing
+    //   bar2's down body [1008, 1010]): bull_engulf
+    // bar4 (ticks 10.20, 10.21, 10.00 -> o=1020 h=1021 l=1000 c=1000):
+    //   down body 20 >= prev up body? bear_engulf needs o>=pc(1040) -> no;
+    //   hammer: lower shadow 0... body 20, lower shadow l-min(o,c)=0 -> no
+    val dir = corpus("candle", Seq(
+      (0L, 0L, 9L, "A", 10.00), (1L, 1000000000L, 9L, "A", 10.01),
+      (2L, 60000000000L, 9L, "A", 10.10), (3L, 61000000000L, 9L, "A", 10.30),
+      (4L, 62000000000L, 9L, "A", 10.08),
+      (5L, 120000000000L, 9L, "A", 10.05), (6L, 121000000000L, 9L, "A", 10.40),
+      (7L, 180000000000L, 9L, "A", 10.20), (8L, 181000000000L, 9L, "A", 10.21),
+      (9L, 182000000000L, 9L, "A", 10.00)))
+    val out = Indicators.candlePatterns(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket_ms") ->
+        (r.getAs[Long]("doji"), r.getAs[Long]("hammer"),
+          r.getAs[Long]("bull_engulf"), r.getAs[Long]("bear_engulf"))).toMap
+    assert(!out.contains(0L), "bar1 matches nothing")
+    assert(out(60000L) == ((1L, 0L, 0L, 0L)), "bar2 is a doji")
+    assert(out(120000L)._3 == 1L, "bar3 bullish engulfing")
+    assert(!out.contains(180000L), "bar4 matches nothing")
+  }
+
   test("stochastic: %K at range extremes and the flat-range 50 guard") {
     // bars: 10.00, 10.00 (flat so far -> %K=50), 11.00 (new high -> 100),
     // 10.00 (back at the low -> 0); %D = trailing-3 mean of %K
