@@ -126,8 +126,10 @@ object Indicators {
     * so the flags are engine-exact by construction):
     * doji (10·|c−o| ≤ h−l on a non-flat bar), hammer (lower shadow ≥
     * 2·body, upper shadow ≤ body, non-zero body), and bullish/bearish
-    * engulfing vs the previous bar's body. Emits only bars matching at
-    * least one pattern — the sparse event stream a signal layer joins.
+    * engulfing vs the previous bar's body. Emits EVERY bar with its
+    * flag vector (a signal layer filters; the full frame keeps the
+    * driver's rows>0 contract meaningful at any scale factor, where a
+    * sparse matched-only stream can be legitimately empty).
     */
   def candlePatterns(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")
@@ -157,8 +159,6 @@ object Indicators {
           (col("pc") > col("po") && col("c") < col("o") &&
             col("o") >= col("pc") && col("c") <= col("po")).cast("long"),
           lit(0L)))
-      .filter(col("doji") + col("hammer") + col("bull_engulf") +
-        col("bear_engulf") > 0)
       .select("symbol", "bucket_ms", "doji", "hammer", "bull_engulf", "bear_engulf")
       .orderBy("symbol", "bucket_ms")
   }
@@ -336,7 +336,6 @@ object IndicatorsPack extends graft.QueryPack {
          |  FROM b1
          |)
          |SELECT * FROM b2
-         |WHERE doji + hammer + bull_engulf + bear_engulf > 0
          |ORDER BY symbol, bucket_ms""".stripMargin,
     "q_williams_r" ->
       s"""WITH ${graft.QueryPack.BarsCte},

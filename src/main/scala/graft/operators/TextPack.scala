@@ -466,6 +466,28 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
     "q_dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "q_dup_matrix" -> ((s, d) => {
+      // Cross-source near-duplication matrix over the verified jaccard
+      // pairs (rides the memoized prefix-filtered pool): pair count and
+      // mean jaccard per unordered source pair — the document-level
+      // companion of q_source_overlap's shingle-mass view, read when
+      // choosing which sources share a dedup pass. Per-pair jaccard
+      // (itself an exact-integer division) snaps to integer micro-units
+      // BEFORE the mean, so the aggregate is an exact sum at any pair
+      // count.
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d)
+        .join(src.select(col("doc_id").as("doc1"), col("source").as("sa")), "doc1")
+        .join(src.select(col("doc_id").as("doc2"), col("source").as("sb")), "doc2")
+        .select(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"),
+          floor(col("jaccard") * 1e6 + lit(0.5)).cast("long").as("j_u"))
+        .groupBy("src1", "src2")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("j_u")).cast("double") / (count(lit(1)) * 1e6))
+            .as("avg_jaccard"))
+        .orderBy("src1", "src2")
+    }),
     "q_dedup_containment" -> ((s, d) => {
       // Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) catches a
       // short doc EMBEDDED in a long one — symmetric Jaccard dilutes
@@ -1312,6 +1334,19 @@ object TextPack extends QueryPack {
       s"""WITH $JaccardCte
          |SELECT doc1, doc2, inter, sz1, sz2, jaccard
          |FROM jp ORDER BY doc1, doc2""".stripMargin,
+    "q_dup_matrix" ->
+      s"""WITH $JaccardCte,
+         |sp AS (
+         |  SELECT least(d1.source, d2.source) AS src1,
+         |         greatest(d1.source, d2.source) AS src2,
+         |         CAST(floor(j.jaccard * 1e6 + 0.5) AS BIGINT) AS j_u
+         |  FROM jp j
+         |  JOIN documents d1 ON j.doc1 = d1.doc_id
+         |  JOIN documents d2 ON j.doc2 = d2.doc_id
+         |)
+         |SELECT src1, src2, count(*) AS n_pairs,
+         |       CAST(sum(j_u) AS DOUBLE) / (count(*) * 1e6) AS avg_jaccard
+         |FROM sp GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $JaccardCte,
          |mx AS (SELECT (8 * max(doc_id)) // 10 AS thr FROM documents),

@@ -313,6 +313,82 @@ object Vol {
       .select("symbol", "symbol_lead", "lag", "n_pairs", "xcorr")
       .orderBy("symbol", "symbol_lead", "lag")
   }
+
+  /** Per-symbol skewness and excess kurtosis of minute-bar simple
+    * returns, from four EXACT integer power sums of 1e-2-quantized
+    * returns (centi-units: the synthetic feed's bar returns reach
+    * O(10⁴), so finer grids overflow the quartic n³S4 term past 38
+    * digits — measured: 1e-3 units put A4 at 1.1e38, over Spark's
+    * decimal(38,0) ceiling while still inside DuckDB's INT128, an
+    * engine-DIVERGENT overflow; centi keeps every term under 10³⁵
+    * with 4 digits of headroom, and skew/kurt of O(1)+ returns lose
+    * nothing at diagnostic precision). The
+    * scale-free forms cancel n AND the quantization unit
+    * before any float op: with A2 = n·S2−S1², A3 = n²·S3−3n·S2·S1+2S1³,
+    * A4 = n³·S4−4n²·S3·S1+6n·S2·S1²−3S1⁴ (all exact decimal(38,0)/
+    * HUGEINT), skew = A3/(A2·√A2) and excess kurt = A4/A2² − 3 — one
+    * mirrored float chain each, √ is correctly rounded in both engines
+    * (no pow). Zero-variance symbols pin 0.0.
+    */
+  def returnMoments(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+    val m = Bars.ohlcvCached(s, d, 60)
+      .select(col("symbol"), col("bucket_ms"), col("close"))
+      .withColumn("x", col("close") / lag(col("close"), 1).over(w) - 1)
+      .filter(col("x").isNotNull)
+      .select(col("symbol"),
+        floor(col("x") * 1e2 + lit(0.5)).cast(dec38).as("xi"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("xi")).as("s1"),
+        sum(col("xi") * col("xi")).as("s2"),
+        sum(col("xi") * col("xi") * col("xi")).as("s3"),
+        sum(col("xi") * col("xi") * col("xi") * col("xi")).as("s4"))
+      .withColumn("nd", col("n_rets").cast(dec38))
+      .withColumn("a2", col("nd") * col("s2") - col("s1") * col("s1"))
+      .withColumn("a3", col("nd") * col("nd") * col("s3")
+        - lit(3) * col("nd") * col("s2") * col("s1")
+        + lit(2) * col("s1") * col("s1") * col("s1"))
+      .withColumn("a4", col("nd") * col("nd") * col("nd") * col("s4")
+        - lit(4) * col("nd") * col("nd") * col("s3") * col("s1")
+        + lit(6) * col("nd") * col("s2") * col("s1") * col("s1")
+        - lit(3) * col("s1") * col("s1") * col("s1") * col("s1"))
+    m.select(col("symbol"), col("n_rets"),
+      Port.r(col("s1").cast("double") / (col("n_rets") * 1e2), 8).as("mean_ret"),
+      Port.r(sqrt(col("a2").cast("double")) / (col("n_rets") * 1e2), 8).as("sd_ret"),
+      when(col("a2") === 0, lit(0.0)).otherwise(
+        Port.r(col("a3").cast("double") /
+          (col("a2").cast("double") * sqrt(col("a2").cast("double"))), 6))
+        .as("skewness"),
+      when(col("a2") === 0, lit(0.0)).otherwise(
+        Port.r(col("a4").cast("double") /
+          (col("a2").cast("double") * col("a2").cast("double")) - 3, 6))
+        .as("excess_kurtosis"))
+      .orderBy("symbol")
+  }
+
+  /** Daily market-concentration profile: per day, the HHI of symbol
+    * volume shares (Σ(vᵢ/T)² ≡ Σvᵢ²/T², one division of exact integer
+    * decimals), the top symbol's share, and the participant count.
+    * Symbols are a dimension, so the day aggregate is dimension-sized
+    * at any corpus scale.
+    */
+  def volumeHhi(s: SparkSession, d: String): DataFrame =
+    Micro.intTicks(s, d)
+      .groupBy(expr("ts div 86400000000000").as("day"), col("symbol"))
+      .agg(sum(col("vol").cast(dec38)).as("v"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(col("v")).as("t"),
+        sum(col("v") * col("v")).as("v2"),
+        max(col("v")).as("vmax"))
+      .select(col("day"), col("n_symbols"),
+        col("t").cast("long").as("total_vol"),
+        Port.r(col("v2").cast("double") /
+          (col("t").cast("double") * col("t").cast("double")), 6).as("hhi"),
+        Port.r(col("vmax").cast("double") / col("t").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("day")
 }
 
 /** Pack registration + DuckDB mirrors for the Vol family. */
@@ -325,6 +401,8 @@ object VolPack extends graft.QueryPack {
     "q_lead_lag_corr" -> ((s, d) => Vol.leadLagCorr(s, d)),
     "q_markov_transitions" -> ((s, d) => Vol.markovTransitions(s, d)),
     "q_runs_test" -> ((s, d) => Vol.runsTest(s, d)),
+    "q_return_moments" -> ((s, d) => Vol.returnMoments(s, d)),
+    "q_volume_hhi" -> ((s, d) => Vol.volumeHhi(s, d)),
     "q_seasonality_dow" -> ((s, d) => Vol.seasonalityDow(s, d)),
     "q_event_study" -> ((s, d) => Vol.eventStudy(s, d)),
     "q_ou_half_life" -> ((s, d) => Vol.ouHalfLife(s, d))
@@ -343,6 +421,61 @@ object VolPack extends graft.QueryPack {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_return_moments" ->
+      s"""WITH ${graft.QueryPack.BarsCte},
+         |rets AS (
+         |  SELECT symbol,
+         |         close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket_ms) - 1 AS x
+         |  FROM bars
+         |),
+         |qz AS (
+         |  SELECT symbol, CAST(floor(x * 1e2 + 0.5) AS HUGEINT) AS xi
+         |  FROM rets WHERE x IS NOT NULL
+         |),
+         |ps AS (
+         |  SELECT symbol, count(*) AS n_rets,
+         |         sum(xi) AS s1, sum(xi*xi) AS s2,
+         |         sum(xi*xi*xi) AS s3, sum(xi*xi*xi*xi) AS s4
+         |  FROM qz GROUP BY symbol
+         |),
+         |a AS (
+         |  SELECT symbol, n_rets,
+         |         CAST(s1 AS DOUBLE) AS s1d,
+         |         n_rets * s2 - s1 * s1 AS a2,
+         |         n_rets * n_rets * s3 - 3 * n_rets * s2 * s1
+         |           + 2 * s1 * s1 * s1 AS a3,
+         |         n_rets * n_rets * n_rets * s4
+         |           - 4 * n_rets * n_rets * s3 * s1
+         |           + 6 * n_rets * s2 * s1 * s1
+         |           - 3 * s1 * s1 * s1 * s1 AS a4
+         |  FROM ps
+         |)
+         |SELECT symbol, n_rets,
+         |       ${Port.rsql("s1d / (n_rets * 1e2)", 8)} AS mean_ret,
+         |       ${Port.rsql("sqrt(CAST(a2 AS DOUBLE)) / (n_rets * 1e2)", 8)} AS sd_ret,
+         |       CASE WHEN a2 = 0 THEN 0.0 ELSE
+         |         ${Port.rsql("CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))", 6)}
+         |       END AS skewness,
+         |       CASE WHEN a2 = 0 THEN 0.0 ELSE
+         |         ${Port.rsql("CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3", 6)}
+         |       END AS excess_kurtosis
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_volume_hhi" ->
+      s"""WITH ${graft.QueryPack.TicksCte},
+         |sv AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day, symbol,
+         |         CAST(sum(CAST(volume AS BIGINT)) AS HUGEINT) AS v
+         |  FROM ticks GROUP BY 1, 2
+         |),
+         |agg AS (
+         |  SELECT day, count(*) AS n_symbols, sum(v) AS t,
+         |         sum(v*v) AS v2, max(v) AS vmax
+         |  FROM sv GROUP BY day
+         |)
+         |SELECT day, n_symbols, CAST(t AS BIGINT) AS total_vol,
+         |       ${Port.rsql("CAST(v2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))", 6)} AS hhi,
+         |       ${Port.rsql("CAST(vmax AS DOUBLE) / CAST(t AS DOUBLE)", 6)} AS top_share
+         |FROM agg ORDER BY day""".stripMargin,
     "q_realized_vol" ->
       s"""WITH $DayDiffCte,
          |t3 AS (

@@ -168,10 +168,10 @@ class IndicatorsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("bucket_ms") ->
         (r.getAs[Long]("doji"), r.getAs[Long]("hammer"),
           r.getAs[Long]("bull_engulf"), r.getAs[Long]("bear_engulf"))).toMap
-    assert(!out.contains(0L), "bar1 matches nothing")
+    assert(out(0L) == ((0L, 0L, 0L, 0L)), "bar1 matches nothing")
     assert(out(60000L) == ((1L, 0L, 0L, 0L)), "bar2 is a doji")
     assert(out(120000L)._3 == 1L, "bar3 bullish engulfing")
-    assert(!out.contains(180000L), "bar4 matches nothing")
+    assert(out(180000L) == ((0L, 0L, 0L, 0L)), "bar4 matches nothing")
   }
 
   test("stochastic: %K at range extremes and the flat-range 50 guard") {

@@ -171,6 +171,19 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup matrix conserves the pair pool and bounds mean jaccard") {
+    import org.apache.spark.sql.functions._
+    val pairs = TextPack.queries("q_dedup_ngram_jaccard")(s, TestSpark.Sf).count()
+    val out = TextPack.queries("q_dup_matrix")(s, TestSpark.Sf).cache()
+    assert(out.agg(sum("n_pairs")).head.getLong(0) === pairs,
+      "every verified pair lands in exactly one source cell")
+    assert(out.filter(col("avg_jaccard") < 0.5 - 1e-6 ||
+      col("avg_jaccard") > 1.0 + 1e-6).count() === 0,
+      "pool threshold bounds the cell means")
+    assert(out.filter(col("src1") > col("src2")).count() === 0)
+    out.unpersist()
+  }
+
   test("perplexity histogram conserves doc and token mass per source") {
     import org.apache.spark.sql.functions._
     val out = TextPack.queries("q_perplexity_histogram")(s, TestSpark.Sf).cache()

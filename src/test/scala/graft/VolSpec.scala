@@ -222,4 +222,54 @@ class VolSpec extends AnyFunSuite {
       assert(!v.isNaN && v >= -1.0 && v <= 1.0)
     }
   }
+
+  test("return moments: exact power-sum fold equals the operator; flat pins 0") {
+    // A: constant +10% returns -> zero variance -> skew/kurt pinned 0;
+    // B: two unequal returns, expected values recomputed driver-side
+    // with the SAME quantize-then-exact-integer fold
+    val dir = corpus("moments", Seq(
+      (0L, 0L, 9L, "A", 10.00), (1L, 60000000000L, 9L, "A", 11.00),
+      (2L, 120000000000L, 9L, "A", 12.10),
+      (3L, 0L, 9L, "B", 10.00), (4L, 60000000000L, 9L, "B", 12.00),
+      (5L, 120000000000L, 9L, "B", 10.80)))
+    val out = Vol.returnMoments(spark, dir).collect()
+      .map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(out("A").getAs[Double]("skewness") == 0.0)
+    assert(out("A").getAs[Double]("excess_kurtosis") == 0.0)
+    assert(out("A").getAs[Double]("mean_ret") ==
+      math.floor(0.1 * 1e8 + 0.5) / 1e8)
+    // driver-side mini-oracle for B
+    val xs = Seq(12.0 / 10.0 - 1, 10.8 / 12.0 - 1)
+      .map(x => BigInt(math.floor(x * 1e2 + 0.5).toLong))
+    val n = BigInt(xs.length)
+    val (s1, s2, s3, s4) = (xs.sum, xs.map(x => x * x).sum,
+      xs.map(x => x * x * x).sum, xs.map(x => x * x * x * x).sum)
+    val a2 = n * s2 - s1 * s1
+    val a3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+    val a4 = n * n * n * s4 - 4 * n * n * s3 * s1 +
+      6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1
+    val skew = math.floor(a3.toDouble /
+      (a2.toDouble * math.sqrt(a2.toDouble)) * 1e6 + 0.5) / 1e6
+    val kurt = math.floor(
+      (a4.toDouble / (a2.toDouble * a2.toDouble) - 3) * 1e6 + 0.5) / 1e6
+    assert(out("B").getAs[Double]("skewness") == skew)
+    assert(out("B").getAs[Double]("excess_kurtosis") == kurt)
+    assert(out("B").getAs[Long]("n_rets") == 2L)
+  }
+
+  test("volume hhi: hand shares on a two-symbol day") {
+    // A vol 10 (user 9), B vol 20 (user 19): T=30,
+    // hhi = (100+400)/900 = 5/9, top = 2/3
+    val dir = corpus("hhi", Seq(
+      (0L, 0L, 9L, "A", 10.00),
+      (1L, 1000000000L, 19L, "B", 10.00)))
+    val out = Vol.volumeHhi(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_symbols") == 2L)
+    assert(r.getAs[Long]("total_vol") == 30L)
+    assert(r.getAs[Double]("hhi") == math.floor(500.0 / 900.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("top_share") ==
+      math.floor(20.0 / 30.0 * 1e6 + 0.5) / 1e6)
+  }
 }
