@@ -186,8 +186,10 @@ object Bench {
     // Builder runs set SPARK_GRAFT_DETAIL_FILE=bench_builder_rN.json so the
     // two never share a path.
     val detailName = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "bench_detail.json")
-    val detailPath = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), detailName).getCanonicalPath
+    val detailPath = (if (new java.io.File(detailName).isAbsolute)
+      new java.io.File(detailName)
+    else new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), detailName)).getCanonicalPath
     try {
       val pw = new java.io.PrintWriter(detailPath)
       try pw.println(full) finally pw.close()

@@ -253,6 +253,23 @@ object RetrievalPack extends QueryPack {
         .select("vec_id", "nbr", "cosine", "rank")
         .orderBy("vec_id", "rank")
     }),
+    "q_knn_degree_stats" -> ((s, d) => {
+      // Graph-health audit of the directed top-3 kNN graph: the
+      // in-degree histogram (out-degree is <= 3 by construction; the
+      // IN-degree tail is where hub vectors — degenerate embeddings,
+      // near-constant vectors — show up before they poison PageRank or
+      // beam search). Isolated vectors land in the indeg=0 bucket via
+      // the left join against the full vector set. Rides the memoized
+      // ranked edge frame; one hash aggregate + a histogram over a
+      // degree-bounded key space.
+      val indeg = knnEdgesCached(s, d)
+        .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("indeg"))
+      AnnPack.embCached(s, d).select("vec_id")
+        .join(indeg, Seq("vec_id"), "left")
+        .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .groupBy("indeg").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("indeg")
+    }),
     "q_graph_rank" -> ((s, d) =>
       graphRankCached(s, d)
         .select(col("vec_id"), col("r_u"), (col("r_u") / lit(1e12)).as("rank_score"))
@@ -392,6 +409,21 @@ object RetrievalPack extends QueryPack {
         |    ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
         |  FROM dirs)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+    "q_knn_degree_stats" -> (KnnCteSql + """,
+        |top3 AS (
+        |  SELECT vec_id, nbr FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
+        |    FROM dirs)
+        |  WHERE rank <= 3
+        |),
+        |indeg AS (SELECT nbr AS vec_id, count(*) AS indeg FROM top3 GROUP BY 1),
+        |degs AS (
+        |  SELECT CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg
+        |  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id
+        |)
+        |SELECT indeg, count(*) AS n_vectors
+        |FROM degs GROUP BY indeg ORDER BY indeg""".stripMargin),
     "q_knn_purity" -> (KnnCteSql + s""",
         |top3 AS (
         |  SELECT vec_id, nbr FROM (

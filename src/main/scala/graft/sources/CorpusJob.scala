@@ -96,53 +96,131 @@ object CorpusJob extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_corpus_job_manifest" -> ((s, d) => manifest(s, d)))
+    "q_corpus_job_manifest" -> ((s, d) => manifest(s, d)),
+    "q_dedup_savings" -> ((s, d) => dedupSavings(s, d)))
+
+  /** Pipeline economics of the cleaning chain, per source: token/doc
+    * mass before any gate, after exact dedup alone, and after the full
+    * clean (exact ∩ near-dup/quality) — the table a 100 TB budget
+    * decision ("is the near-dup pass worth its compute here?") is read
+    * from. Rides the same memo graph as the composed job; every mass is
+    * an exact integer sum and each keep-rate is one snapped division.
+    */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val keepers = Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("cmd5"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val raw = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val ex = docs.join(keepers, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("n_docs_exact"), sum(col("n")).as("tokens_exact"))
+    val cl = cleanedDocs(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_clean"), sum(col("n")).as("tokens_clean"))
+    raw.join(ex, Seq("source"), "left").join(cl, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_exact"), lit(0L)).as("n_docs_exact"),
+        coalesce(col("tokens_exact"), lit(0L)).as("tokens_exact"),
+        coalesce(col("n_docs_clean"), lit(0L)).as("n_docs_clean"),
+        coalesce(col("tokens_clean"), lit(0L)).as("tokens_clean"))
+      .withColumn("exact_keep_rate",
+        graft.functions.Port.r(col("tokens_exact") / col("n_tokens"), 6))
+      .withColumn("clean_keep_rate",
+        graft.functions.Port.r(col("tokens_clean") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  /** Shared mirror prefix: the cleaning chain (shingle pool -> near-dup
+    * losers -> quality gate -> exact keepers -> cleaned), the same
+    * pieces the individual queries verify against. Final CTE: cleaned.
+    */
+  private val CleanChainCte: String =
+    s"""${TextPack.ShinglesCte},
+       |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+       |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |losers AS (
+       |  SELECT DISTINCT doc2 AS doc_id
+       |  FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+       |  WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
+       |),
+       |q AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |         len(list_filter(string_split(text, ' '),
+       |                         t -> t = 'the' OR t = 'a')) AS n_stop
+       |  FROM documents
+       |),
+       |kept AS (
+       |  SELECT q.doc_id
+       |  FROM q LEFT JOIN losers l ON q.doc_id = l.doc_id
+       |  WHERE l.doc_id IS NULL AND q.n_chars >= 150
+       |    AND least(q.n_chars / 500.0, 1.0) * 0.4 + (q.n_distinct / q.n_tokens) * 0.3
+       |        + (1.0 - q.n_stop / q.n_tokens) * 0.3 >= 0.7
+       |),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |),
+       |cleaned AS (
+       |  SELECT d.source, d.doc_id,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |         md5(d.text) AS hh
+       |  FROM documents d
+       |  JOIN keepers USING (doc_id) JOIN kept USING (doc_id)
+       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_savings" ->
+      s"""WITH $CleanChainCte,
+         |tok AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |),
+         |raw AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT source, count(*) AS n_docs_exact,
+         |         CAST(sum(n) AS BIGINT) AS tokens_exact
+         |  FROM tok JOIN keepers USING (doc_id) GROUP BY 1
+         |),
+         |cl AS (
+         |  SELECT source, count(*) AS n_docs_clean,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tokens_clean
+         |  FROM cleaned GROUP BY 1
+         |)
+         |SELECT r.source, r.n_docs, r.n_tokens,
+         |       coalesce(ex.n_docs_exact, 0) AS n_docs_exact,
+         |       coalesce(ex.tokens_exact, 0) AS tokens_exact,
+         |       coalesce(cl.n_docs_clean, 0) AS n_docs_clean,
+         |       coalesce(cl.tokens_clean, 0) AS tokens_clean,
+         |       ${graft.functions.Port.rsql(
+                   "CAST(coalesce(ex.tokens_exact, 0) AS DOUBLE) / r.n_tokens", 6)}
+         |         AS exact_keep_rate,
+         |       ${graft.functions.Port.rsql(
+                   "CAST(coalesce(cl.tokens_clean, 0) AS DOUBLE) / r.n_tokens", 6)}
+         |         AS clean_keep_rate
+         |FROM raw r
+         |LEFT JOIN ex ON r.source = ex.source
+         |LEFT JOIN cl ON r.source = cl.source
+         |ORDER BY r.source""".stripMargin,
     // the composed chain, assembled from the same mirror pieces the
     // individual queries verify against (shingle/jaccard pool ->
     // corpus-filter decision -> exact keepers -> pack offsets -> mix
     // budgets -> shard aggregate)
     "q_corpus_job_manifest" ->
-      s"""WITH ${TextPack.ShinglesCte},
-         |ok AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
-         |shf AS (SELECT s.doc_id, s.shingle FROM shd s JOIN ok ON s.shingle = ok.shingle),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |losers AS (
-         |  SELECT DISTINCT doc2 AS doc_id
-         |  FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
-         |  WHERE inter / (s1.sz + s2.sz - inter) >= 0.5
-         |),
-         |q AS (
-         |  SELECT doc_id, length(text) AS n_chars,
-         |         len(string_split(text, ' ')) AS n_tokens,
-         |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         |         len(list_filter(string_split(text, ' '),
-         |                         t -> t = 'the' OR t = 'a')) AS n_stop
-         |  FROM documents
-         |),
-         |kept AS (
-         |  SELECT q.doc_id
-         |  FROM q LEFT JOIN losers l ON q.doc_id = l.doc_id
-         |  WHERE l.doc_id IS NULL AND q.n_chars >= 150
-         |    AND least(q.n_chars / 500.0, 1.0) * 0.4 + (q.n_distinct / q.n_tokens) * 0.3
-         |        + (1.0 - q.n_stop / q.n_tokens) * 0.3 >= 0.7
-         |),
-         |keepers AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-         |),
-         |cleaned AS (
-         |  SELECT d.source, d.doc_id,
-         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-         |         md5(d.text) AS hh
-         |  FROM documents d
-         |  JOIN keepers USING (doc_id) JOIN kept USING (doc_id)
-         |),
+      s"""WITH $CleanChainCte,
          |layout AS (
          |  SELECT source, doc_id, n_tokens,
          |         CAST(end_off - n_tokens AS BIGINT) AS start_off,

@@ -98,4 +98,19 @@ class CorpusJobSpec extends AnyFunSuite {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("dedup savings: monotone gates, mass conservation vs the memo frames") {
+    import org.apache.spark.sql.functions._
+    val out = CorpusJob.queries("q_dedup_savings")(s, d).cache()
+    // gates only remove mass, in order: clean <= exact <= raw
+    assert(out.filter(col("tokens_exact") > col("n_tokens")).count() === 0)
+    assert(out.filter(col("tokens_clean") > col("tokens_exact")).count() === 0)
+    assert(out.filter(col("n_docs_clean") > col("n_docs_exact")).count() === 0)
+    // raw mass equals the documents table; clean mass equals cleanedDocs
+    val rawDocs = Tables.documents(s, d).count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) === rawDocs)
+    val cleanDocs = CorpusJob.cleanedDocs(s, d).count()
+    assert(out.agg(sum("n_docs_clean")).head.getLong(0) === cleanDocs)
+    out.unpersist()
+  }
 }

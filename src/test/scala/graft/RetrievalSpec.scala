@@ -182,4 +182,15 @@ class RetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("knn degree stats conserve vectors and edges vs the graph query") {
+    import org.apache.spark.sql.functions._
+    val stats = SparkEntry.queries("q_knn_degree_stats")(spark, d).collect()
+      .map(r => r.getAs[Long]("indeg") -> r.getAs[Long]("n_vectors"))
+    val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(stats.map(_._2).sum === nVec, "every vector lands in one bucket")
+    val edges = SparkEntry.queries("q_knn_graph")(spark, d).count()
+    assert(stats.map(t => t._1 * t._2).sum === edges,
+      "in-degree mass equals the edge count")
+  }
 }
