@@ -44,11 +44,13 @@ object StreamingNearDup {
     (((lit(a) * hi) % P) * lit(1L << 28) % P + (lit(a) * lo) % P + lit(b)) % P
   }
 
-  /** Stateless per-row band keys: (input columns..., band, sig) — 8 rows
-    * per doc with >= 3 tokens, none for shorter docs (mirroring the
-    * batch pipeline, whose 3-gram stream drops them).
+  /** Stateless per-row band-signature ARRAY (element b+1 = band b's
+    * sig string); docs with < 3 tokens are dropped (mirroring the batch
+    * pipeline, whose 3-gram stream drops them). The un-exploded form is
+    * what the ingest admission gate probes band-by-band
+    * ([[StreamingCorpusIngest]]) — aggregation-free on a stream.
     */
-  def bandKeys(docs: DataFrame): DataFrame = {
+  def bandSigArray(docs: DataFrame, out: String): DataFrame = {
     val arr = split(col("text"), " ")
     val shingles = array_distinct(transform(sequence(lit(0), size(arr) - 3),
       i => concat_ws(" ",
@@ -59,18 +61,24 @@ object StreamingNearDup {
       array_min(transform(col("__base"), x => permHash(x, a, b)))
     }
     val rows = NumRowsPerBand
-    val bands = (0 until DedupPack.NumBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", mhs.slice(b * rows, b * rows + rows): _*).as("sig"))
+    val sigs = (0 until DedupPack.NumBands).map { b =>
+      concat_ws(",", mhs.slice(b * rows, b * rows + rows): _*)
     }
     docs
       .filter(size(arr) >= 3) // sequence(0, n) descends for n < 0
       .withColumn("__sh", shingles)
       .withColumn("__base", bases)
-      .withColumn("__band", explode(array(bands: _*)))
-      .select((docs.columns.map(col) :+ col("__band.band").as("band")
-        :+ col("__band.sig").as("sig")): _*)
+      .withColumn(out, array(sigs: _*))
+      .select((docs.columns.map(col) :+ col(out)): _*)
   }
+
+  /** Stateless per-row band keys: (input columns..., band, sig) — 8 rows
+    * per doc with >= 3 tokens (the exploded form the flag join uses).
+    */
+  def bandKeys(docs: DataFrame): DataFrame =
+    bandSigArray(docs, "__sigs")
+      .select((docs.columns.map(col) :+
+        posexplode(col("__sigs")).as(Seq("band", "sig"))): _*)
 
   private val NumRowsPerBand = DedupPack.NumPerms / DedupPack.NumBands
 

@@ -136,6 +136,20 @@ object StreamBench {
         ds.toDF("ts", "doc_id", "text"), index, "10 minutes"))
     index.unpersist(blocking = false)
 
+    // 6b. full corpus-ingest admission (quality -> exact -> 8-band gate
+    // -> shard): the stream replays the corpus docs with one appended
+    // marker token each, so the exact gate passes and the band gate does
+    // real work (most docs near-match their standing original)
+    val cIdx = graft.streaming.StreamingCorpusIngest.contentIndex(docsDf).cache()
+    val bIdx = graft.streaming.StreamingCorpusIngest.bandIndex(docsDf).cache()
+    cIdx.count(); bIdx.count()
+    val ingestRows: Seq[(Timestamp, Long, String)] =
+      docRows.map { case (ts, id, text) => (ts, id, text + s" marker$id") }
+    lane[(Timestamp, Long, String)]("ingest", ingestRows, "append",
+      ds => graft.streaming.StreamingCorpusIngest.admit(
+        ds.toDF("ts", "doc_id", "text"), cIdx, bIdx, "10 minutes"))
+    cIdx.unpersist(blocking = false); bIdx.unpersist(blocking = false)
+
     // 7. stateful position tracking (signal fold per symbol)
     val signalRows: Seq[graft.streaming.StatefulPositions.SignalEvent] =
       tickRows.zipWithIndex.map { case ((ts, sym, price, _), i) =>

@@ -445,3 +445,75 @@ class StreamingCusumSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+class StreamingIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import graft.streaming.StreamingCorpusIngest
+
+  // long distinct-word texts so the quality gate (>= 150 chars,
+  // composite >= 0.7) is decided by construction, not by luck
+  private def mkText(prefix: String, n: Int = 30): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("stream admission equals the batch gates set-for-set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val s1 = mkText("alpha")
+    val s2 = mkText("bravo")
+    val standing = Seq((100L, "en", s1), (101L, "en", s2))
+      .toDF("doc_id", "lang", "text")
+    val cIdx = StreamingCorpusIngest.contentIndex(standing)
+    val bIdx = StreamingCorpusIngest.bandIndex(standing)
+
+    val fresh = mkText("golf")
+    val incoming = Seq(
+      (1L, s1),                                     // exact standing copy
+      (2L, s1.replace("alpha7", "zulu7")),          // near copy of s1
+      (3L, fresh),                                  // novel, high quality
+      (4L, "too short"),                            // quality reject
+      (5L, mkText("hotel")),                        // novel, high quality
+      (6L, fresh))                                  // within-stream dup of 3
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingCorpusIngest
+      .admit(docs, cIdx, bIdx, "10 minutes")
+      .writeStream.format("memory").queryName("singest").outputMode("append").start()
+    // split across micro-batches: the dup (6) arrives AFTER its original
+    val rows = incoming.zipWithIndex.map { case ((id, t), i) =>
+      (new Timestamp(1000L + i * 1000L), id, t)
+    }
+    input.addData(rows.take(4): _*); q.processAllAvailable()
+    input.addData(rows.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("singest").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"))).toSet
+
+    // deterministic individual contracts
+    val ids = streamed.map(_._1)
+    assert(!ids.contains(1L), "exact standing copy rejected")
+    assert(ids.contains(3L), "novel high-quality doc admitted")
+    assert(!ids.contains(4L), "low-quality doc rejected")
+    assert(ids.contains(5L))
+    assert(!ids.contains(6L), "within-stream duplicate admitted only once")
+
+    // full parity: the batch gates on the same input produce the SAME set
+    val incomingDf = incoming.toDF("doc_id", "text")
+    val batch = StreamingCorpusIngest.admitBatch(incomingDf, standing)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("near-dup band gate rejects a one-token edit of a standing doc") {
+    import spark.implicits._
+    val s1 = mkText("kilo")
+    val standing = Seq((200L, "en", s1)).toDF("doc_id", "lang", "text")
+    val near = s1.replace("kilo5", "mike5")
+    val out = StreamingCorpusIngest.admitBatch(
+      Seq((1L, near), (2L, mkText("november"))).toDF("doc_id", "text"), standing)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!out.contains(1L), "one-token edit shares a MinHash band")
+    assert(out.contains(2L))
+  }
+}
