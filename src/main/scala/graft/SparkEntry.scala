@@ -25,7 +25,8 @@ object SparkEntry {
     graft.operators.CorpusPack,
     graft.operators.SpanPack,
     graft.operators.RetrievalPack,
-    graft.sources.CorpusJob
+    graft.sources.CorpusJob,
+    graft.sources.MarketJob
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -13,7 +13,14 @@ object BtSql {
     * Final CTE name: `bt`.
     */
   def maCrossChain(sec: Long): String =
-    QueryPack.barsCteAt(sec) + """,
+    chainFromBars(QueryPack.barsCteAt(sec))
+
+  /** The signal -> backtest tail over ANY prefix whose final CTE is
+    * `bars` — the composed market job feeds CLEANED bars through the
+    * identical chain. Final CTE: `bt`.
+    */
+  def chainFromBars(barsPrefix: String): String =
+    barsPrefix + """,
       |sig AS (
       |  SELECT symbol, bucket_ms, close,
       |         row_number() OVER w AS rn,
@@ -141,8 +148,12 @@ object BtSql {
       |)""".stripMargin
 
   /** bt + running equity peak / drawdown / previous position. */
-  val WithPeakCte: String =
-    MaCrossBacktestCte + """,
+  val WithPeakCte: String = MaCrossBacktestCte + WpTail
+
+  /** The peak/drawdown/prev-pos CTE appended to any `bt` chain (final
+    * CTE: wp) — shared by the raw chain and the composed market job.
+    */
+  val WpTail: String = """,
       |wp AS (
       |  SELECT *,
       |         max(log_equity) OVER cum AS log_peak,
