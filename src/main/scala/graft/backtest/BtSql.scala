@@ -148,12 +148,12 @@ object BtSql {
       |)""".stripMargin
 
   /** bt + running equity peak / drawdown / previous position. */
-  val WithPeakCte: String = MaCrossBacktestCte + WpTail
+  lazy val WithPeakCte: String = MaCrossBacktestCte + WpTail
 
   /** The peak/drawdown/prev-pos CTE appended to any `bt` chain (final
     * CTE: wp) — shared by the raw chain and the composed market job.
     */
-  val WpTail: String = """,
+  lazy val WpTail: String = """,
       |wp AS (
       |  SELECT *,
       |         max(log_equity) OVER cum AS log_peak,
