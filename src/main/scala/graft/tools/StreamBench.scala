@@ -137,14 +137,19 @@ object StreamBench {
     index.unpersist(blocking = false)
 
     // 6b. full corpus-ingest admission (quality -> exact -> 8-band gate
-    // -> shard): the stream replays the corpus docs with one appended
-    // marker token each, so the exact gate passes and the band gate does
-    // real work (most docs near-match their standing original)
+    // -> shard): half the stream is near-edits of standing docs (one
+    // appended marker token — exact gate passes, band gate rejects),
+    // half is token-REVERSED docs (shares ~no 3-grams with its source —
+    // admitted when the quality gate passes), so both outcomes of every
+    // gate are exercised and out_rows > 0
     val cIdx = graft.streaming.StreamingCorpusIngest.contentIndex(docsDf).cache()
     val bIdx = graft.streaming.StreamingCorpusIngest.bandIndex(docsDf).cache()
     cIdx.count(); bIdx.count()
     val ingestRows: Seq[(Timestamp, Long, String)] =
-      docRows.map { case (ts, id, text) => (ts, id, text + s" marker$id") }
+      docRows.map { case (ts, id, text) =>
+        if (id % 2 == 0) (ts, id, text + s" marker$id")
+        else (ts, id, text.split(" ").reverse.mkString(" "))
+      }
     lane[(Timestamp, Long, String)]("ingest", ingestRows, "append",
       ds => graft.streaming.StreamingCorpusIngest.admit(
         ds.toDF("ts", "doc_id", "text"), cIdx, bIdx, "10 minutes"))
