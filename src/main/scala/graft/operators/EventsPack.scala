@@ -26,7 +26,79 @@ object EventsPack extends QueryPack {
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
         .distinct().cache())
 
+  /** Per-user ordered funnel stage minima (the q_funnel frame):
+    * user_id, t_signup, t_view, t_click, t_purchase — ONE events scan,
+    * four dependent whole-user-partition window layers.
+    */
+  private def funnelPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    def stageMin(evType: String, after: org.apache.spark.sql.Column) =
+      min(when(col("event_type") === evType && col("ts") > after, col("ts"))).over(w)
+    Tables.events(s, d).select("user_id", "event_type", "ts")
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_view", stageMin("view", col("t_signup")))
+      .withColumn("t_click", stageMin("click", col("t_view")))
+      .withColumn("t_purchase", stageMin("purchase", col("t_click")))
+      .groupBy("user_id").agg(
+        max(col("t_signup")).as("t_signup"),
+        max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_timing" -> ((s, d) => {
+      // Inter-stage latency profile of the ordered funnel: for each
+      // transition, how many users complete it and the exact p50/p90 of
+      // the gap in WHOLE SECONDS (integer div of the ns difference).
+      // Quantiles use the histogram rank-select (the q_length_quantiles
+      // shape): aggregate to (stage × distinct gap) first — bounded by
+      // the time range, never a row-scale window — then cumsum + pick
+      // smallest value whose cumulative count reaches ceil(p·n). Exact
+      // integers end-to-end.
+      val pu = funnelPerUser(s, d)
+      val gaps = pu.select(explode(array(
+        struct(lit("1_signup_to_view").as("stage"),
+          expr("(t_view - t_signup) div 1000000000").as("gap_s")),
+        struct(lit("2_view_to_click").as("stage"),
+          expr("(t_click - t_view) div 1000000000").as("gap_s")),
+        struct(lit("3_click_to_purchase").as("stage"),
+          expr("(t_purchase - t_click) div 1000000000").as("gap_s")))).as("g"))
+        .select(col("g.stage").as("stage"), col("g.gap_s").as("gap_s"))
+        .filter(col("gap_s").isNotNull)
+      val hist = gaps.groupBy("stage", "gap_s").agg(count(lit(1)).as("c"))
+      val ws = Window.partitionBy("stage")
+      hist
+        .withColumn("n_users", sum(col("c")).over(ws))
+        .withColumn("cum", sum(col("c")).over(ws.orderBy("gap_s")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("stage")
+        .agg(max(col("n_users")).as("n_users"),
+          min(when(col("cum") >= expr("(n_users + 1) div 2"),
+            col("gap_s"))).as("p50_gap_s"),
+          min(when(col("cum") >= expr("(9 * n_users + 9) div 10"),
+            col("gap_s"))).as("p90_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy("stage")
+    }),
+    "q_user_ltv" -> ((s, d) =>
+      // Per-user lifetime-value ledger over the event stream: purchase
+      // count and exact cent value (the reference dashboard's
+      // revenue-per-user view), activity span in days, event count.
+      // One hash aggregate over the events scan; money sums are exact
+      // integer cents (the engine's money rule).
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+            .as("ltv_cents"),
+          (expr("max(ts div 86400000000000)") -
+            expr("min(ts div 86400000000000)") + 1).as("span_days"))
+        .orderBy("user_id")),
     "q_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts")
       val sess = Tables.events(s, d)
@@ -50,20 +122,7 @@ object EventsPack extends QueryPack {
       // PLUS once per join probe. Semantics are identical: strict `>`
       // carries over, and a null previous stage nulls the comparison,
       // which mirrors the inner-join gating (count() skips nulls).
-      val w = Window.partitionBy("user_id")
-      def stageMin(evType: String, after: org.apache.spark.sql.Column) =
-        min(when(col("event_type") === evType && col("ts") > after, col("ts"))).over(w)
-      val perUser = Tables.events(s, d).select("user_id", "event_type", "ts")
-        .withColumn("t_signup",
-          min(when(col("event_type") === "signup", col("ts"))).over(w))
-        .withColumn("t_view", stageMin("view", col("t_signup")))
-        .withColumn("t_click", stageMin("click", col("t_view")))
-        .withColumn("t_purchase", stageMin("purchase", col("t_click")))
-        .groupBy("user_id").agg(
-          max(col("t_signup")).as("t_signup"),
-          max(col("t_view")).as("t_view"),
-          max(col("t_click")).as("t_click"),
-          max(col("t_purchase")).as("t_purchase"))
+      val perUser = funnelPerUser(s, d)
       perUser
         .agg(count(col("t_signup")).as("n_signup"),
           count(col("t_view")).as("n_view_after"),
@@ -265,6 +324,57 @@ object EventsPack extends QueryPack {
          |       CAST(max(n_ev) AS BIGINT) AS max_session_events,
          |       CAST(max(dur_ms) AS BIGINT) AS max_session_dur_ms
          |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel_timing" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_view FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > s1.t_signup GROUP BY e.user_id
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s2.t_view GROUP BY e.user_id
+        |),
+        |s4 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s3.t_click GROUP BY e.user_id
+        |),
+        |gaps AS (
+        |  SELECT '1_signup_to_view' AS stage,
+        |         (t_view - t_signup) // 1000000000 AS gap_s
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT '2_view_to_click', (t_click - t_view) // 1000000000
+        |  FROM s2 JOIN s3 USING (user_id)
+        |  UNION ALL
+        |  SELECT '3_click_to_purchase', (t_purchase - t_click) // 1000000000
+        |  FROM s3 JOIN s4 USING (user_id)
+        |),
+        |hist AS (SELECT stage, gap_s, count(*) AS c FROM gaps GROUP BY 1, 2),
+        |wn AS (
+        |  SELECT stage, gap_s, c,
+        |         sum(c) OVER (PARTITION BY stage) AS n_users,
+        |         sum(c) OVER (PARTITION BY stage ORDER BY gap_s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |)
+        |SELECT stage, CAST(max(n_users) AS BIGINT) AS n_users,
+        |       min(CASE WHEN cum >= (n_users + 1) // 2 THEN gap_s END) AS p50_gap_s,
+        |       min(CASE WHEN cum >= (9 * n_users + 9) // 10 THEN gap_s END) AS p90_gap_s,
+        |       max(gap_s) AS max_gap_s
+        |FROM wn GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_user_ltv" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_purchases,
+        |       CAST(sum(CASE WHEN event_type = 'purchase'
+        |            THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |            AS BIGINT) AS ltv_cents,
+        |       max(epoch_ns(ts) // 86400000000000)
+        |         - min(epoch_ns(ts) // 86400000000000) + 1 AS span_days
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY user_id
