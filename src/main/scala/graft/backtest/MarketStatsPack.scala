@@ -135,9 +135,16 @@ object MarketStatsPack extends QueryPack {
       // bucket-keyed self-join whose per-bucket fanout is bounded by
       // the symbol universe — linear in bars at any history length,
       // never bars×bars. Same exact-moment parity as the rest of the
-      // pack: 1e-12-quantized returns, exact decimal(38,0)/HUGEINT
+      // pack: quantized returns, exact decimal(38,0)/HUGEINT
       // co-moments, zero-variance pairs pin 0.0 on both engines (the
       // q_ic_decay degenerate-data rule).
+      // Quantization is 1e-8 units (NOT the windowed queries' 1e-12):
+      // these co-moments span the FULL history, so n_obs*sxx grows as
+      // buckets² × return². Headroom at 1e-8 with the feed's measured
+      // |return| ≤ O(1e4): xi ≤ 1e12, sxx ≤ n·1e24, n·sxx ≤ n²·1e24 —
+      // under the 1e37 exact-integer ceiling (round13-state: Spark
+      // decimal38 < DuckDB INT128) up to n = 1e6 hourly buckets
+      // (~114 years). Corr is scale-free, so nothing is lost.
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = Window.partitionBy("symbol").orderBy("bucket_ms")
       val rets = graft.operators.Bars.ohlcvCached(s, d, 3600)
@@ -145,7 +152,7 @@ object MarketStatsPack extends QueryPack {
         .withColumn("x", col("close") / lag(col("close"), 1).over(w) - 1)
         .filter(col("x").isNotNull)
         .select(col("symbol"), col("bucket_ms"),
-          floor(col("x") * 1e12 + lit(0.5)).cast(dec).as("xi"))
+          floor(col("x") * 1e8 + lit(0.5)).cast(dec).as("xi"))
       val a = rets.select(col("symbol").as("sym1"), col("bucket_ms"),
         col("xi").as("x1"))
       val b = rets.select(col("symbol").as("sym2"), col("bucket_ms"),
@@ -235,7 +242,7 @@ object MarketStatsPack extends QueryPack {
          |),
          |qz AS (
          |  SELECT symbol, bucket_ms,
-         |         CAST(floor(x * 1e12 + 0.5) AS HUGEINT) AS xi
+         |         CAST(floor(x * 1e8 + 0.5) AS HUGEINT) AS xi
          |  FROM rets WHERE x IS NOT NULL
          |),
          |p AS (

@@ -45,16 +45,24 @@ object StreamingNearDup {
   }
 
   /** Stateless per-row band-signature ARRAY (element b+1 = band b's
-    * sig string); docs with < 3 tokens are dropped (mirroring the batch
-    * pipeline, whose 3-gram stream drops them). The un-exploded form is
-    * what the ingest admission gate probes band-by-band
+    * sig string); docs with < 3 tokens get an EMPTY array — they have no
+    * 3-gram shingles, so they can collide with nothing and must pass a
+    * near-dup gate vacuously. (They are kept, not filtered: filtering
+    * here silently dropped sig-less docs from the ingest admission
+    * pipeline, diverging from the batch gates, which only exclude them
+    * from the band-hit side — the r13 ADVICE parity bug.) The un-exploded
+    * form is what the ingest admission gate probes band-by-band
     * ([[StreamingCorpusIngest]]) — aggregation-free on a stream.
     */
   def bandSigArray(docs: DataFrame, out: String): DataFrame = {
     val arr = split(col("text"), " ")
-    val shingles = array_distinct(transform(sequence(lit(0), size(arr) - 3),
-      i => concat_ws(" ",
-        element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3))))
+    // CaseWhen evaluates per-row lazily, so the descending
+    // sequence(0, n) for n < 0 in the short-doc case is never built
+    val shingles = when(size(arr) >= 3,
+      array_distinct(transform(sequence(lit(0), size(arr) - 3),
+        i => concat_ws(" ",
+          element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3)))))
+      .otherwise(array().cast("array<string>"))
     val bases = transform(col("__sh"),
       s0 => conv(substring(md5(s0), 1, 14), 16, 10).cast("long"))
     val mhs: Seq[Column] = DedupPack.PermConsts.map { case (_, a, b) =>
@@ -65,10 +73,10 @@ object StreamingNearDup {
       concat_ws(",", mhs.slice(b * rows, b * rows + rows): _*)
     }
     docs
-      .filter(size(arr) >= 3) // sequence(0, n) descends for n < 0
       .withColumn("__sh", shingles)
-      .withColumn("__base", bases)
-      .withColumn(out, array(sigs: _*))
+      .withColumn("__base", bases) // empty in, empty out for short docs
+      .withColumn(out, when(size(col("__sh")) >= 1, array(sigs: _*))
+        .otherwise(array().cast("array<string>")))
       .select((docs.columns.map(col) :+ col(out)): _*)
   }
 

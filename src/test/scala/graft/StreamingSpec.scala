@@ -466,13 +466,19 @@ class StreamingIngestSpec extends AnyFunSuite {
     val bIdx = StreamingCorpusIngest.bandIndex(standing)
 
     val fresh = mkText("golf")
+    // quality-passing but SIGNATURE-LESS: 2 tokens < the 3-gram shingle
+    // floor, yet 201 chars of distinct text clears the quality gate —
+    // must pass the near-dup gate vacuously (r13 ADVICE: the stream path
+    // silently dropped these while the batch path admitted them)
+    val shortDoc = ("q" * 100) + " " + ("z" * 100)
     val incoming = Seq(
       (1L, s1),                                     // exact standing copy
       (2L, s1.replace("alpha7", "zulu7")),          // near copy of s1
       (3L, fresh),                                  // novel, high quality
       (4L, "too short"),                            // quality reject
       (5L, mkText("hotel")),                        // novel, high quality
-      (6L, fresh))                                  // within-stream dup of 3
+      (6L, fresh),                                  // within-stream dup of 3
+      (7L, shortDoc))                               // sig-less, quality-passing
 
     val input = MemoryStream[(Timestamp, Long, String)]
     val docs = input.toDF().toDF("ts", "doc_id", "text")
@@ -496,6 +502,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(!ids.contains(4L), "low-quality doc rejected")
     assert(ids.contains(5L))
     assert(!ids.contains(6L), "within-stream duplicate admitted only once")
+    assert(ids.contains(7L), "sig-less short doc passes the near-dup gate vacuously")
 
     // full parity: the batch gates on the same input produce the SAME set
     val incomingDf = incoming.toDF("doc_id", "text")
