@@ -300,6 +300,259 @@ object EventsPack extends QueryPack {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Price-time-priority matching (order_book.py:206 submit loop,
+    // :427 _match_orders) is a sequential per-symbol fold over a resting
+    // BOOK, so the mirror is a recursive CTE whose working table holds
+    // one (symbol, book state) row per symbol and advances ONE micro-step
+    // per iteration: load the next order when idle and either consume the
+    // best opposite resting order (one fill row) or place the remainder.
+    // The books are LIST<STRUCT> columns; "best" is list_sort(...)[1]
+    // under a key that encodes price-time priority (negated price for
+    // buys, per-symbol arrival rank rn as the time key). All qty
+    // arithmetic is integer-valued doubles (volume = 1 + user_id % 100,
+    // least/subtract only) and prices are carried verbatim, so every
+    // emitted value is bit-identical to the Spark fold. Same class as the
+    // r13 cusum/trailing-stop recursive mirrors; ~22 s at sf0.01.
+    "q_order_match_sim" ->
+      """WITH RECURSIVE
+        |ord AS MATERIALIZED (
+        |  SELECT event_type AS symbol, event_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+        |         value AS price,
+        |         CAST(1 + user_id % 100 AS DOUBLE) AS qty,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |),
+        |n AS (SELECT symbol, max(rn) AS n_ord FROM ord GROUP BY symbol),
+        |rec AS (
+        |  SELECT symbol,
+        |         CAST(1 AS BIGINT) AS i,
+        |         CAST(0 AS DOUBLE) AS rem,
+        |         '' AS w_side, CAST(0 AS BIGINT) AS w_eid,
+        |         CAST(0 AS DOUBLE) AS w_price, CAST(0 AS BIGINT) AS w_rn,
+        |         []::STRUCT(negp DOUBLE, rn BIGINT, eid BIGINT, qty DOUBLE)[] AS buys,
+        |         []::STRUCT(p DOUBLE, rn BIGINT, eid BIGINT, qty DOUBLE)[] AS sells,
+        |         CAST(0 AS BIGINT) AS seq,
+        |         CAST(NULL AS BIGINT) AS f_seq, CAST(NULL AS BIGINT) AS f_buy,
+        |         CAST(NULL AS BIGINT) AS f_sell, CAST(NULL AS DOUBLE) AS f_price,
+        |         CAST(NULL AS DOUBLE) AS f_qty
+        |  FROM n
+        |  UNION ALL
+        |  SELECT symbol,
+        |    new_i,
+        |    CASE WHEN crossing THEN w_rem - traded ELSE CAST(0 AS DOUBLE) END,
+        |    side2, eid2, price2, rn2,
+        |    CASE WHEN crossing AND side2 = 'sell' THEN
+        |           list_concat(list_filter(buys, x -> x != best_buy),
+        |             CASE WHEN best_qty > traded
+        |                  THEN [{negp: (best_buy).negp, rn: (best_buy).rn,
+        |                         eid: (best_buy).eid, qty: best_qty - traded}]
+        |                  ELSE []::STRUCT(negp DOUBLE, rn BIGINT, eid BIGINT, qty DOUBLE)[] END)
+        |         WHEN NOT crossing AND side2 = 'buy' THEN
+        |           list_append(buys, {negp: -price2, rn: rn2, eid: eid2, qty: w_rem})
+        |         ELSE buys END,
+        |    CASE WHEN crossing AND side2 = 'buy' THEN
+        |           list_concat(list_filter(sells, x -> x != best_sell),
+        |             CASE WHEN best_qty > traded
+        |                  THEN [{p: (best_sell).p, rn: (best_sell).rn,
+        |                         eid: (best_sell).eid, qty: best_qty - traded}]
+        |                  ELSE []::STRUCT(p DOUBLE, rn BIGINT, eid BIGINT, qty DOUBLE)[] END)
+        |         WHEN NOT crossing AND side2 = 'sell' THEN
+        |           list_append(sells, {p: price2, rn: rn2, eid: eid2, qty: w_rem})
+        |         ELSE sells END,
+        |    CASE WHEN crossing THEN seq + 1 ELSE seq END,
+        |    CASE WHEN crossing THEN seq + 1 ELSE NULL END,
+        |    CASE WHEN crossing THEN (CASE WHEN side2 = 'buy' THEN eid2 ELSE best_eid END) END,
+        |    CASE WHEN crossing THEN (CASE WHEN side2 = 'sell' THEN eid2 ELSE best_eid END) END,
+        |    CASE WHEN crossing THEN best_price END,
+        |    CASE WHEN crossing THEN traded END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN side2 = 'buy'
+        |           THEN best_sell IS NOT NULL AND (best_sell).p <= price2
+        |           ELSE best_buy IS NOT NULL AND -(best_buy).negp >= price2 END AS crossing,
+        |      CASE WHEN side2 = 'buy' THEN (best_sell).p ELSE -(best_buy).negp END AS best_price,
+        |      CASE WHEN side2 = 'buy' THEN (best_sell).eid ELSE (best_buy).eid END AS best_eid,
+        |      CASE WHEN side2 = 'buy' THEN (best_sell).qty ELSE (best_buy).qty END AS best_qty,
+        |      CASE WHEN side2 = 'buy' THEN least(w_rem, (best_sell).qty)
+        |           ELSE least(w_rem, (best_buy).qty) END AS traded
+        |    FROM (
+        |      SELECT r.symbol,
+        |        CASE WHEN r.rem = 0 THEN r.i + 1 ELSE r.i END AS new_i,
+        |        CASE WHEN r.rem = 0 THEN o.side ELSE r.w_side END AS side2,
+        |        CASE WHEN r.rem = 0 THEN o.event_id ELSE r.w_eid END AS eid2,
+        |        CASE WHEN r.rem = 0 THEN o.price ELSE r.w_price END AS price2,
+        |        CASE WHEN r.rem = 0 THEN o.rn ELSE r.w_rn END AS rn2,
+        |        CASE WHEN r.rem = 0 THEN o.qty ELSE r.rem END AS w_rem,
+        |        r.buys, r.sells, r.seq,
+        |        list_sort(r.buys)[1] AS best_buy,
+        |        list_sort(r.sells)[1] AS best_sell
+        |      FROM rec r JOIN n USING (symbol)
+        |      LEFT JOIN ord o ON o.symbol = r.symbol AND r.rem = 0 AND o.rn = r.i
+        |      WHERE r.rem > 0 OR r.i <= n.n_ord
+        |    )
+        |  )
+        |)
+        |SELECT symbol, f_seq AS seq, f_buy AS buy_event_id, f_sell AS sell_event_id,
+        |       f_price AS price, f_qty AS qty
+        |FROM rec WHERE f_seq IS NOT NULL ORDER BY symbol, seq""".stripMargin,
+    // The full lifecycle machine (order_book.py:245 submit, :268 market,
+    // :302 limit, :109 cancel, :391 process_tick, :333 _execute_trade)
+    // as the same micro-step recursion: ONE action per iteration chosen
+    // by the reference's own precedence — pending order processing in
+    // submission order, then buy-side book crossings, then sell-side —
+    // falling through to "consume the next event" when a tick's work is
+    // drained. State per symbol = pending LIST, two book LISTs, lazy
+    // cancel + resting id LISTs, and the per-symbol ledger scalars
+    // (cash, position, seq). All ledger float ops are written with the
+    // exact expression shapes the Scala fold uses (fee = (q*px)*0.001,
+    // cash - ((q*px) + fee), ...) so the sequential IEEE fold is
+    // bit-identical — including the cash/position REJECTION comparisons.
+    // ~29 s at sf0.01.
+    "q_order_lifecycle" ->
+      """WITH RECURSIVE
+        |ord AS MATERIALIZED (
+        |  SELECT symbol, ts, event_id, kind, side, price, qty,
+        |         coalesce(last_value(CASE WHEN kind = 'limit' THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS ref_id,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn
+        |  FROM (
+        |    SELECT event_type AS symbol, epoch_ns(ts) AS ts, event_id,
+        |           CASE WHEN user_id % 10 = 0 THEN 'market'
+        |                WHEN user_id % 10 = 1 THEN 'cancel'
+        |                WHEN user_id % 10 <= 4 THEN 'limit'
+        |                ELSE 'tick' END AS kind,
+        |           CASE WHEN user_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+        |           CASE WHEN user_id % 10 BETWEEN 2 AND 4
+        |                THEN value * (1.0 + (event_id % 2 * 2 - 1) * 0.005)
+        |                ELSE value END AS price,
+        |           CAST(1 + user_id % 100 AS DOUBLE) AS qty
+        |    FROM events
+        |  )
+        |),
+        |n AS (SELECT symbol, max(rn) AS n_ord FROM ord GROUP BY symbol),
+        |rec AS (
+        |  SELECT symbol,
+        |         CAST(1 AS BIGINT) AS i, false AS working,
+        |         CAST(0 AS DOUBLE) AS px, CAST(0 AS BIGINT) AS tts,
+        |         []::STRUCT(eid BIGINT, ots BIGINT, kind VARCHAR, side VARCHAR, price DOUBLE, qty DOUBLE)[] AS pending,
+        |         []::STRUCT(negp DOUBLE, ots BIGINT, eid BIGINT, qty DOUBLE)[] AS buys,
+        |         []::STRUCT(p DOUBLE, ots BIGINT, eid BIGINT, qty DOUBLE)[] AS sells,
+        |         []::BIGINT[] AS cancelled, []::BIGINT[] AS resting,
+        |         CAST(1000000.0 AS DOUBLE) AS cash, CAST(0 AS DOUBLE) AS pos,
+        |         CAST(0 AS BIGINT) AS seq,
+        |         CAST(NULL AS BIGINT) AS f_seq, CAST(NULL AS BIGINT) AS f_eid,
+        |         CAST(NULL AS VARCHAR) AS f_side, CAST(NULL AS VARCHAR) AS f_kind,
+        |         CAST(NULL AS DOUBLE) AS f_qty, CAST(NULL AS DOUBLE) AS f_px,
+        |         CAST(NULL AS DOUBLE) AS f_comm, CAST(NULL AS BIGINT) AS f_ts
+        |  FROM n
+        |  UNION ALL
+        |  SELECT symbol,
+        |    CASE WHEN act = 'ev' THEN i + 1 ELSE i END,
+        |    CASE WHEN act = 'ev' THEN o_kind = 'tick' ELSE working END,
+        |    CASE WHEN act = 'ev' AND o_kind = 'tick' THEN o_price ELSE px END,
+        |    CASE WHEN act = 'ev' AND o_kind = 'tick' THEN o_ts ELSE tts END,
+        |    CASE WHEN act = 'pend' THEN pending[2:]
+        |         WHEN act = 'ev' AND o_kind IN ('limit', 'market')
+        |           THEN list_append(pending, {eid: o_eid, ots: o_ts, kind: o_kind,
+        |                                      side: o_side, price: o_price, qty: o_qty})
+        |         ELSE pending END,
+        |    CASE WHEN act = 'popb' THEN list_filter(buys, x -> x != best_buy)
+        |         WHEN act = 'pend' AND rest_book AND (ph).side = 'buy'
+        |           THEN list_append(buys, {negp: -(ph).price, ots: (ph).ots,
+        |                                   eid: (ph).eid, qty: (ph).qty})
+        |         ELSE buys END,
+        |    CASE WHEN act = 'pops' THEN list_filter(sells, x -> x != best_sell)
+        |         WHEN act = 'pend' AND rest_book AND (ph).side = 'sell'
+        |           THEN list_append(sells, {p: (ph).price, ots: (ph).ots,
+        |                                    eid: (ph).eid, qty: (ph).qty})
+        |         ELSE sells END,
+        |    CASE WHEN act = 'popb' AND hit_b THEN list_filter(cancelled, x -> x != (best_buy).eid)
+        |         WHEN act = 'pops' AND hit_s THEN list_filter(cancelled, x -> x != (best_sell).eid)
+        |         WHEN act = 'ev' AND o_kind = 'cancel' AND list_contains(resting, o_ref)
+        |           THEN list_append(cancelled, o_ref)
+        |         ELSE cancelled END,
+        |    CASE WHEN act = 'pend' AND rest_book THEN list_append(resting, (ph).eid)
+        |         WHEN act = 'popb' AND NOT hit_b THEN list_filter(resting, x -> x != (best_buy).eid)
+        |         WHEN act = 'pops' AND NOT hit_s THEN list_filter(resting, x -> x != (best_sell).eid)
+        |         WHEN act = 'ev' AND o_kind = 'cancel' AND list_contains(resting, o_ref)
+        |           THEN list_filter(resting, x -> x != o_ref)
+        |         ELSE resting END,
+        |    CASE WHEN ok AND side_x = 'buy' THEN cash - ((qty_x * px_x) + fee_x)
+        |         WHEN ok THEN cash + ((qty_x * px_x) - fee_x) ELSE cash END,
+        |    CASE WHEN ok AND side_x = 'buy' THEN pos + qty_x
+        |         WHEN ok THEN pos - qty_x ELSE pos END,
+        |    CASE WHEN ok THEN seq + 1 ELSE seq END,
+        |    CASE WHEN ok THEN seq + 1 END,
+        |    CASE WHEN ok THEN eid_x END,
+        |    CASE WHEN ok THEN side_x END,
+        |    CASE WHEN ok THEN kind_x END,
+        |    CASE WHEN ok THEN qty_x END,
+        |    CASE WHEN ok THEN px_x END,
+        |    CASE WHEN ok THEN fee_x END,
+        |    CASE WHEN ok THEN tts END
+        |  FROM (
+        |    SELECT *,
+        |      is_exec AND (CASE WHEN side_x = 'buy'
+        |                        THEN NOT (cash < ((qty_x * px_x) + fee_x))
+        |                        ELSE NOT (pos < qty_x) END) AS ok
+        |    FROM (
+        |      SELECT *, ((qty_x * px_x) * 0.001) AS fee_x
+        |      FROM (
+        |        SELECT *,
+        |          CASE WHEN act = 'pend' THEN (ph).side
+        |               WHEN act = 'popb' THEN 'buy'
+        |               WHEN act = 'pops' THEN 'sell' END AS side_x,
+        |          CASE WHEN act = 'pend' AND (ph).kind = 'market' THEN 'market'
+        |               WHEN act = 'pend' AND marketable THEN 'limit_immediate'
+        |               WHEN act IN ('popb', 'pops') THEN 'book_cross' END AS kind_x,
+        |          CASE WHEN act = 'pend' THEN (ph).qty
+        |               WHEN act = 'popb' THEN (best_buy).qty
+        |               WHEN act = 'pops' THEN (best_sell).qty END AS qty_x,
+        |          CASE WHEN act = 'pend' THEN (ph).eid
+        |               WHEN act = 'popb' THEN (best_buy).eid
+        |               WHEN act = 'pops' THEN (best_sell).eid END AS eid_x,
+        |          CASE WHEN act = 'pend' AND (ph).kind = 'market'
+        |                 THEN (CASE WHEN (ph).side = 'buy' THEN px * (1 + 0.0005)
+        |                            ELSE px * (1 - 0.0005) END)
+        |               WHEN act = 'pend' THEN (ph).price
+        |               WHEN act = 'popb' THEN -(best_buy).negp
+        |               WHEN act = 'pops' THEN (best_sell).p END AS px_x,
+        |          (act = 'pend' AND ((ph).kind = 'market' OR marketable))
+        |            OR (act = 'popb' AND NOT hit_b)
+        |            OR (act = 'pops' AND NOT hit_s) AS is_exec,
+        |          (act = 'pend' AND (ph).kind = 'limit' AND NOT marketable) AS rest_book
+        |        FROM (
+        |          SELECT *,
+        |            CASE WHEN working AND len(pending) > 0 THEN 'pend'
+        |                 WHEN working AND best_buy IS NOT NULL AND -(best_buy).negp >= px THEN 'popb'
+        |                 WHEN working AND best_sell IS NOT NULL AND (best_sell).p <= px THEN 'pops'
+        |                 WHEN o_rn IS NOT NULL THEN 'ev'
+        |                 ELSE 'die' END AS act,
+        |            ((ph).side = 'buy' AND px <= (ph).price)
+        |              OR ((ph).side = 'sell' AND px >= (ph).price) AS marketable,
+        |            list_contains(cancelled, (best_buy).eid) AS hit_b,
+        |            list_contains(cancelled, (best_sell).eid) AS hit_s
+        |          FROM (
+        |            SELECT r.*, o.kind AS o_kind, o.side AS o_side, o.price AS o_price,
+        |                   o.qty AS o_qty, o.event_id AS o_eid, o.ts AS o_ts,
+        |                   o.ref_id AS o_ref, o.rn AS o_rn,
+        |                   list_sort(r.buys)[1] AS best_buy,
+        |                   list_sort(r.sells)[1] AS best_sell,
+        |                   r.pending[1] AS ph
+        |            FROM rec r
+        |            LEFT JOIN ord o ON o.symbol = r.symbol AND o.rn = r.i
+        |          )
+        |        ) WHERE act <> 'die'
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT symbol, f_seq AS trade_seq, f_eid AS order_event_id, f_side AS side,
+        |       f_kind AS fill_kind, f_qty AS qty, f_px AS price, f_comm AS commission,
+        |       f_ts AS ts
+        |FROM rec WHERE f_seq IS NOT NULL ORDER BY symbol, trade_seq""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
          |g AS (

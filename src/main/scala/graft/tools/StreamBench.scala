@@ -33,6 +33,10 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val nBatches =
       sys.env.get("STREAM_BENCH_BATCHES").flatMap(_.toIntOption).getOrElse(20)
+    // optional lane subset, e.g. STREAM_BENCH_LANES=neardup,ingest —
+    // lets a rehearsal re-measure one lane without replaying all ten
+    val laneFilter: Option[Set[String]] =
+      sys.env.get("STREAM_BENCH_LANES").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.get("graft-streambench")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -51,6 +55,7 @@ object StreamBench {
     def lane[T: Encoder](name: String, data: Seq[T], mode: String,
                          build: Dataset[T] => DataFrame,
                          repeat: Int = 1): Unit = {
+      if (laneFilter.exists(!_.contains(name))) return
       val input = MemoryStream[T]
       val q = build(input.toDS()).writeStream
         .format("memory").queryName(s"sb_$name").outputMode(mode).start()
@@ -72,14 +77,14 @@ object StreamBench {
 
     // ---- shared feeds (driver-side replay buffers; bench harness only)
     val ticksDf = Tables.ticks(spark, sfDir)
-    val tickRows: Seq[(Timestamp, String, Double, Double)] = ticksDf
+    lazy val tickRows: Seq[(Timestamp, String, Double, Double)] = ticksDf
       .orderBy("ts", "event_id")
       .select(col("ts"), col("symbol"), col("price"), col("volume"))
       .collect().toSeq
       .map(r => (new Timestamp(r.getLong(0) / 1000000L), r.getString(1),
         r.getDouble(2), r.getDouble(3)))
 
-    val eventRows: Seq[(Timestamp, Long, Long)] = Tables.events(spark, sfDir)
+    lazy val eventRows: Seq[(Timestamp, Long, Long)] = Tables.events(spark, sfDir)
       .orderBy("ts", "event_id")
       .select(col("ts"), col("user_id"), col("event_id"))
       .collect().toSeq
@@ -104,7 +109,7 @@ object StreamBench {
       repeat = 2)
 
     // 4. exact-infinite EWM over 1-min bars (mapGroupsWithState)
-    val barRows: Seq[graft.streaming.StreamingEma.Bar] =
+    lazy val barRows: Seq[graft.streaming.StreamingEma.Bar] =
       graft.operators.Bars.ohlcvCached(spark, sfDir, 60)
         .orderBy("bucket_ms", "symbol")
         .select(col("symbol"), col("bucket_ms"), col("close"))
@@ -114,7 +119,7 @@ object StreamBench {
       ds => graft.streaming.StreamingEma.track(ds).toDF())
 
     // 5. order-book lifecycle (flatMapGroupsWithState order matching)
-    val bookRows: Seq[graft.operators.OrderLifecycle.BookEvent] =
+    lazy val bookRows: Seq[graft.operators.OrderLifecycle.BookEvent] =
       graft.operators.OrderLifecycle.eventsFromTicks(ticksDf)
         .orderBy("ts", "event_id").collect().toSeq
     lane[graft.operators.OrderLifecycle.BookEvent]("lifecycle", bookRows, "append",
@@ -127,7 +132,7 @@ object StreamBench {
     val index = graft.streaming.StreamingNearDup.corpusIndex(docsDf).cache()
     index.count()
     val baseMs = System.currentTimeMillis()
-    val docRows: Seq[(Timestamp, Long, String)] = docsDf
+    lazy val docRows: Seq[(Timestamp, Long, String)] = docsDf
       .orderBy("doc_id").select(col("doc_id"), col("text"))
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (new Timestamp(baseMs + i), r.getLong(0), r.getString(1)) }
@@ -145,7 +150,7 @@ object StreamBench {
     val cIdx = graft.streaming.StreamingCorpusIngest.contentIndex(docsDf).cache()
     val bIdx = graft.streaming.StreamingCorpusIngest.bandIndex(docsDf).cache()
     cIdx.count(); bIdx.count()
-    val ingestRows: Seq[(Timestamp, Long, String)] =
+    lazy val ingestRows: Seq[(Timestamp, Long, String)] =
       docRows.map { case (ts, id, text) =>
         if (id % 2 == 0) (ts, id, text + s" marker$id")
         else (ts, id, text.split(" ").reverse.mkString(" "))
@@ -156,7 +161,7 @@ object StreamBench {
     cIdx.unpersist(blocking = false); bIdx.unpersist(blocking = false)
 
     // 7. stateful position tracking (signal fold per symbol)
-    val signalRows: Seq[graft.streaming.StatefulPositions.SignalEvent] =
+    lazy val signalRows: Seq[graft.streaming.StatefulPositions.SignalEvent] =
       tickRows.zipWithIndex.map { case ((ts, sym, price, _), i) =>
         graft.streaming.StatefulPositions.SignalEvent(
           sym, ts.getTime, price, (i % 3 - 1))
@@ -165,7 +170,7 @@ object StreamBench {
       ds => graft.streaming.StatefulPositions.track(ds).toDF())
 
     // 8. closed-loop paper-trading engine (strategy + broker, one account)
-    val paperTicks: Seq[graft.streaming.PaperTrading.Tick] =
+    lazy val paperTicks: Seq[graft.streaming.PaperTrading.Tick] =
       tickRows.zipWithIndex.map { case ((ts, sym, price, _), i) =>
         graft.streaming.PaperTrading.Tick(sym, i.toLong, ts.getTime, price)
       }
@@ -173,7 +178,7 @@ object StreamBench {
       ds => graft.streaming.PaperTrading.engineLoop(ds, "acct-1", qty = 10.0).toDF())
 
     // 9. CUSUM event filter (mapGroupsWithState; all-integer state)
-    val cusumTicks: Seq[graft.streaming.StreamingCusum.Tick] =
+    lazy val cusumTicks: Seq[graft.streaming.StreamingCusum.Tick] =
       graft.operators.Micro.intTicks(spark, sfDir)
         .orderBy("ts", "event_id")
         .select(col("symbol"), col("ts"), col("event_id"), col("cents"))
@@ -184,7 +189,7 @@ object StreamBench {
       ds => graft.streaming.StreamingCusum.track(ds).toDF())
 
     // 10. information-driven dollar bars (eager close-on-threshold)
-    val infoTicks: Seq[graft.streaming.StreamingInfoBars.Tick] =
+    lazy val infoTicks: Seq[graft.streaming.StreamingInfoBars.Tick] =
       graft.operators.Micro.intTicks(spark, sfDir)
         .orderBy("ts", "event_id")
         .select(col("symbol"), col("ts"), col("event_id"), col("price"),
