@@ -218,7 +218,27 @@ object AnnPack extends QueryPack {
         .withColumn("frame_idx",
           explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
         .select("doc_id", "frame_idx", "width", "height", "n_frames")
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    "q_media_neardup" -> ((s, d) => {
+      // Perceptual media near-dup: 56-bit dHash-class hash over the
+      // stub-decoded brightness grid (Multimodal.perceptualHash), paired
+      // through the SAME hamming-band blocking the text SimHash uses
+      // (4 bands x 14 bits, BucketCap, per-doc pair cap) — never
+      // all-pairs. Catches the near-identical media that exact md5
+      // (q_media_metadata's content_md5) misses: a local edit flips
+      // <= 2 gradient bits, well inside the is_dup <= 6 verdict.
+      // Emitted as the candidate-then-verify AUDIT (every bucket-capped
+      // band collision with its verified hamming + verdict) so the
+      // operator's full posture is visible on corpora with no planted
+      // near-identical media; the production gate is `WHERE is_dup`.
+      val ph = Multimodal.perceptualHash(Tables.documents(s, d))
+        .withColumnRenamed("phash", "simhash")
+      DedupPack.simhashPairs(ph, emitBound = 56L)
+        .select(col("doc1"), col("doc2"),
+          col("simhash1").as("phash1"), col("simhash2").as("phash2"),
+          col("hamming"), (col("hamming") <= 6).as("is_dup"))
+        .orderBy("doc1", "doc2")
+    })
   )
 
   /** Session-memoized embedding near-dup pairs via random-hyperplane LSH
@@ -690,6 +710,50 @@ object AnnPack extends QueryPack {
         |)
         |SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
         |       width, height, n_frames
-        |FROM g ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    // perceptual-hash mirror: the SAME dHash grid arithmetic (integer
+    // codepoint sums over strided samples, horizontal-gradient bits),
+    // then the q_dedup_simhash band/bucket-cap/pair-cap machinery
+    // verbatim over the 56-bit signatures. xor(a, b) because DuckDB's ^
+    // is exponentiation.
+    "q_media_neardup" ->
+      s"""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |cells AS (
+         |  SELECT doc_id, j // 8 AS cell,
+         |         sum(ascii(substring(text, CAST(1 + (j * n) // 504 AS INT), 1))) AS b
+         |  FROM g CROSS JOIN (SELECT range AS j FROM range(504)) r
+         |  GROUP BY 1, 2
+         |),
+         |sig AS (
+         |  SELECT a.doc_id,
+         |         CAST(sum(CASE WHEN a.b < c2.b
+         |                       THEN 1::BIGINT << ((a.cell // 9) * 8 + (a.cell % 9))
+         |                       ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM cells a JOIN cells c2 ON c2.doc_id = a.doc_id AND c2.cell = a.cell + 1
+         |  WHERE a.cell % 9 < 8
+         |  GROUP BY 1
+         |),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 14)) & 16383 AS key
+         |  FROM sig CROSS JOIN (SELECT range AS band FROM range(4)) b
+         |),
+         |bsizes AS (SELECT band, key, count(*) AS bsz FROM bands GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT doc1, doc2, simhash1, simhash2 FROM (
+         |    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |           a.simhash AS simhash1, b.simhash AS simhash2,
+         |           row_number() OVER (PARTITION BY a.band, a.key, a.doc_id
+         |                              ORDER BY b.doc_id) AS prk
+         |    FROM bands a JOIN bands b
+         |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |    JOIN bsizes z ON z.band = a.band AND z.key = a.key
+         |    WHERE z.bsz <= ${DedupPack.BucketCap})
+         |  WHERE prk <= ${DedupPack.PairsPerDocPerBucket}
+         |)
+         |SELECT doc1, doc2, simhash1 AS phash1, simhash2 AS phash2,
+         |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming,
+         |       bit_count(xor(simhash1, simhash2)) <= 6 AS is_dup
+         |FROM pairs
+         |ORDER BY doc1, doc2""".stripMargin
   )
 }

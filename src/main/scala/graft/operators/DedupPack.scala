@@ -146,7 +146,7 @@ object DedupPack extends QueryPack {
     * quadratic pair mass). The per-doc rank window partitions by
     * (band, key, doc1) — ≤ bucket-size rows per partition, bounded.
     */
-  def simhashPairs(sh: DataFrame): DataFrame = {
+  def simhashPairs(sh: DataFrame, emitBound: Long = 6L): DataFrame = {
     // Class-level band join (r12): docs sharing a signature are ONE row
     // in the self-join. The doc-level join is quadratic in bucket DOC
     // count, and a boilerplate/replica-heavy corpus packs buckets with
@@ -173,7 +173,7 @@ object DedupPack extends QueryPack {
     // hamming filters at CLASS level, before any member expansion.
     val classPairs = ca.join(cb, Seq("band", "key"))
       .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)").cast("long"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= emitBound)
     val m1 = sh.select(col("doc_id").as("doc1"), col("simhash").as("simhash1"))
     val m2 = sh.select(col("doc_id").as("doc2"), col("simhash").as("simhash2"))
     classPairs.join(m1, "simhash1").join(m2, "simhash2")
