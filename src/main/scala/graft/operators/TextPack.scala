@@ -215,6 +215,11 @@ object TextPack extends QueryPack {
         .filter(col("rank") <= 20)
         .orderBy("rank")
     }),
+    // Distributed encode with the FROZEN trained merge table — the
+    // production serving path of the trainer above (Bpe.encode: 16
+    // codegen'd HOF merge passes over the distinct-word frame, piece
+    // counts joined back to per-source word frequencies).
+    "q_bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
     "q_ngram_novelty" -> ((s, d) => {
       // Ingestion-order novelty: the fraction of a doc's distinct
       // 3-grams whose FIRST occurrence (lowest doc_id) is this doc —
@@ -1084,6 +1089,44 @@ object TextPack extends QueryPack {
         |         CAST(row_number() OVER (ORDER BY sum(freq) DESC, a, b) AS BIGINT) AS rank
         |  FROM p GROUP BY a, b)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // The greedy left-to-right merge fold as UNROLLED string rewriting:
+    // each word becomes its symbols individually WRAPPED in a chr(1)
+    // sentinel (symbols never contain it, so a pattern can only match at
+    // symbol boundaries), and each trained merge is one replace() —
+    // non-overlapping left-to-right with the scan continuing AFTER the
+    // replacement, which is exactly the Scala fold's justMerged
+    // semantics (a fresh token never immediately re-merges). Piece count
+    // = sentinel count / 2. The 30k-word sf0.01 vocab hash-matching the
+    // HOF fold pins the equivalence exhaustively.
+    "q_bpe_encode" -> {
+      def wrap(sym: String) = s"chr(1) || '$sym' || chr(1)"
+      val chain = Bpe.TrainedMerges.foldLeft("s0") {
+        case (acc, (a, b)) =>
+          s"replace($acc, ${wrap(a)} || ${wrap(b)}, ${wrap(a + b)})"
+      }
+      s"""WITH raw AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |w AS (
+         |  SELECT source, tok, count(*) AS n FROM raw
+         |  WHERE length(tok) >= 1 GROUP BY 1, 2
+         |),
+         |v AS (SELECT DISTINCT tok FROM w),
+         |s AS (
+         |  SELECT tok, regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s0
+         |  FROM v
+         |),
+         |e2 AS (SELECT tok, $chain AS sn FROM s),
+         |enc AS (
+         |  SELECT tok,
+         |         (length(sn) - length(replace(sn, chr(1), ''))) // 2 AS pieces
+         |  FROM e2
+         |)
+         |SELECT w.source, CAST(sum(w.n) AS BIGINT) AS n_words,
+         |       CAST(sum(w.n * e.pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(w.n * e.pieces) AS DOUBLE) / CAST(sum(w.n) AS DOUBLE) AS bpe_fertility
+         |FROM w JOIN enc e USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_ngram_novelty" ->
       s"""WITH $ShinglesCte,
          |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1),

@@ -67,4 +67,30 @@ class BpeSpec extends AnyFunSuite {
     }
     vocab.unpersist()
   }
+
+  test("frozen-merge encode: fertility bounded by q_tokenizer_fertility's extremes") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val enc = Bpe.encode(docs).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val words = r.getAs[Long]("n_words").toDouble
+      val pieces = r.getAs[Long]("n_pieces").toDouble
+      val fert = r.getAs[Double]("bpe_fertility")
+      assert(pieces >= words, "a word is at least one piece")
+      assert(fert == pieces / words)
+    }
+    // cross-check against the corpus-wide tokenizer diagnostics: BPE
+    // pieces per word sit between 1 (whitespace words) and the raw
+    // chars-per-word ceiling the fertility table reports
+    val stats = SparkEntry.queries("q_tokenizer_fertility")(spark, TestSpark.Sf)
+      .agg(sum("total_ws_tokens"), sum("total_chars")).collect()(0)
+    val charsPerWord = stats.getLong(1).toDouble / stats.getLong(0)
+    val totalWords = enc.map(_.getAs[Long]("n_words")).sum.toDouble
+    val totalPieces = enc.map(_.getAs[Long]("n_pieces")).sum.toDouble
+    val corpusFert = totalPieces / totalWords
+    assert(corpusFert >= 1.0 && corpusFert <= charsPerWord,
+      s"fertility $corpusFert outside [1, $charsPerWord]")
+    // 16 trained merges must actually compress vs char-level encoding
+    assert(corpusFert < charsPerWord * 0.9, "merges compress the corpus")
+  }
 }
