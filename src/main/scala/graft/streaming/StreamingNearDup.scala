@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.DedupPack
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Live ingestion near-dup gate — the streaming member of the MinHash
@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *  - the STREAM side computes signatures STATELESSLY per row
   *    ([[bandKeys]]): non-time windows and multi-row aggregations are
   *    unsupported on streams, so the batch pipeline's explode →
-  *    lead-window → groupBy(min) becomes per-row higher-order array
-  *    functions (split → 3-gram transform → md5 base → 32 permuted
-  *    array_min's). Same arithmetic, zero state.
+  *    lead-window → groupBy(min) becomes a one-pass per-partition
+  *    kernel (split → distinct 3-grams → md5 base → 32 permuted minima
+  *    in one walk; see [[bandSigArray]] for why the earlier declarative
+  *    HOF form was retired). Same arithmetic, zero state.
   *  - multi-band hits for the same (incoming, standing) pair collapse
   *    through `dropDuplicatesWithinWatermark` — bounded state, one flag
   *    per pair (the unbounded-state dropDuplicates trap documented in
@@ -35,15 +36,6 @@ object StreamingNearDup {
 
   private val P = DedupPack.MinhashP
 
-  /** (a·x + b) mod P with the same overflow-free 2^28-split modmul as
-    * DedupPack.minhashFromShingles — bit-identical signatures.
-    */
-  private def permHash(x: Column, a: Long, b: Long): Column = {
-    val hi = shiftright(x, 28)
-    val lo = x.bitwiseAND(lit((1L << 28) - 1))
-    (((lit(a) * hi) % P) * lit(1L << 28) % P + (lit(a) * lo) % P + lit(b)) % P
-  }
-
   /** Stateless per-row band-signature ARRAY (element b+1 = band b's
     * sig string); docs with < 3 tokens get an EMPTY array — they have no
     * 3-gram shingles, so they can collide with nothing and must pass a
@@ -55,29 +47,78 @@ object StreamingNearDup {
     * ([[StreamingCorpusIngest]]) — aggregation-free on a stream.
     */
   def bandSigArray(docs: DataFrame, out: String): DataFrame = {
-    val arr = split(col("text"), " ")
-    // CaseWhen evaluates per-row lazily, so the descending
-    // sequence(0, n) for n < 0 in the short-doc case is never built
-    val shingles = when(size(arr) >= 3,
-      array_distinct(transform(sequence(lit(0), size(arr) - 3),
-        i => concat_ws(" ",
-          element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    val bases = transform(col("__sh"),
-      s0 => conv(substring(md5(s0), 1, 14), 16, 10).cast("long"))
-    val mhs: Seq[Column] = DedupPack.PermConsts.map { case (_, a, b) =>
-      array_min(transform(col("__base"), x => permHash(x, a, b)))
-    }
-    val rows = NumRowsPerBand
-    val sigs = (0 until DedupPack.NumBands).map { b =>
-      concat_ws(",", mhs.slice(b * rows, b * rows + rows): _*)
-    }
-    docs
-      .withColumn("__sh", shingles)
-      .withColumn("__base", bases) // empty in, empty out for short docs
-      .withColumn(out, when(size(col("__sh")) >= 1, array(sigs: _*))
-        .otherwise(array().cast("array<string>")))
-      .select((docs.columns.map(col) :+ col(out)): _*)
+    // One-pass per-partition kernel, NOT the declarative 32×array_min
+    // HOF monolith this shipped as through r13. The monolith was
+    // measured (r14 NearDupProfile + jstack sampling) falling out of
+    // whole-stage codegen into interpreted CodegenFallback, and every
+    // consumer of the sigs column — each of the 8 probe join KEYS, the
+    // posexplode generator — re-evaluated the ENTIRE tree interpreted
+    // per row (StringSplit.nullSafeEval hot in every stack): ~30 ms/doc
+    // against ~1 ms of actual arithmetic. The brief's own preference
+    // order ends with "mapPartitions as a last resort" — this is that
+    // case, with the measurement. The kernel computes tokens → distinct
+    // 3-gram shingles → md5-first-14-hex base → 32 permuted minima in
+    // ONE walk (md5 once per shingle), with arithmetic bit-identical to
+    // DedupPack.minhashFromShingles (the 2^28-split modmul, verbatim) —
+    // StreamingSpec pins stream/batch signature equality on the real
+    // corpus AND on adversarial token streams, so any drift fails CI.
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        nullable = false))
+    val textIdx = docs.schema.fieldIndex("text")
+    val consts = DedupPack.PermConsts.toArray
+    val nBands = DedupPack.NumBands
+    val rowsPerBand = NumRowsPerBand
+    val p = P
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nPerms = consts.length
+      val mins = new Array[Long](nPerms)
+      it.map { r =>
+        val text = r.getString(textIdx)
+        val toks = text.split(" ", -1) // split(text, ' '): trailing empties kept
+        val sigs: Seq[String] =
+          if (toks.length < 3) Seq.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            java.util.Arrays.fill(mins, Long.MaxValue)
+            var i = 0
+            while (i <= toks.length - 3) {
+              val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+              if (seen.add(sh)) {
+                val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                // conv(substring(md5, 1, 14), 16, 10): first 7 bytes
+                var x = 0L
+                var j = 0
+                while (j < 7) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+                val hi = x >> 28
+                val lo = x & ((1L << 28) - 1)
+                var k = 0
+                while (k < nPerms) {
+                  val a = consts(k)._2; val b = consts(k)._3
+                  val v = (((a * hi) % p) * (1L << 28) % p + (a * lo) % p + b) % p
+                  if (v < mins(k)) mins(k) = v
+                  k += 1
+                }
+              }
+              i += 1
+            }
+            (0 until nBands).map { b =>
+              val sb = new StringBuilder
+              var k = b * rowsPerBand
+              while (k < (b + 1) * rowsPerBand) {
+                if (k > b * rowsPerBand) sb.append(',')
+                sb.append(mins(k))
+                k += 1
+              }
+              sb.toString
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sigs)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Stateless per-row band keys: (input columns..., band, sig) — 8 rows

@@ -48,9 +48,17 @@ object BeamScale {
     poolC.unpersist(blocking = false)
 
     val cells = Ann.defaultCells(n)
+    val settings = sys.env.get("BEAM_SETTINGS") match {
+      case Some(s) => s.split(";").toSeq.map { p =>
+        val Array(b, h) = p.split(","); (b.toInt, h.toInt)
+      }
+      case None => Seq((8, 2), (16, 3), (32, 4))
+    }
+    val seedModes =
+      if (sys.env.contains("BEAM_SEEDED_ONLY")) Seq(true) else Seq(false, true)
     for {
-      seeded <- Seq(false, true)
-      (beam, hops) <- Seq((8, 2), (16, 3), (32, 4))
+      seeded <- seedModes
+      (beam, hops) <- settings
     } {
       val t1 = System.nanoTime()
       val res = Ann.graphBeamTopKFromEdges(emb, edges, nQueries = nQueries,
@@ -60,8 +68,35 @@ object BeamScale {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t1) / 1e9
       val recall = brute.count(got.contains).toDouble / brute.length
-      println(f"""{"seeded":$seeded,"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
+      println(f"""{"quant":"f64","seeded":$seeded,"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
     }
+
+    // int8 serving path (VERDICT r13 task 8): the SAME graph + walk, but
+    // every cosine is scored against the q_embed_quantize reconstruction
+    // (codes * scale — the 4x-compressed vectors a serving tier would
+    // hold); recall is still judged against the float-exact brute-force
+    // ground truth, so the printed delta IS the quantization cost.
+    val embQ = Ann.withNorm(
+      emb.select(col("vec_id"),
+          (array_max(transform(col("e"), v => abs(v))) / 127).as("scale"),
+          col("e"))
+        .select(col("vec_id"),
+          when(col("scale") > 0,
+            transform(col("e"), v => floor(v / col("scale") + lit(0.5)) * col("scale")))
+            .otherwise(col("e")).as("e")))
+      .cache()
+    embQ.count()
+    for ((beam, hops) <- settings.drop(1)) {
+      val t1 = System.nanoTime()
+      val res = Ann.graphBeamTopKFromEdges(embQ, edges, nQueries = nQueries,
+        k = k, beam = beam, hops = hops, entryCells = cells)
+      val got = res.select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = brute.count(got.contains).toDouble / brute.length
+      println(f"""{"quant":"int8","seeded":true,"beam":$beam,"hops":$hops,"recall_at_$k":$recall%.4f,"search_sec":$sec%.2f,"queries":$nQueries}""")
+    }
+    embQ.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     spark.stop()
   }

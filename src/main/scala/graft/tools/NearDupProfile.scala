@@ -69,7 +69,7 @@ object NearDupProfile {
     }
 
     // 3. + identity join (no dedup state)
-    time("probes+identity") { docs =>
+    time("probes_identity") { docs =>
       val withSigs = StreamingNearDup.bandSigArray(docs, "__sigs")
       val probed = (0 until DedupPack.NumBands).foldLeft(withSigs) { (df, b) =>
         df.join(bIdx.filter(col("band") === b).select(col("sig").as(s"__hit$b")),
@@ -84,7 +84,7 @@ object NearDupProfile {
     }
 
     // 4. full flagged (adds the watermark dedup state)
-    time("flagged-full") { docs =>
+    time("flagged_full") { docs =>
       StreamingNearDup.flagged(docs, index, "10 minutes")
     }
 

@@ -37,12 +37,16 @@ object StreamBench {
     // lets a rehearsal re-measure one lane without replaying all ten
     val laneFilter: Option[Set[String]] =
       sys.env.get("STREAM_BENCH_LANES").map(_.split(",").map(_.trim).toSet)
+    // optional FIXED rows-per-trigger (overrides nBatches): the r14
+    // trigger-size sweep measures how per-trigger overhead amortizes
+    val chunkSize: Option[Int] =
+      sys.env.get("STREAM_BENCH_CHUNK_ROWS").flatMap(_.toIntOption)
     val spark = GraftSession.get("graft-streambench")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     def chunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
-      val size = math.max(1, (xs.length + n - 1) / n)
+      val size = chunkSize.getOrElse(math.max(1, (xs.length + n - 1) / n))
       xs.grouped(size).toSeq
     }
 
@@ -125,9 +129,16 @@ object StreamBench {
     lane[graft.operators.OrderLifecycle.BookEvent]("lifecycle", bookRows, "append",
       ds => graft.streaming.StreamingLifecycle.track(ds).toDF())
 
-    // 6. near-dup gate vs a standing corpus (stream-static band join);
+    // 6. near-dup gate vs a standing corpus (stream-static band probes);
     // the static index is materialized before the lane so the timed part
-    // is the stream side only
+    // is the stream side only. The feed is the ORGANIC mix (r14): half
+    // near-edits of standing docs (one appended token — most bands still
+    // collide, so the doc flags with identity), half token-reversed
+    // (novel — the probe prefilter passes them without ever touching the
+    // identity join). Replaying the corpus verbatim (the pre-r14 feed)
+    // made every doc a 100% self-hit, which measures the degenerate
+    // all-dup backlog (flaggedEager's case), not the live-gate posture
+    // this lane exists for.
     val docsDf = Tables.documents(spark, sfDir)
     val index = graft.streaming.StreamingNearDup.corpusIndex(docsDf).cache()
     index.count()
@@ -136,7 +147,13 @@ object StreamBench {
       .orderBy("doc_id").select(col("doc_id"), col("text"))
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (new Timestamp(baseMs + i), r.getLong(0), r.getString(1)) }
-    lane[(Timestamp, Long, String)]("neardup", docRows, "append",
+    lazy val neardupRows: Seq[(Timestamp, Long, String)] =
+      docRows.map { case (ts, id, text) =>
+        (ts, id + 100000000L,
+          if (id % 2 == 0) text + s" marker$id"
+          else text.split(" ").reverse.mkString(" "))
+      }
+    lane[(Timestamp, Long, String)]("neardup", neardupRows, "append",
       ds => graft.streaming.StreamingNearDup.flagged(
         ds.toDF("ts", "doc_id", "text"), index, "10 minutes"))
     index.unpersist(blocking = false)

@@ -95,8 +95,12 @@ def part_copy(t, k):
 def main():
     import os
     os.makedirs(OUT, exist_ok=True)
+    only = os.environ.get("GEN_TABLES")
+    wanted = set(only.split(",")) if only else None
     for name, fn in [("documents", docs_copy), ("embeddings", emb_copy),
                      ("events", events_copy), ("part", part_copy)]:
+        if wanted is not None and name not in wanted:
+            continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         scaled = copies(t, fn)
         pq.write_table(scaled, f"{OUT}/{name}.parquet")
