@@ -31,6 +31,57 @@ object TpchPack extends QueryPack {
     */
   private val CutTs = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
 
+  /** Q3 over caller-supplied raw tables — the registered query passes
+    * the parquet feeds; tools/MicroBench passes bucketed-table reads to
+    * measure the Exchange-free co-located join (r13 verdict task 9).
+    */
+  def q3From(l0: DataFrame, o0: DataFrame, c0: DataFrame): DataFrame = {
+    val c = c0.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = o0.filter(col("o_orderdate") < CutTs)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+    val l = l0.filter(col("l_shipdate") > CutTs)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // no forced broadcast on customer: it SCALES with SF (a hard hint
+    // is a driver OOM at warehouse scale). Size-based planning + AQE
+    // still broadcast it whenever it fits autoBroadcastJoinThreshold —
+    // the identical plan at bench scale, the survivable one at 100 TB.
+    // Forced hints are reserved for FIXED-cardinality dims
+    // (region=5, nation=25).
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority")
+      .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
+      .select(col("l_orderkey"), col("o_orderdate_ms"), col("o_orderpriority"),
+        (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("l_orderkey")).limit(10)
+      .drop("rev_e4")
+  }
+
+  /** Q10 over caller-supplied raw tables (see [[q3From]]). */
+  def q10From(l0: DataFrame, o0: DataFrame, c0: DataFrame, n0: DataFrame): DataFrame = {
+    // TPC-H Q10 shape: customers ranked by revenue lost to returns —
+    // fact-to-fact join shuffles on orderkey, dims broadcast, exact
+    // long-summed revenue
+    val l = l0.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = o0.select(col("o_orderkey"), col("o_custkey"))
+    val c = c0.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val n = n0.select(col("n_nationkey"), col("n_name"))
+    // customer scales with SF — rely on size-based/AQE broadcast;
+    // nation is fixed-25-rows, hint stays
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("c_custkey")).limit(20)
+      .drop("rev_e4")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => {
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") <= CutTs)
@@ -55,29 +106,8 @@ object TpchPack extends QueryPack {
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
-    "q3_shipping_priority" -> ((s, d) => {
-      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-      val o = Tables.orders(s, d).filter(col("o_orderdate") < CutTs)
-        .select(col("o_orderkey"), col("o_custkey"),
-          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"), col("o_orderpriority"))
-      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > CutTs)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      // no forced broadcast on customer: it SCALES with SF (a hard hint
-      // is a driver OOM at warehouse scale). Size-based planning + AQE
-      // still broadcast it whenever it fits autoBroadcastJoinThreshold —
-      // the identical plan at bench scale, the survivable one at 100 TB.
-      // Forced hints are reserved for FIXED-cardinality dims
-      // (region=5, nation=25).
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority")
-        .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
-        .select(col("l_orderkey"), col("o_orderdate_ms"), col("o_orderpriority"),
-          (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
-        .orderBy(col("rev_e4").desc, col("l_orderkey")).limit(10)
-        .drop("rev_e4")
-    }),
+    "q3_shipping_priority" -> ((s, d) =>
+      q3From(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "q5_local_supplier" -> ((s, d) => {
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d).join(broadcast(asia),
@@ -98,28 +128,9 @@ object TpchPack extends QueryPack {
         .select(col("n_name"), (col("rev_e4") / 10000.0).as("revenue"), col("n_items"))
         .orderBy(col("n_name"))
     }),
-    "q10_returned_items" -> ((s, d) => {
-      // TPC-H Q10 shape: customers ranked by revenue lost to returns —
-      // fact-to-fact join shuffles on orderkey, dims broadcast, exact
-      // long-summed revenue
-      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
-      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-      // customer scales with SF — rely on size-based/AQE broadcast;
-      // nation is fixed-25-rows, hint stays
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(e(10000L, col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_e4"))
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
-          (col("rev_e4") / 10000.0).as("revenue"), col("rev_e4"))
-        .orderBy(col("rev_e4").desc, col("c_custkey")).limit(20)
-        .drop("rev_e4")
-    }),
+    "q10_returned_items" -> ((s, d) =>
+      q10From(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
     "q_top_customers_per_nation" -> ((s, d) => {
       val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)

@@ -83,6 +83,86 @@ object MicroBench {
       spark.stop(); return
     }
 
+    if (sys.env.contains("MICRO_BUCKETED")) {
+      // Bucketed-layout evidence (r13 verdict task 9): replicate the two
+      // FACT tables MICRO_BUCKETED-x (offset orderkeys preserve the join
+      // structure while scaling the shuffle), write them BOTH as plain
+      // parquet and as a bucketed+sorted-by-orderkey layout
+      // (sources/BucketedTables), then run the REGISTERED q3/q10 shapes
+      // (TpchPack.q3From/q10From — the same code the oracled queries
+      // execute) over each. The bucketed orders⋈lineitem SortMergeJoin
+      // reads co-located buckets with NO Exchange on either side; q3's
+      // downstream groupBy(l_orderkey, ...) also rides the bucket
+      // partitioning (grouping keys ⊇ partitioning key), so its agg
+      // exchange disappears too.
+      val mult = sys.env("MICRO_BUCKETED").toIntOption.getOrElse(10)
+      val buckets = 32
+      val base = "/tmp/graft_bucket_bench"
+      val o0 = Tables.orders(spark, d)
+      val l0 = Tables.lineitem(spark, d)
+      val maxOk = o0.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      def rep(df: DataFrame, key: String): DataFrame =
+        df.withColumn("__r", explode(sequence(lit(0L), lit(mult - 1L))))
+          .withColumn(key, col(key) + col("__r") * maxOk).drop("__r")
+      rep(o0, "o_orderkey").write.mode("overwrite").parquet(s"$base/orders_plain")
+      rep(l0, "l_orderkey").write.mode("overwrite").parquet(s"$base/lineitem_plain")
+      spark.sql("DROP TABLE IF EXISTS orders_bb")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bb")
+      graft.sources.BucketedTables.writeBucketed(
+        spark.read.parquet(s"$base/orders_plain"), "orders_bb",
+        s"$base/orders_b", "o_orderkey", buckets)
+      graft.sources.BucketedTables.writeBucketed(
+        spark.read.parquet(s"$base/lineitem_plain"), "lineitem_bb",
+        s"$base/lineitem_b", "l_orderkey", buckets)
+      val cust = Tables.customer(spark, d)
+      val nat = Tables.nation(spark, d)
+      import graft.operators.TpchPack
+      def variants: Seq[(String, () => DataFrame)] = Seq(
+        "q3_plain" -> (() => TpchPack.q3From(
+          spark.read.parquet(s"$base/lineitem_plain"),
+          spark.read.parquet(s"$base/orders_plain"), cust)),
+        "q3_bucketed" -> (() => TpchPack.q3From(
+          spark.table("lineitem_bb"), spark.table("orders_bb"), cust)),
+        "q10_plain" -> (() => TpchPack.q10From(
+          spark.read.parquet(s"$base/lineitem_plain"),
+          spark.read.parquet(s"$base/orders_plain"), cust, nat)),
+        "q10_bucketed" -> (() => TpchPack.q10From(
+          spark.table("lineitem_bb"), spark.table("orders_bb"), cust, nat)))
+      // Two planning regimes: the default (size-based broadcast — at
+      // THIS scale AQE broadcasts the filtered orders side, and the
+      // bucket layout's visible win is the agg exchange riding the scan
+      // partitioning), and broadcast OFF — the 100 TB regime, where a
+      // fact side can never broadcast and the co-located SortMergeJoin
+      // with zero Exchange AND zero Sort (buckets are sorted) is the
+      // whole point of the layout.
+      for (bcast <- Seq(true, false)) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          if (bcast) "10485760" else "-1")
+        val sfx = if (bcast) "" else "_smj"
+        for (r <- 1 to 3; (nm0, mk) <- variants) {
+          val nm = nm0 + sfx
+          val df = mk()
+          time(s"${nm}_r$r")(df.queryExecution.toRdd.count())
+          if (r == 1) {
+            // AQE's toString prints final AND initial plans — count the
+            // executed (final) section only
+            val plan = df.queryExecution.executedPlan.toString
+              .split("== Initial Plan ==")(0)
+            val nExch = "Exchange hashpartitioning".r.findAllIn(plan).length
+            val nSort = "\\+- \\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+            println(s"[plan] $nm hash_exchanges=$nExch sorts=$nSort")
+            if (sys.env.contains("MICRO_BUCKETED_EXPLAIN"))
+              println(plan.linesIterator
+                .filter(l => l.contains("Join") || l.contains("Exchange") ||
+                  l.contains("Scan") || l.contains("Aggregate") || l.contains("Sort"))
+                .map(l => s"[planx] $nm | ${l.take(150)}").mkString("\n"))
+          }
+        }
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.stop(); return
+    }
+
     if (sys.env.contains("MICRO_SCMP")) {
       // stage-by-stage cost of q_strategy_comparison (same layer shapes
       // as ExtrasPack): which of the three WindowExec passes / wide agg
