@@ -28,13 +28,21 @@ import org.apache.spark.sql.SparkSession
   */
 object JobRehearsal {
 
+  /** Per-STAGE task-duration stats: a composed job runs dozens of
+    * stages of very different task-size classes, and a pooled max/p95
+    * over all of them reads as a straggler whenever a legitimately
+    * heavy stage coexists with probe-sized ones. The skew criterion is
+    * judged within each stage (the r13 SkewRehearsal's unit), on stages
+    * wide enough for a p95 to mean anything (>= 16 tasks).
+    */
   private final class TaskStats extends SparkListener {
-    val durs = new ConcurrentLinkedQueue[Long]()
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, ConcurrentLinkedQueue[Long]]()
     val shufRead = new ConcurrentLinkedQueue[Long]()
     val shufWrite = new ConcurrentLinkedQueue[Long]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
       if (te.taskInfo != null) {
-        durs.add(te.taskInfo.duration)
+        byStage.computeIfAbsent(te.stageId, _ => new ConcurrentLinkedQueue[Long]())
+          .add(te.taskInfo.duration)
         if (te.taskMetrics != null) {
           shufRead.add(te.taskMetrics.shuffleReadMetrics.totalBytesRead)
           shufWrite.add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
@@ -62,15 +70,32 @@ object JobRehearsal {
       val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(st)
-      val ds = st.durs.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
-      val p50 = pct(ds, 0.50); val p95 = pct(ds, 0.95)
-      val mx = if (ds.isEmpty) 0L else ds.last
+      import scala.jdk.CollectionConverters._
+      val stages = st.byStage.asScala.toSeq.map { case (sid, q) =>
+        (sid, q.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted)
+      }
+      val nTasks = stages.map(_._2.length).sum
+      // skew criterion per WIDE stage (>= 16 tasks); narrow stages have
+      // no meaningful p95
+      val wide = stages.filter(_._2.length >= 16)
+      val worst = wide.map { case (sid, ds) =>
+        (sid, ds, if (pct(ds, 0.95) > 0) ds.last.toDouble / pct(ds, 0.95) else 0.0)
+      }.sortBy(-_._3).headOption
+      // the heaviest stage by total task time, with its own distribution
+      val heavy = stages.sortBy(-_._2.sum).headOption
+      def stStr(s: Option[(Int, Array[Long])]): String = s match {
+        case Some((sid, ds)) =>
+          f"""{"stage":$sid,"tasks":${ds.length},"p50_ms":${pct(ds, 0.50)},""" +
+            f""""p95_ms":${pct(ds, 0.95)},"max_ms":${ds.last},""" +
+            f""""max_over_p95":${if (pct(ds, 0.95) > 0) ds.last.toDouble / pct(ds, 0.95) else 0.0}%.2f}"""
+        case None => "null"
+      }
       val sr = st.shufRead.toArray(Array.empty[java.lang.Long]).map(_.longValue)
       val sw = st.shufWrite.toArray(Array.empty[java.lang.Long]).map(_.longValue)
       val key = s"${scale}_$name"
-      out(key) = f"""{"rows":$rows,"sec":$sec%.2f,"n_tasks":${ds.length},""" +
-        f""""p50_ms":$p50,"p95_ms":$p95,"max_ms":$mx,""" +
-        f""""max_over_p95":${if (p95 > 0) mx.toDouble / p95 else 0.0}%.2f,""" +
+      out(key) = f"""{"rows":$rows,"sec":$sec%.2f,"n_tasks":$nTasks,""" +
+        f""""worst_wide_stage":${stStr(worst.map(w => (w._1, w._2)))},""" +
+        f""""heaviest_stage":${stStr(heavy)},""" +
         f""""shuffle_read_mb":${sr.sum / 1e6}%.1f,"shuffle_write_mb":${sw.sum / 1e6}%.1f,""" +
         f""""peak_task_shuffle_read_mb":${(if (sr.isEmpty) 0L else sr.max) / 1e6}%.1f}"""
       System.err.println(s"[jobrehearsal] $key -> ${out(key)}")
@@ -85,14 +110,19 @@ object JobRehearsal {
     def marketJob(scale: String, d: String): Unit =
       stage(scale, "market_summary") { MarketJob.summary(spark, d).collect().length.toLong }
 
-    corpusJob("10x", dir10)
-    marketJob("10x", dir10)
-    // physical shard write at 10x: the full run() (write + manifest)
-    stage("10x", "corpus_shard_write") {
-      CorpusJob.run(spark, dir10, "/tmp/graft_r14_shards").count()
+    val scales = sys.env.getOrElse("JOB_SCALES", "10x,30x").split(",").toSet
+    if (scales("10x")) {
+      corpusJob("10x", dir10)
+      marketJob("10x", dir10)
+      // physical shard write at 10x: the full run() (write + manifest)
+      stage("10x", "corpus_shard_write") {
+        CorpusJob.run(spark, dir10, "/tmp/graft_r14_shards").count()
+      }
     }
-    corpusJob("30x", dir30)
-    marketJob("30x", dir30)
+    if (scales("30x")) {
+      corpusJob("30x", dir30)
+      marketJob("30x", dir30)
+    }
 
     val line = out.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"job_rehearsal","dir10":"$dir10","dir30":"$dir30","stages":{""", ",", "}}")
