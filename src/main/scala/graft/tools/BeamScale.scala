@@ -27,11 +27,18 @@ object BeamScale {
       .cache()
     val n = emb.count()
 
-    // the shared LSH candidate pool, auto-sized exactly as AnnPack does
+    // the shared LSH candidate pool, auto-sized exactly as AnnPack does.
+    // BEAM_CAP (default 2000 = the query-suite default) bounds each
+    // band bucket: at 300k vectors the keep-all pool with cap 2000
+    // exceeded local spill disk (measured r14: SPILL_OUT_OF_MEMORY, no
+    // space left) — an 8-degree graph needs nowhere near 2000 scored
+    // partners per bucket, so the scale runs turn the cap down (the
+    // exact lever the r13 pair-stream adjudication named).
+    val cap = sys.env.get("BEAM_CAP").flatMap(_.toIntOption).getOrElse(2000)
     val (bits, bands) = Ann.autoLshParams(n)
     val t0 = System.nanoTime()
     val (pool, scaffolding) = Ann.hyperplaneNearDupStaged(
-      emb, bands = bands, bits = bits, threshold = -2.0, cap = 2000)
+      emb, bands = bands, bits = bits, threshold = -2.0, cap = cap)
     val poolC = pool.cache()
     val nPairs = poolC.count()
     scaffolding.foreach(_.unpersist(blocking = false))
