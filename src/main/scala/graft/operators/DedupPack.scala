@@ -221,11 +221,20 @@ object DedupPack extends QueryPack {
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_bands_matched"))
   }
 
+  /** Session-memoized minhash signature table (doc_id, perm, mh) —
+    * feeds the band keys (via candsCached) AND the calibration audit's
+    * per-pair match count, which self-joins it; fixed 32 rows per doc.
+    */
+  private val sigCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def sigsCached(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((s, d),
+      minhashFromShingles(TextPack.shinglesCached(s, d)).cache())
+
   private def candsCached(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
-      lshCandidates(
-        bandSignatures(minhashFromShingles(TextPack.shinglesCached(s, d))))
-        .cache())
+      lshCandidates(bandSignatures(sigsCached(s, d))).cache())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => {
@@ -251,38 +260,89 @@ object DedupPack extends QueryPack {
         .select("doc1", "doc2", "n_bands_matched", "inter", "sz1", "sz2", "jaccard")
         .orderBy("doc1", "doc2")
     }),
-    "q_dedup_simhash" -> ((s, d) => simhashPairs(simhashCached(s, d)))
+    "q_dedup_simhash" -> ((s, d) => simhashPairs(simhashCached(s, d))),
+    "q_minhash_calibration" -> ((s, d) => {
+      // Estimator-vs-truth calibration for the MinHash family: for every
+      // LSH candidate pair, count matching permutation minima (the
+      // unbiased Jaccard estimator n_match/32) AND the exact shingle
+      // Jaccard, then pool per n_match level. This is the audit that
+      // sets the dedup operating point at corpus scale: it answers "at
+      // the band threshold I deploy, what exact-Jaccard mass am I
+      // keeping/dropping?" without ever running the all-pairs truth
+      // join — the truth side is computed ONLY on the LSH-bounded
+      // candidate set, so cost is O(candidates), not O(n²). Output is
+      // ≤ 33 rows whatever the corpus size. Integer-exact aggregation:
+      // sums of longs, each ratio a single terminal division — no
+      // float-summation-order divergence for the oracle to trip on.
+      val shd = TextPack.shinglesCached(s, d)
+      val cand = candsCached(s, d).select("doc1", "doc2")
+      val mh = sigsCached(s, d)
+      val m1 = mh.select(col("doc_id").as("doc1"), col("perm"), col("mh").as("mh1"))
+      val m2 = mh.select(col("doc_id").as("doc2"), col("perm"), col("mh").as("mh2"))
+      // fixed 32 rows per doc on each side: the join is candidate-bounded
+      val matches = cand.join(m1, "doc1").join(m2, Seq("doc2", "perm"))
+        .groupBy("doc1", "doc2")
+        .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("n_match"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(shd.select(col("doc_id").as("doc1"), col("shingle")), "doc1")
+        .join(shd.select(col("doc_id").as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+      matches
+        .join(inter, Seq("doc1", "doc2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("inter").as("sum_inter"),
+          sum("uni").as("sum_union"))
+        .withColumn("est_jaccard", col("n_match") / lit(NumPerms.toDouble))
+        .withColumn("pooled_jaccard", col("sum_inter") / col("sum_union"))
+        .select("n_match", "n_pairs", "sum_inter", "sum_union",
+          "est_jaccard", "pooled_jaccard")
+        .orderBy("n_match")
+    })
   )
+
+  /** Shared mirror prefix: shingles → minhash → band keys → bucket-capped
+    * candidate pairs (final CTE: cand, with n_bands_matched). Used by the
+    * LSH pair oracle and the calibration audit.
+    */
+  private lazy val MinhashCandCte: String = {
+    val permValues = PermConsts
+      .map { case (p, a, b) => s"($p, ${a}, ${b})" }.mkString(", ")
+    s"""${TextPack.ShinglesCte},
+       |perms(perm, a, b) AS (VALUES $permValues),
+       |mh AS (
+       |  SELECT s.doc_id, p.perm,
+       |         CAST(min((p.a::HUGEINT * ('0x' || substr(md5(s.shingle), 1, 14))::BIGINT + p.b)
+       |                  % ${MinhashP}) AS BIGINT) AS mh
+       |  FROM (SELECT DISTINCT doc_id, shingle FROM shd) s CROSS JOIN perms p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, perm // ${NumPerms / NumBands} AS band,
+       |         CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 0 THEN mh END) AS VARCHAR) || ',' ||
+       |         CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 1 THEN mh END) AS VARCHAR) || ',' ||
+       |         CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 2 THEN mh END) AS VARCHAR) || ',' ||
+       |         CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 3 THEN mh END) AS VARCHAR) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |),
+       |bsizes AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_bands_matched
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN bsizes z ON z.band = a.band AND z.sig = a.sig
+       |  WHERE z.bsz <= $BucketCap
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> {
-      val permValues = PermConsts
-        .map { case (p, a, b) => s"($p, ${a}, ${b})" }.mkString(", ")
-      s"""WITH ${TextPack.ShinglesCte},
-         |perms(perm, a, b) AS (VALUES $permValues),
-         |mh AS (
-         |  SELECT s.doc_id, p.perm,
-         |         CAST(min((p.a::HUGEINT * ('0x' || substr(md5(s.shingle), 1, 14))::BIGINT + p.b)
-         |                  % ${MinhashP}) AS BIGINT) AS mh
-         |  FROM (SELECT DISTINCT doc_id, shingle FROM shd) s CROSS JOIN perms p
-         |  GROUP BY 1, 2
-         |),
-         |bands AS (
-         |  SELECT doc_id, perm // ${NumPerms / NumBands} AS band,
-         |         CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 0 THEN mh END) AS VARCHAR)
-         |         || ',' || CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 1 THEN mh END) AS VARCHAR)
-         |         || ',' || CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 2 THEN mh END) AS VARCHAR)
-         |         || ',' || CAST(max(CASE WHEN perm % ${NumPerms / NumBands} = 3 THEN mh END) AS VARCHAR) AS sig
-         |  FROM mh GROUP BY 1, 2
-         |),
-         |bsizes AS (SELECT band, sig, count(*) AS bsz FROM bands GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_bands_matched
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |  JOIN bsizes z ON z.band = a.band AND z.sig = a.sig
-         |  WHERE z.bsz <= $BucketCap
-         |  GROUP BY 1, 2
-         |),
+      s"""WITH $MinhashCandCte,
          |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM shd GROUP BY doc_id),
          |intr AS (
          |  SELECT c.doc1, c.doc2, count(DISTINCT s1.shingle) AS inter
@@ -347,6 +407,42 @@ object DedupPack extends QueryPack {
         |SELECT doc1, doc2, simhash1, simhash2,
         |       CAST(bit_count(xor(simhash1, simhash2)) AS BIGINT) AS hamming
         |FROM pairs
-        |ORDER BY doc1, doc2""".stripMargin
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_minhash_calibration" ->
+      // per-pair permutation match count (the n_match/32 estimator)
+      // against the exact candidate-only shingle Jaccard, pooled per
+      // n_match level; every sum an integer, every ratio one terminal
+      // division — hash-exact across engines
+      s"""WITH $MinhashCandCte,
+         |matches AS (
+         |  SELECT c.doc1, c.doc2,
+         |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.doc1
+         |  JOIN mh b ON b.doc_id = c.doc2 AND b.perm = a.perm
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM shd GROUP BY doc_id),
+         |intr AS (
+         |  SELECT c.doc1, c.doc2, count(DISTINCT s1.shingle) AS inter
+         |  FROM cand c
+         |  JOIN shd s1 ON s1.doc_id = c.doc1
+         |  JOIN shd s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT m.n_match, coalesce(i.inter, 0) AS inter,
+         |         z1.sz + z2.sz - coalesce(i.inter, 0) AS uni
+         |  FROM matches m
+         |  LEFT JOIN intr i ON m.doc1 = i.doc1 AND m.doc2 = i.doc2
+         |  JOIN sizes z1 ON m.doc1 = z1.doc_id
+         |  JOIN sizes z2 ON m.doc2 = z2.doc_id
+         |)
+         |SELECT n_match, count(*) AS n_pairs,
+         |       CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |       CAST(sum(uni) AS BIGINT) AS sum_union,
+         |       n_match / 32.0 AS est_jaccard,
+         |       CAST(sum(inter) AS BIGINT) / CAST(sum(uni) AS BIGINT) AS pooled_jaccard
+         |FROM pairs GROUP BY n_match ORDER BY n_match""".stripMargin
   )
 }

@@ -42,6 +42,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!sym.exists(x => x.getAs[Long]("doc1") == 0L && x.getAs[Long]("doc2") == 1L))
   }
 
+  test("minhash calibration: exact-dup pair pins the n_match=32 bucket; invariants hold") {
+    import spark.implicits._
+    // two identical docs (J = 1, all 32 minima equal, every band collides
+    // deterministically) + one unrelated doc that collides in no band
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("calib").toString
+    Seq((0L, a, "en", "s1", a.length.toLong),
+      (1L, a, "en", "s1", a.length.toLong),
+      (2L, other, "en", "s1", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupPack.queries("q_minhash_calibration")(spark, dir).collect()
+    assert(rows.length == 1, s"expected only the identical pair's bucket, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("n_match") == 32L)
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("sum_inter") == r.getAs[Long]("sum_union"))
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Double]("pooled_jaccard") == 1.0)
+    // real corpus: every bucket is a band collision (>= 4 matched perms),
+    // unions dominate intersections, and the audit accounts for exactly
+    // the LSH candidate set (sum of n_pairs == candidate pair count)
+    val corpus = DedupPack.queries("q_minhash_calibration")(spark, TestSpark.Sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { c =>
+      val nm = c.getAs[Long]("n_match")
+      assert(nm >= 4L && nm <= 32L, s"band collision implies 4 <= n_match <= 32, got $nm")
+      assert(c.getAs[Long]("sum_inter") <= c.getAs[Long]("sum_union"))
+      assert(c.getAs[Double]("est_jaccard") == nm / 32.0)
+    }
+    val nCand = DedupPack.lshCandidates(DedupPack.bandSignatures(
+      DedupPack.minhashFromShingles(TextPack.shinglesCached(spark, TestSpark.Sf)))).count()
+    assert(corpus.map(_.getAs[Long]("n_pairs")).sum == nCand)
+  }
+
   test("simhash pairs respect the hamming bound and are near-dups structurally") {
     val pairs = DedupPack.queries("q_dedup_simhash")(spark, TestSpark.Sf).collect()
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
