@@ -67,6 +67,26 @@ object AnnPack extends QueryPack {
     // check on the auto-sized path.
     "q_ann_ivf_auto" -> ((s, d) =>
       Ann.ivfTopKAuto(embCached(s, d), nQueries = 10, k = 5, nprobe = 2)),
+    // Serving-quality gate: recall@5 of the IVF path against exact
+    // brute-force ground truth, per query. This is how recall is audited
+    // at corpus scale — exact ground truth computed ONLY for a sampled
+    // query set (here the 10 bench queries), never all-pairs; output is
+    // one row per sampled query. n_hit/n_true are integer-exact, recall
+    // a single terminal division, so the composed mirror stays hash-exact.
+    "q_ann_recall_audit" -> ((s, d) => {
+      val ivf5 = Ann.ivfTopK(embCached(s, d), nQueries = 10, k = 5, cells = 8, nprobe = 2)
+        .select("q_id", "vec_id")
+      val true5 = Ann.bruteTopK(embCached(s, d), nQueries = 10, k = 10)
+        .filter(col("rank") <= 5).select("q_id", "vec_id")
+      val hits = true5.join(ivf5, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      true5.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_5", col("n_hit") / col("n_true"))
+        .select("q_id", "n_true", "n_hit", "recall_at_5")
+        .orderBy("q_id")
+    }),
     // corpus diversity profile over the sqrt(n) k-means cells — the
     // cluster-balanced-sampling primitive (see Ann.semanticClusters)
     "q_semantic_clusters" -> ((s, d) => {
@@ -371,8 +391,11 @@ object AnnPack extends QueryPack {
         |          FROM c JOIN a2 ON c.vec_id = a2.vec_id GROUP BY 1, 2),
         |cn2 AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent2 GROUP BY 1)""".stripMargin
 
-  /** IVF top-k tail over the shared k-means prefix: nprobe=2, k=5. */
-  private def ivfOracleSql(cellsExpr: String): String =
+  /** IVF candidate-cosine chain over the shared k-means prefix (final
+    * CTE: cos, with nprobe=2 probe lists) — shared by the top-k mirror
+    * and the recall audit.
+    */
+  private def ivfCosCte(cellsExpr: String): String =
     kmeansCteSql(cellsExpr) + s""",
         |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
         |qn AS (SELECT vec_id AS q_id, nrm AS qnorm FROM nm WHERE vec_id < 10),
@@ -394,11 +417,46 @@ object AnnPack extends QueryPack {
         |  SELECT d.q_id, d.vec_id,
         |         floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
         |  FROM dots d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id
-        |)
+        |)""".stripMargin
+
+  /** IVF top-k tail over the shared k-means prefix: nprobe=2, k=5. */
+  private def ivfOracleSql(cellsExpr: String): String =
+    ivfCosCte(cellsExpr) + """
         |SELECT q_id, vec_id, cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM cos)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@5 audit mirror: IVF top-5 vs exact brute-force top-5 on the
+    * same sampled query set, counts integer-exact.
+    */
+  private def recallAuditOracleSql: String =
+    ivfCosCte("8") + """,
+        |ivf5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cos)
+        |  WHERE rank <= 5),
+        |bdots AS (
+        |  SELECT q.q_id, c.vec_id, sum(q.qv * c.v) AS d
+        |  FROM q JOIN c ON q.pos = c.pos AND c.vec_id != q.q_id
+        |  GROUP BY 1, 2),
+        |bcos AS (
+        |  SELECT d.q_id, d.vec_id,
+        |         floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM bdots d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id),
+        |true5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM bcos)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT t.q_id, count(i.vec_id) AS n_hit
+        |  FROM true5 t LEFT JOIN ivf5 i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
+        |  GROUP BY 1),
+        |sizes AS (SELECT q_id, count(*) AS n_true FROM true5 GROUP BY 1)
+        |SELECT s.q_id, s.n_true, h.n_hit, h.n_hit / s.n_true AS recall_at_5
+        |FROM sizes s JOIN hits h ON s.q_id = h.q_id ORDER BY s.q_id""".stripMargin
 
   /** IVF-PQ mirror: the shared 2-round coarse k-means prefix, residuals
     * vs cent2, a per-subspace PQ chain over the residuals (p-prefixed
@@ -504,6 +562,7 @@ object AnnPack extends QueryPack {
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_ivf_topk" -> ivfOracleSql("8"),
     "q_ann_ivf_auto" -> ivfOracleSql(AutoCellsSql),
+    "q_ann_recall_audit" -> recallAuditOracleSql,
     "q_semantic_clusters" -> (kmeansCteSql(AutoCellsSql) + """,
         |cd AS (SELECT c.vec_id, a.cell, sum(c.v * t.cv) AS d
         |       FROM c JOIN a2 a ON c.vec_id = a.vec_id

@@ -85,6 +85,28 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("q_ann_recall_audit: one row per sampled query, counts consistent with the two topk queries") {
+    val rows = graft.operators.AnnPack.queries("q_ann_recall_audit")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 10, s"expected 10 sampled queries, got ${rows.length}")
+    rows.foreach { r =>
+      val (nTrue, nHit) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"))
+      assert(nTrue == 5L)
+      assert(nHit >= 0L && nHit <= nTrue)
+      assert(r.getAs[Double]("recall_at_5") == nHit.toDouble / nTrue)
+    }
+    // the audit must equal recall recomputed from the registered queries
+    val ivf = graft.operators.AnnPack.queries("q_ann_ivf_topk")(spark, TestSpark.Sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = graft.operators.AnnPack.queries("q_ann_cosine_topk")(spark, TestSpark.Sf)
+      .filter(col("rank") <= 5).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = truth.groupBy(_._1).view.mapValues(_.count(ivf.contains).toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") == expect(r.getAs[Long]("q_id")),
+        s"audit n_hit diverged for q_id ${r.getAs[Long]("q_id")}")
+    }
+  }
+
   test("graph beam search reaches >=0.8 recall@10 vs brute force on clustered data") {
     val rnd = new scala.util.Random(11)
     val dim = 16; val clusters = 8; val n = 400
