@@ -94,7 +94,16 @@ object Multimodal {
     * division: j * n <= 503 * len << 2^53, and the true quotient is
     * either representable or >= 1/504 away from the next integer.
     */
-  def perceptualHash(docs: DataFrame): DataFrame = {
+  def perceptualHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.PHash56(col("text")).as("phash"))
+
+  /** The original composed-builtin form of [[perceptualHash]]'s column —
+    * kept as the independent reference the parity spec pins the native
+    * kernel against (MediaNearDupSpec). NOT for the query path: the
+    * nested HOFs are interpreted CodegenFallback, measured ~1.3 ms/doc
+    * at sf0.1 and re-evaluated per consumer (see PHash56's scaladoc).
+    */
+  def perceptualHashHof(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("long")
     val cells = transform(sequence(lit(0L), lit(62L)), k =>
       aggregate(sequence(lit(0L), lit(7L)), lit(0L), (acc, s2) =>

@@ -50,6 +50,35 @@ class MediaNearDupSpec extends AnyFunSuite {
       "unrelated media not paired")
   }
 
+  test("native PHash56 is bit-identical to the composed-builtin form, both eval paths") {
+    // adversarial: empty, single char, spaces, multibyte (2/3/4-byte
+    // codepoints), shorter-than-grid, exactly-grid-sized, long — plus the
+    // real corpus. The builtin form (ascii/substr/length, codepoint
+    // semantics) is the independent reference the DuckDB mirror spells.
+    val edge = Seq("", "a", " ", "  ", "ab", "héllo wörld", "日本語テスト",
+      "😀😀 astral 😀", mkText(3, 100), mkText(4, 504), mkText(5, 2000))
+      .zipWithIndex.map { case (t, i) => (2000L + i, t) }
+    val edgeDf = edge.toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    for (docs <- Seq(edgeDf, corpus)) {
+      val native = Multimodal.perceptualHash(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val builtin = Multimodal.perceptualHashHof(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(native == builtin, "native PHash56 diverged from the builtin form")
+    }
+    // interpreted path (no codegen): direct expression eval must match too
+    for ((_, t) <- edge) {
+      val e = graft.functions.PHash56Expr(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType))
+      val viaDf = Seq((0L, t)).toDF("doc_id", "text")
+      val expect = Multimodal.perceptualHashHof(viaDf).collect().head.getLong(1)
+      assert(e.eval(null) == expect, s"interpreted PHash56 diverged on '${t.take(20)}'")
+    }
+  }
+
   test("identical media hash identically; hash is 56-bit") {
     val t = mkText(7)
     val docs = Seq((10L, t), (11L, t)).toDF("doc_id", "text")
