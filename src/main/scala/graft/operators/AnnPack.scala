@@ -104,13 +104,15 @@ object AnnPack extends QueryPack {
       // lists — the production ANN composition at 10^9+ vectors. See
       // Ann.ivfPqTopK.
       Ann.ivfPqTopK(embCached(s, d), nQueries = 10, k = 10)),
-    // rows-only (no oracle): HNSW-class graph ANN — beam search over the
-    // top-degree kNN graph built from the shared LSH candidate pool (the
-    // ANN family's latency point next to brute=exact and IVF-PQ=memory).
-    // Search paths are hop-structured, so this registers rows-only under
-    // the same adjudication as the sequential/stateful rows; AnnSpec
-    // pins recall vs bruteTopK ground truth. Memoized: the graph build
-    // and search rounds run once per session.
+    // HNSW-class graph ANN — beam search over the top-degree kNN graph
+    // built from the shared LSH candidate pool (the ANN family's latency
+    // point next to brute=exact and IVF-PQ=memory). ORACLED since r14:
+    // the walk is deterministic (snapped cosines, id tie-breaks, fixed
+    // beam/hops/degree), so the mirror unrolls the three hops as plain
+    // CTEs over the same k-means + LSH-pool chains the ivf_auto and
+    // knn_graph mirrors already pin (beamOracleSql below); AnnSpec
+    // additionally pins recall vs bruteTopK ground truth. Memoized: the
+    // graph build and search rounds run once per session.
     "q_ann_beam_topk" -> ((s, d) => {
       // IVF-seeded (r12): hop 0 probes the shared sqrt(n) k-means memo
       // and seeds the beam with the probed cells' exact top-beam — the
@@ -427,6 +429,107 @@ object AnnPack extends QueryPack {
         |  FROM cos)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Graph-ANN beam mirror (r14 — flips q_ann_beam_topk rows-only →
+    * oracled): the walk is deterministic end to end (snapped 1e-6
+    * cosines, vec_id tie-breaks, FIXED beam=16 / hops=3 / degree=8 /
+    * nprobe=2), so three hops unroll as plain CTEs — no recursion.
+    * Composition: the shared 2-round k-means prefix (cells = sqrt(n),
+    * same as the ivf_auto mirror) + RetrievalPack's hyperplane-LSH
+    * candidate/edge chain (same pool q_knn_graph mirrors; degree-8 rank
+    * here) + IVF-probe seeding (ivf tail at rank ≤ beam) + per hop:
+    * frontier = top-beam(visited) minus already-expanded, expand =
+    * frontier's graph neighbors not yet visited, score, union. Exactly
+    * the Scala loop in Ann.graphBeamTopKFromEdges, state-by-state.
+    */
+  private def beamOracleSql: String =
+    kmeansCteSql(AutoCellsSql) + ",\n" + RetrievalPack.KnnChainCte + s""",
+        |edges8 AS (
+        |  SELECT vec_id AS src, nbr AS dst FROM (
+        |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr) AS rk FROM dirs)
+        |  WHERE rk <= 8),
+        |q AS (SELECT vec_id AS q_id, pos, v AS qv FROM c WHERE vec_id < 10),
+        |qn AS (SELECT vec_id AS q_id, nrm AS qnorm FROM nm WHERE vec_id < 10),
+        |qpd AS (SELECT q.q_id, t.cell, sum(q.qv * t.cv) AS d
+        |        FROM q JOIN cent2 t ON q.pos = t.pos GROUP BY 1, 2),
+        |probe AS (SELECT q_id, cell FROM (
+        |  SELECT p.q_id, p.cell, row_number() OVER (PARTITION BY p.q_id
+        |    ORDER BY floor(p.d / (qn.qnorm * x.cn) * 1e6 + 0.5) / 1e6 DESC, p.cell) AS crk
+        |  FROM qpd p JOIN qn ON p.q_id = qn.q_id JOIN cn2 x ON p.cell = x.cell)
+        |  WHERE crk <= 2),
+        |sdots AS (
+        |  SELECT pr.q_id, c.vec_id, sum(c.v * q.qv) AS d
+        |  FROM probe pr JOIN a2 ON a2.cell = pr.cell
+        |  JOIN c ON c.vec_id = a2.vec_id AND c.vec_id != pr.q_id
+        |  JOIN q ON q.q_id = pr.q_id AND q.pos = c.pos
+        |  GROUP BY 1, 2),
+        |scos AS (
+        |  SELECT d.q_id, d.vec_id,
+        |         floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM sdots d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id),
+        |v0 AS (
+        |  SELECT q_id, vec_id, cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM scos)
+        |  WHERE rk <= 16),
+        |f1 AS (SELECT q_id, vec_id FROM v0),
+        |x1 AS (
+        |  SELECT DISTINCT f.q_id, e.dst AS vec_id
+        |  FROM f1 f JOIN edges8 e ON e.src = f.vec_id
+        |  WHERE e.dst != f.q_id
+        |    AND NOT EXISTS (SELECT 1 FROM v0 v
+        |                    WHERE v.q_id = f.q_id AND v.vec_id = e.dst)),
+        |d1 AS (SELECT x.q_id, c.vec_id, sum(c.v * q.qv) AS d
+        |       FROM x1 x JOIN c ON c.vec_id = x.vec_id
+        |       JOIN q ON q.q_id = x.q_id AND q.pos = c.pos GROUP BY 1, 2),
+        |s1 AS (SELECT d.q_id, d.vec_id,
+        |              floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |       FROM d1 d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id),
+        |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
+        |f2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM v1)
+        |  WHERE rk <= 16
+        |  EXCEPT SELECT q_id, vec_id FROM f1),
+        |x2 AS (
+        |  SELECT DISTINCT f.q_id, e.dst AS vec_id
+        |  FROM f2 f JOIN edges8 e ON e.src = f.vec_id
+        |  WHERE e.dst != f.q_id
+        |    AND NOT EXISTS (SELECT 1 FROM v1 v
+        |                    WHERE v.q_id = f.q_id AND v.vec_id = e.dst)),
+        |d2 AS (SELECT x.q_id, c.vec_id, sum(c.v * q.qv) AS d
+        |       FROM x2 x JOIN c ON c.vec_id = x.vec_id
+        |       JOIN q ON q.q_id = x.q_id AND q.pos = c.pos GROUP BY 1, 2),
+        |s2 AS (SELECT d.q_id, d.vec_id,
+        |              floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |       FROM d2 d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
+        |e2 AS (SELECT * FROM f1 UNION SELECT * FROM f2),
+        |f3 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id) AS rk FROM v2)
+        |  WHERE rk <= 16
+        |  EXCEPT SELECT q_id, vec_id FROM e2),
+        |x3 AS (
+        |  SELECT DISTINCT f.q_id, e.dst AS vec_id
+        |  FROM f3 f JOIN edges8 e ON e.src = f.vec_id
+        |  WHERE e.dst != f.q_id
+        |    AND NOT EXISTS (SELECT 1 FROM v2 v
+        |                    WHERE v.q_id = f.q_id AND v.vec_id = e.dst)),
+        |d3 AS (SELECT x.q_id, c.vec_id, sum(c.v * q.qv) AS d
+        |       FROM x3 x JOIN c ON c.vec_id = x.vec_id
+        |       JOIN q ON q.q_id = x.q_id AND q.pos = c.pos GROUP BY 1, 2),
+        |s3 AS (SELECT d.q_id, d.vec_id,
+        |              floor(d.d / (qn.qnorm * nm.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+        |       FROM d3 d JOIN qn ON d.q_id = qn.q_id JOIN nm ON d.vec_id = nm.vec_id),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM s3)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM v3)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Recall@5 audit mirror: IVF top-5 vs exact brute-force top-5 on the
     * same sampled query set, counts integer-exact.
     */
@@ -563,6 +666,7 @@ object AnnPack extends QueryPack {
     "q_ann_ivf_topk" -> ivfOracleSql("8"),
     "q_ann_ivf_auto" -> ivfOracleSql(AutoCellsSql),
     "q_ann_recall_audit" -> recallAuditOracleSql,
+    "q_ann_beam_topk" -> beamOracleSql,
     "q_semantic_clusters" -> (kmeansCteSql(AutoCellsSql) + """,
         |cd AS (SELECT c.vec_id, a.cell, sum(c.v * t.cv) AS d
         |       FROM c JOIN a2 a ON c.vec_id = a.vec_id

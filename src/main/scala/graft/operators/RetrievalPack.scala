@@ -560,13 +560,13 @@ object RetrievalPack extends QueryPack {
     * (final CTE: dirs) — byte-identical plane/bucket arithmetic to the
     * q_dedup_embedding mirror.
     */
-  private val KnnCteSql: String =
-      """WITH c AS (
-        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM embeddings, range(1, 65) t(i)
-        |),
-        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
-        |params AS (
+  /** The knn candidate/edge chain WITHOUT the shared c/nm base (final
+    * CTE: dirs) — composable after any prefix that already defines the
+    * same c/nm (AnnPack's k-means CTE does; the beam-search mirror
+    * splices both).
+    */
+  private[operators] val KnnChainCte: String =
+      """params AS (
         |  SELECT min(b) AS bits, 12 + 2 * (min(b) - 3) AS bands
         |  FROM (SELECT unnest(generate_series(3, 16)) AS b),
         |       (SELECT count(*) AS n FROM embeddings)
@@ -614,6 +614,14 @@ object RetrievalPack extends QueryPack {
         |  UNION ALL
         |  SELECT v2 AS vec_id, v1 AS nbr, cosine FROM edges
         |)""".stripMargin
+
+  private val KnnCteSql: String =
+      """WITH c AS (
+        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)
+        |),
+        |nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+        |""".stripMargin + KnnChainCte
 
   /** The RRF fusion mirror (lexical BM25 side + embedding cosine side +
     * integer-unit fusion).
