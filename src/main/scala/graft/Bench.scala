@@ -32,6 +32,17 @@ object Bench {
       catch { case _: Throwable => "" }
     def load1(): Double =
       try loadavg().split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+    // Quiet-window detection reads BOTH the 1- and 5-minute averages:
+    // BENCH_r14 declared contended=false at loadavg "1.32,4.90,4.59" —
+    // the 1-minute figure had decayed under the threshold while the
+    // 5-minute showed the box was mid-wave, and the run then took 60
+    // retries / 17 unadjudicated rows. The 5-minute average lags ~5x
+    // slower, so it is the honest "was this box recently busy" signal.
+    def loadQuiet(): Double =
+      try {
+        val p = loadavg().split(",")
+        math.max(p(0).toDouble, p(1).toDouble)
+      } catch { case _: Throwable => 0.0 }
     // ONE query, ONE (seconds, loadavg-before) sample. toRdd materializes
     // every output row — count() would let Catalyst prune projection-only
     // work and understate the timings. The per-query load sample is what
@@ -68,12 +79,12 @@ object Bench {
     val quietWaitSec =
       sys.env.get("SPARK_GRAFT_QUIET_WAIT_SEC").flatMap(_.toIntOption).getOrElse(300)
     val waitDeadline = System.nanoTime() + quietWaitSec * 1000000000L
-    while (load1() > quietThresh && System.nanoTime() < waitDeadline) {
-      System.err.println(s"[bench] loadavg ${load1()} > $quietThresh; waiting for quiet window")
+    while (loadQuiet() > quietThresh && System.nanoTime() < waitDeadline) {
+      System.err.println(s"[bench] loadavg(max 1m,5m) ${loadQuiet()} > $quietThresh; waiting for quiet window")
       Thread.sleep(15000)
     }
     val loadPre = loadavg()
-    val contended = load1() > quietThresh
+    val contended = loadQuiet() > quietThresh
     val cold = qs.map { case (n, f) => n -> runOne(n, f) }
     val coldMap = cold.toMap
     // r11 methodology (VERDICT r10 task 1): N>=3 warm passes accumulate

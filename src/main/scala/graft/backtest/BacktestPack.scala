@@ -138,7 +138,10 @@ object BacktestPack extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, 0)
       val offsets = port.groupBy("chunk").agg(sum(col("term")).as("chunk_sum"))
         .withColumn("offset", coalesce(sum(col("chunk_sum")).over(
-          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
+          // explicit single-partition intent: this window runs over the
+          // dimension-scale chunk aggregate (hours/24 rows), never rows
+          Window.partitionBy(lit(1)).orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0).cast(dec38)))
         .select("chunk", "offset")
       port.join(broadcast(offsets), "chunk")

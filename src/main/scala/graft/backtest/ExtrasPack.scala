@@ -30,6 +30,54 @@ object ExtrasPack extends QueryPack {
     allThreeCache.getOrElseUpdate((s, d),
       Signals.allThreePlain(bars1m(s, d)).cache())
 
+  /** Strategy suffixes of the wide three-strategy frame. */
+  private val StratSfx =
+    Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
+
+  /** Session-memoized WIDE three-strategy backtest frame: positions,
+    * net returns, log equity, running peak and drawdown for all three
+    * strategies as column families over the single per-symbol sort
+    * (the window-layered chain q_strategy_comparison built per call
+    * before r15). Caching it makes the comparison one hash agg + stack
+    * over bar-scale cached rows; the frame is the natural read surface
+    * for any cross-strategy analysis (turnover, attribution).
+    */
+  private val wideThreeCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def wideThreeCached(s: SparkSession, d: String): DataFrame =
+    wideThreeCache.getOrElseUpdate((s, d), {
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val lagLayer = allThreeCached(s, d).select(
+        col("*") +:
+          Backtester.returnsExpr(col("close"), lag(col("close"), 1).over(w)).as("returns") +:
+          StratSfx.map { case (x, sc) =>
+            lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
+          }: _*)
+      val netLayer = lagLayer.select(
+        col("*") +: StratSfx.flatMap { case (x, sc) =>
+          val pos = col(sc).cast("double")
+          val prev = col(s"prev_pos_$x")
+          val net = Backtester.stratRetExpr(prev, col("returns")) -
+            Backtester.costExpr(pos, prev, Backtester.DefaultCostRate)
+          Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
+        }: _*)
+      val eqLayer = netLayer.select(
+        col("*") +: StratSfx.map { case (x, _) =>
+          Backtester.logEquityExpr(col(s"net_$x"), cum).as(s"log_equity_$x")
+        }: _*)
+      val peakLayer = eqLayer.select(
+        col("*") +: StratSfx.map { case (x, _) =>
+          max(col(s"log_equity_$x")).over(cum).as(s"peak_$x")
+        }: _*)
+      peakLayer.select(
+        col("*") +: StratSfx.map { case (x, _) =>
+          (exp(col(s"log_equity_$x") - col(s"peak_$x")) - 1).as(s"dd_$x")
+        }: _*)
+        .cache()
+    })
+
   /** EMA via a bounded 60-tap weighted sum of window lags — one sort per
     * symbol, no join (a rank-range self-join explodes to |bars|² per
     * symbol before its range filter). The tap sums are fixed-order `+`
@@ -259,40 +307,14 @@ object ExtrasPack extends QueryPack {
       // the dependency-minimal THREE Window operators (lags → equity
       // cumsums → running peaks). Expressions are token-identical —
       // values and oracle unchanged.
-      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
-      val sfx = Seq("ma_cross" -> "s_ma", "mean_reversion" -> "s_mr", "momentum" -> "s_mo")
-      val lagLayer = allThreeCached(s, d).select(
-        col("*") +:
-          Backtester.returnsExpr(col("close"), lag(col("close"), 1).over(w)).as("returns") +:
-          sfx.map { case (x, sc) =>
-            lag(col(sc).cast("double"), 1).over(w).as(s"prev_pos_$x")
-          }: _*)
-      val netLayer = lagLayer.select(
-        col("*") +: sfx.flatMap { case (x, sc) =>
-          val pos = col(sc).cast("double")
-          val prev = col(s"prev_pos_$x")
-          val net = Backtester.stratRetExpr(prev, col("returns")) -
-            Backtester.costExpr(pos, prev, Backtester.DefaultCostRate)
-          Seq(pos.as(s"position_$x"), net.as(s"net_$x"))
-        }: _*)
-      val eqLayer = netLayer.select(
-        col("*") +: sfx.map { case (x, _) =>
-          Backtester.logEquityExpr(col(s"net_$x"), cum).as(s"log_equity_$x")
-        }: _*)
-      val peakLayer = eqLayer.select(
-        col("*") +: sfx.map { case (x, _) =>
-          max(col(s"log_equity_$x")).over(cum).as(s"peak_$x")
-        }: _*)
-      val withDd = peakLayer.select(
-        col("*") +: sfx.map { case (x, _) =>
-          (exp(col(s"log_equity_$x") - col(s"peak_$x")) - 1).as(s"dd_$x")
-        }: _*)
+      // the wide column-family frame is session-memoized (wideThreeCached)
+      // — the comparison itself is one hash agg + stack over cached rows
+      val sfx = StratSfx
       val aggs = sfx.flatMap { case (x, _) =>
         Metrics.aggExprs(col(s"net_$x"), col(s"position_$x"),
           col(s"prev_pos_$x"), col(s"dd_$x"), s"_$x")
       }
-      val wide = withDd.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+      val wide = wideThreeCached(s, d).groupBy("symbol").agg(aggs.head, aggs.tail: _*)
       val stackExpr = s"stack(${sfx.size}, " + sfx.map { case (x, _) =>
         s"'$x', " + Metrics.MetricNames.map(m => s"`${m}_$x`").mkString(", ")
       }.mkString(", ") + s") as (strategy, ${Metrics.MetricNames.mkString(", ")})"

@@ -50,6 +50,40 @@ object Risk {
       approx_percentile(col("r"), lit(0.05), lit(accuracy)),
       approx_percentile(col("r"), lit(0.01), lit(accuracy)))
 
+  /** Driver-visible referee for the sketch path (r15): runs the GK
+    * sketch over the same returns and judges each symbol's 5%/1%
+    * estimates against the sketch's GUARANTEED rank-error bound,
+    * returning per-symbol 0/1 flags. With duplicate values the returned
+    * estimate v occupies the rank interval [count(r < v)+1,
+    * count(r <= v)], so the check is interval-vs-target: count(r < v)
+    * ≤ p·n + err and count(r <= v) ≥ p·n − err, with err = n/accuracy
+    * + 2 (the +2 absorbs the off-by-one between target-rank
+    * conventions). The flags are engine-portable integers — the DuckDB
+    * mirror emits literal 1s, so a sketch drifting out of its bound
+    * flips a flag and fails the driver's hash compare.
+    */
+  def sketchRankChecks(rets: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val approx = rets.groupBy("symbol").agg(
+      approx_percentile(col("r"), lit(0.05), lit(accuracy)).as("a95"),
+      approx_percentile(col("r"), lit(0.01), lit(accuracy)).as("a99"))
+    def ok(lo: Column, hi: Column, p: Double, n: Column): Column = {
+      val target = n.cast("double") * p
+      val err = n.cast("double") / accuracy + 2.0
+      (lo.cast("double") <= target + err && hi.cast("double") >= target - err)
+        .cast("int")
+    }
+    rets.join(broadcast(approx), "symbol")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("r") < col("a95"), 1L).otherwise(0L)).as("lo95"),
+        sum(when(col("r") <= col("a95"), 1L).otherwise(0L)).as("hi95"),
+        sum(when(col("r") < col("a99"), 1L).otherwise(0L)).as("lo99"),
+        sum(when(col("r") <= col("a99"), 1L).otherwise(0L)).as("hi99"))
+      .select(col("symbol"),
+        ok(col("lo95"), col("hi95"), 0.05, col("nc")).as("sketch_ok_95"),
+        ok(col("lo99"), col("hi99"), 0.01, col("nc")).as("sketch_ok_99"))
+  }
+
   /** The VaR/CVaR aggregate expressions — the ONE definition of the
     * oracle contract. RiskPack.riskStats builds its fused memoized frame
     * from these same columns (via varCvarOn's extraAggs), so an edit here

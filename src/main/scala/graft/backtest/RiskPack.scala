@@ -59,13 +59,18 @@ object RiskPack extends QueryPack {
     "q_var_cvar" -> ((s, d) =>
       riskStats(s, d).select("symbol", "var_95", "var_99", "cvar_95", "n")
         .orderBy("symbol")),
-    // rows-only (no oracle): the bounded-state production variant of
-    // q_var_cvar — approx_percentile (GK sketch, O(accuracy) state)
-    // instead of the exact sort-based percentile buffer. RiskApproxSpec
-    // pins the rank-error bound; registering it here makes the driver
-    // exercise the 100 TB path every round.
+    // The bounded-state production variant of q_var_cvar —
+    // approx_percentile (GK sketch, O(accuracy) state) instead of the
+    // exact sort-based percentile buffer. Oracled since r15 via the
+    // error-bound referee: the exact columns ride the memoized stats
+    // frame and hash against DuckDB's exact mirror, while the sketch
+    // path runs in full and its rank-bound verdict lands as 0/1 flag
+    // columns the mirror pins at 1 — an out-of-bound sketch now FAILS
+    // the driver's hash, not just RiskApproxSpec.
     "q_var_cvar_approx" -> ((s, d) =>
-      Risk.varCvarApprox(bars1m(s, d)).orderBy("symbol")),
+      riskStats(s, d).select("symbol", "var_95", "var_99", "cvar_95", "n")
+        .join(Risk.sketchRankChecks(Risk.barReturns(bars1m(s, d))), "symbol")
+        .orderBy("symbol")),
     "q_kelly_sizing" -> ((s, d) => Risk.kelly(btMaCross(s, d)).orderBy("symbol")),
     "q_vol_position_sizing" -> ((s, d) => {
       // derived per-row sizing over the memoized stats (risk_monitor.py:360),
@@ -167,6 +172,25 @@ object RiskPack extends QueryPack {
          |       floor(max(v.var99) * 1e8 + 0.5) / 1e8 AS var_99,
          |       floor(avg(CASE WHEN r.r <= v.var95 THEN r.r END) * 1e8 + 0.5) / 1e8 AS cvar_95,
          |       count(*) AS n
+         |FROM rets r JOIN v ON r.symbol = v.symbol
+         |GROUP BY r.symbol ORDER BY r.symbol""".stripMargin,
+    // exact side mirrored; the sketch verdicts are pinned at 1 — the
+    // referee flags are computed ONLY by the engine (DuckDB has no GK
+    // sketch), and the hash compare fails if any symbol's sketch lands
+    // outside its guaranteed rank-error bound
+    "q_var_cvar_approx" ->
+      s"""WITH $RetsCte,
+         |v AS (
+         |  SELECT symbol, quantile_cont(r, 0.05) AS var95, quantile_cont(r, 0.01) AS var99
+         |  FROM rets GROUP BY symbol
+         |)
+         |SELECT r.symbol,
+         |       floor(max(v.var95) * 1e8 + 0.5) / 1e8 AS var_95,
+         |       floor(max(v.var99) * 1e8 + 0.5) / 1e8 AS var_99,
+         |       floor(avg(CASE WHEN r.r <= v.var95 THEN r.r END) * 1e8 + 0.5) / 1e8 AS cvar_95,
+         |       count(*) AS n,
+         |       1 AS sketch_ok_95,
+         |       1 AS sketch_ok_99
          |FROM rets r JOIN v ON r.symbol = v.symbol
          |GROUP BY r.symbol ORDER BY r.symbol""".stripMargin,
     "q_kelly_sizing" ->

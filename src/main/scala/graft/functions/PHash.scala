@@ -71,18 +71,30 @@ object PHash56 {
       while (t < Samples) {
         val pos = (1L + t * n / Samples).toInt
         while (charPos < pos) {
-          val b0 = b(byteI) & 0xff
-          if (b0 < 0x80) { cp = b0; byteI += 1 }
-          else if (b0 < 0xe0) {
-            cp = ((b0 & 0x1f) << 6) | (b(byteI + 1) & 0x3f); byteI += 2
-          } else if (b0 < 0xf0) {
-            cp = ((b0 & 0x0f) << 12) | ((b(byteI + 1) & 0x3f) << 6) |
-              (b(byteI + 2) & 0x3f); byteI += 3
-          } else {
-            cp = ((b0 & 0x07) << 18) | ((b(byteI + 1) & 0x3f) << 12) |
-              ((b(byteI + 2) & 0x3f) << 6) | (b(byteI + 3) & 0x3f); byteI += 4
+          // Truncation guard (valid UTF-8 never hits it: numChars counts
+          // leading bytes, so charPos reaches pos before byteI can run
+          // past the buffer). A malformed/truncated sequence — e.g. a
+          // binary-to-string cast — degrades to codepoint 0 instead of
+          // an ArrayIndexOutOfBoundsException, mirroring how the
+          // composed substr/ascii builtin form degrades gracefully.
+          if (byteI >= b.length) { cp = 0; charPos += 1 }
+          else {
+            val b0 = b(byteI) & 0xff
+            val width =
+              if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+            if (byteI + width > b.length) { cp = 0; byteI = b.length }
+            else if (width == 1) { cp = b0; byteI += 1 }
+            else if (width == 2) {
+              cp = ((b0 & 0x1f) << 6) | (b(byteI + 1) & 0x3f); byteI += 2
+            } else if (width == 3) {
+              cp = ((b0 & 0x0f) << 12) | ((b(byteI + 1) & 0x3f) << 6) |
+                (b(byteI + 2) & 0x3f); byteI += 3
+            } else {
+              cp = ((b0 & 0x07) << 18) | ((b(byteI + 1) & 0x3f) << 12) |
+                ((b(byteI + 2) & 0x3f) << 6) | (b(byteI + 3) & 0x3f); byteI += 4
+            }
+            charPos += 1
           }
-          charPos += 1
         }
         cells(t >> 3) += cp
         t += 1

@@ -29,7 +29,9 @@ object BarsPack extends QueryPack {
       // decimal(38,0) so the only float op is the final snapped
       // division — engine-portable at any magnitude.
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val minuteSums = Micro.intTicks(s, d)
+      // rides the session-memoized signed-tick frame (superset of
+      // intTicks' columns, same rows) instead of re-scanning the feed
+      val minuteSums = Micro.signedTicksCached(s, d)
         .groupBy(col("symbol"),
           expr("ts div 86400000000000").as("day"),
           expr("ts div 60000000000 * 60000").as("bucket_ms"))

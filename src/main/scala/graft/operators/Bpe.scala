@@ -43,8 +43,15 @@ object Bpe {
         case Some(r: Row) if r.getAs[Long]("pair_count") >= 2 =>
           val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
           merges += ((a, b))
-          val next = applyMerge(cur, a, b).cache()
-          next.count()
+          // localCheckpoint, not cache: cache leaves the LOGICAL plan
+          // growing one applyMerge layer per round, and analysis over
+          // that chain is O(rounds²) — at the r15 full-capacity table
+          // (~100 rounds) the analyzer dominated wall time (measured:
+          // the 16-round trainer finished in seconds; 100+ rounds hung
+          // for 20+ min before this fix). Checkpointing truncates
+          // lineage each round; the frame is vocab-scale, so the
+          // materialization is bytes.
+          val next = applyMerge(cur, a, b).localCheckpoint()
           cur.unpersist(blocking = false)
           cur = next
         case _ => done = true // no pair occurs twice: nothing left to merge
@@ -68,18 +75,51 @@ object Bpe {
         expr("element_at(syms, i + 1)").as("b"), col("freq"))
       .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
 
-  /** A merge table produced by [[train]] (nMerges = 16) on the sf0.01
-    * corpus vocabulary, baked as literals: production tokenization
-    * encodes with a FROZEN tokenizer, so the merge sequence is a
-    * constant of the job, not a per-run training artifact — exactly how
-    * a deployed BPE vocab ships. (Regenerate by rerunning the trainer if
-    * the corpus generator changes; BpeSpec pins apply semantics, the
-    * q_bpe_encode oracle pins the full encode chain.)
+  /** Merges applied per materialization stage in [[encode]]. */
+  val MergeStage = 24
+
+  /** The FULL-CAPACITY merge table produced by [[train]] to exhaustion
+    * (tools.BpeTrain) on the sf0.01 corpus vocabulary, baked as
+    * literals: production tokenization encodes with a FROZEN tokenizer,
+    * so the merge sequence is a constant of the job, not a per-run
+    * training artifact — exactly how a deployed BPE vocab ships.
+    * Capacity note (r15): the synthetic corpus has 31 distinct
+    * whitespace tokens / 138 characters, so 107 pair-applications
+    * (Σ(len−1)) is the hard collapse ceiling; training exhausts at 89
+    * DISTINCT rules (rules are shared across words — e.g. "er" serves
+    * merge/order/query) with every word reduced to a single symbol.
+    * This table IS the complete trainable sequence — the verdict's
+    * nominal 256 is structurally unreachable on this corpus, so the
+    * scale axis measured in BASELINE is per-merge encode-pass cost
+    * (16 → 89 passes over the distinct-word frame). (Regenerate with
+    * tools.BpeTrain if the corpus generator changes; BpeSpec pins
+    * apply semantics, the q_bpe_encode oracle pins the full encode
+    * chain.)
     */
   val TrainedMerges: Seq[(String, String)] = Seq(
-    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
-    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
-    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"))
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"),
+    ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("d", "ata"), ("t", "able"),
+    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
+    ("a", "m"), ("e", "am"), ("r", "eam"), ("st", "ream"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("par", "k"),
+    ("s", "park"), ("g", "r"), ("gr", "o"), ("gro", "up"),
+    ("par", "t"), ("b", "i"), ("bi", "g"), ("or", "t"),
+    ("s", "ort"), ("er", "y"), ("q", "u"), ("qu", "ery"),
+    ("a", "st"), ("f", "ast"), ("h", "e"), ("t", "he"),
+    ("d", "up"))
 
   /** Distributed BPE ENCODE with [[TrainedMerges]] (VERDICT r13 task 6 —
     * the production counterpart of the test-only trainer): token counts
@@ -103,8 +143,19 @@ object Bpe {
     val vocab = words.select("tok").distinct()
       .withColumn("syms",
         expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
-    val encoded = TrainedMerges
-      .foldLeft(vocab) { case (df, (a, b)) => applyMerge(df, a, b) }
+    // Merge passes apply in stages of MergeStage with a materialization
+    // boundary between stages: Catalyst collapses the chained
+    // withColumns into ONE projection whose nested-HOF expression tree
+    // grows with every merge, and past a few dozen merges the
+    // analysis/eval cost of that single expression dominates (the r15
+    // full-capacity table is ~6x the old 16). Each stage is one pass
+    // over the DISTINCT-WORD frame — vocab-scale rows, so the
+    // localCheckpoint is bytes, not corpus.
+    val encoded = TrainedMerges.grouped(MergeStage)
+      .foldLeft(vocab) { case (df, grp) =>
+        grp.foldLeft(df) { case (f, (a, b)) => applyMerge(f, a, b) }
+          .localCheckpoint()
+      }
       .select(col("tok"), size(col("syms")).cast("long").as("pieces"))
     words.join(encoded, "tok")
       .groupBy("source")

@@ -511,7 +511,10 @@ object CorpusPack extends QueryPack {
         .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("toks"))
       hist
         .withColumn("cum", sum(col("c")).over(
-          Window.orderBy("q4").rowsBetween(Window.unboundedPreceding, 0)))
+          // explicit single-partition intent: cumulates the 10^4-bin
+          // histogram aggregate, never doc rows
+          Window.partitionBy(lit(1)).orderBy("q4")
+            .rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
         .withColumn("decile", expr("(cum * 10 + n - 1) div n"))
         .groupBy("decile")

@@ -188,27 +188,29 @@ object EventsPack extends QueryPack {
       // no actual activity (dau = 0 ghosts) drop out as before; same
       // values by construction, so the oracle is unchanged.
       // [[dauWauApprox]] stays the bounded-state production variant.
-      val w = Window.partitionBy("user_id").orderBy("day")
-      userDaysCached(s, d)
-        .withColumn("lo",
-          greatest(col("day"), coalesce(lag(col("day"), 1).over(w) + 7, col("day"))))
-        .select(col("day"), col("lo"),
-          explode(when(col("lo") > col("day"),
-            concat(array(col("day")), sequence(col("lo"), col("day") + 6)))
-            .otherwise(sequence(col("lo"), col("day") + 6))).as("d"))
-        .groupBy("d")
-        .agg(count(when(col("day") === col("d"), 1)).as("dau"),
-          count(when(col("d") >= col("lo"), 1)).as("wau"))
-        .filter(col("dau") > 0)
-        .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
-          (col("dau") / col("wau")).as("stickiness"))
+      dauWauExact(s, d).orderBy("day_ms")
+    }),
+    // The bounded-state production variant of q_dau_wau — HLL sketches
+    // instead of exact per-window distinct state. Oracled since r15 via
+    // the error-bound referee: exact day/dau/wau columns hash against
+    // the mirror while the HLL path runs in full and its per-day
+    // estimate is judged against the sketch's error bound (lgK=14 →
+    // RSE ≈ 1.04/√2¹⁴ ≈ 0.8%; flag allows 4·RSE relative or 8 absolute,
+    // whichever is larger — HLL is exact in sparse mode at small
+    // cardinalities, so small-count days never flap). The mirror pins
+    // the flag at 1: an out-of-bound estimate fails the driver's hash.
+    "q_dau_wau_approx" -> ((s, d) => {
+      val rse = 1.04 / math.sqrt((1 << 14).toDouble)
+      val est = dauWauApproxOn(userDaysCached(s, d))
+        .select(col("day_ms"), col("wau").as("wau_est"))
+      dauWauExact(s, d)
+        .join(est, "day_ms")
+        .select(col("day_ms"), col("dau"), col("wau"),
+          (abs(col("wau_est") - col("wau")) <=
+            greatest(col("wau") * (4 * rse), lit(8.0))).cast("int")
+            .as("wau_in_bound"))
         .orderBy("day_ms")
     }),
-    // rows-only (no oracle): the bounded-state production variant of
-    // q_dau_wau — HLL sketches instead of exact per-window distinct
-    // state. DauWauApproxSpec pins the sketch error; registering it here
-    // makes the driver exercise the 100 TB path every round.
-    "q_dau_wau_approx" -> ((s, d) => dauWauApproxOn(userDaysCached(s, d))),
     "q_order_match_sim" -> ((s, d) =>
       OrderMatch.run(OrderMatch.ordersFromTicks(Tables.ticks(s, d)))
         .toDF().orderBy("symbol", "seq")),
@@ -258,6 +260,28 @@ object EventsPack extends QueryPack {
   def dauWauApprox(events: DataFrame, lgConfigK: Int = 14): DataFrame =
     dauWauApproxOn(events
       .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct(), lgConfigK)
+
+  /** The exact DAU/WAU frame (day_ms, dau, wau, stickiness), unordered —
+    * factored out of q_dau_wau so the approx referee can join the HLL
+    * estimates against the same exact values. See the q_dau_wau scaladoc
+    * for the first-activity-in-window derivation.
+    */
+  private def dauWauExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    userDaysCached(s, d)
+      .withColumn("lo",
+        greatest(col("day"), coalesce(lag(col("day"), 1).over(w) + 7, col("day"))))
+      .select(col("day"), col("lo"),
+        explode(when(col("lo") > col("day"),
+          concat(array(col("day")), sequence(col("lo"), col("day") + 6)))
+          .otherwise(sequence(col("lo"), col("day") + 6))).as("d"))
+      .groupBy("d")
+      .agg(count(when(col("day") === col("d"), 1)).as("dau"),
+        count(when(col("d") >= col("lo"), 1)).as("wau"))
+      .filter(col("dau") > 0)
+      .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+        (col("dau") / col("wau")).as("stickiness"))
+  }
 
   /** [[dauWauApprox]] over an already-distinct (user_id, day) frame —
     * lets the pack share one memoized distinct pass with q_dau_wau.
@@ -693,6 +717,24 @@ object EventsPack extends QueryPack {
         |)
         |SELECT dau.day * 86400000 AS day_ms, dau.dau, wau.wau,
         |       dau.dau / wau.wau AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.d
+        |ORDER BY day_ms""".stripMargin,
+    // exact side mirrored; the HLL verdict is pinned at 1 — the flag is
+    // computed ONLY by the engine (DuckDB has no DataSketches HLL), and
+    // the hash compare fails if any day's estimate leaves its bound
+    "q_dau_wau_approx" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day AS d, count(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT day FROM dau) d
+        |  JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT dau.day * 86400000 AS day_ms, dau.dau, wau.wau,
+        |       1 AS wau_in_bound
         |FROM dau JOIN wau ON dau.day = wau.d
         |ORDER BY day_ms""".stripMargin,
     "q_order_book_imbalance" ->

@@ -30,11 +30,8 @@ object Indicators {
     * signed-tick frame.
     */
   def obv(s: SparkSession, d: String, chunkNs: Long = Micro.ChunkNs): DataFrame =
-    Micro.exclCum(
-      Micro.signedTicksCached(s, d, chunkNs)
-        .withColumn("sv", col("sign").cast("long") * col("vol")),
-      "sv", chunkNs)
-      .withColumn("obv_t", col("cum_prev") + col("sv"))
+    Micro.cumTicksCached(s, d, chunkNs)
+      .withColumn("obv_t", col("cum_sv_prev") + col("sv"))
       .groupBy(col("symbol"),
         expr("ts div 3600000000000 * 3600000").as("bucket_ms"))
       .agg(expr("max_by(obv_t, ts)").as("obv"), count(lit(1)).as("n_ticks"))

@@ -82,9 +82,21 @@ object Micro {
     */
   def thresholdBars(t: DataFrame, measure: String, threshold: Long,
                     chunkNs: Long = ChunkNs): DataFrame =
-    exclCum(t, measure, chunkNs)
-      .withColumn("bar_id", expr(s"cum_prev div ${threshold}L"))
-      .groupBy("symbol", "bar_id")
+    barAgg(exclCum(t, measure, chunkNs)
+      .withColumn("bar_id", expr(s"cum_prev div ${threshold}L")))
+
+  /** Threshold bars over the session-memoized cumulative frame
+    * ([[cumTicksCached]]): same values as [[thresholdBars]] — the cum
+    * column IS exclCum's cum_prev for that measure, computed once per
+    * session in the shared window pass instead of once per query.
+    */
+  def thresholdBarsCached(s: SparkSession, d: String, cumCol: String,
+                          threshold: Long, chunkNs: Long = ChunkNs): DataFrame =
+    barAgg(cumTicksCached(s, d, chunkNs)
+      .withColumn("bar_id", expr(s"$cumCol div ${threshold}L")))
+
+  private def barAgg(t: DataFrame): DataFrame =
+    t.groupBy("symbol", "bar_id")
       .agg(count(lit(1)).as("n_ticks"),
         expr("min_by(price, ts)").as("open"),
         max("price").as("high"),
@@ -95,6 +107,50 @@ object Micro {
         min("ts").as("ts_start"),
         max("ts").as("ts_end"))
       .orderBy("symbol", "bar_id")
+
+  /** Session-memoized cumulative tick frame: the signed-tick frame plus
+    * exclusive per-symbol running sums of all three bar-clock measures —
+    * traded value (dollar_c), volume units (vol), and signed volume
+    * (sv = sign·vol) — from ONE shared two-level window pass (same-frame
+    * sums collapse into a single WindowExec pair). Before r15
+    * q_dollar_bars, q_volume_bars, q_vpin and q_obv each ran their own
+    * exclCum pass over the same feed; with the shared frame each
+    * consumer is one hash aggregate over cached rows. Exact integers
+    * throughout, so every cum column is bit-identical to the per-query
+    * exclCum it replaces.
+    */
+  private val cumCache =
+    graft.Memo.map[(SparkSession, String, Long), DataFrame](_.unpersist())
+
+  def cumTicksCached(s: SparkSession, d: String,
+                     chunkNs: Long = ChunkNs): DataFrame =
+    cumCache.getOrElseUpdate((s, d, chunkNs), {
+      val wIn = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wc = Window.partitionBy("symbol").orderBy("_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = signedTicksCached(s, d, chunkNs)
+        .withColumn("sv", col("sign").cast("long") * col("vol"))
+        .withColumn("_ck", expr(s"ts div $chunkNs"))
+      val offs = base.groupBy("symbol", "_ck")
+        .agg(sum(col("dollar_c")).as("_td"), sum(col("vol")).as("_tv"),
+          sum(col("sv")).as("_tsv"))
+        .select(col("symbol"), col("_ck"),
+          coalesce(sum(col("_td")).over(wc), lit(0L)).as("_offd"),
+          coalesce(sum(col("_tv")).over(wc), lit(0L)).as("_offv"),
+          coalesce(sum(col("_tsv")).over(wc), lit(0L)).as("_offsv"))
+      base.join(broadcast(offs), Seq("symbol", "_ck"))
+        .select(col("symbol"), col("ts"), col("event_id"), col("price"),
+          col("vol"), col("cents"), col("dollar_c"), col("dpc"),
+          col("sign"), col("sv"),
+          (coalesce(sum(col("dollar_c")).over(wIn), lit(0L)) + col("_offd"))
+            .as("cum_dollar_prev"),
+          (coalesce(sum(col("vol")).over(wIn), lit(0L)) + col("_offv"))
+            .as("cum_vol_prev"),
+          (coalesce(sum(col("sv")).over(wIn), lit(0L)) + col("_offsv"))
+            .as("cum_sv_prev"))
+        .cache()
+    })
 
   /** Ticks with `dpc` = cent-price diff vs the previous tick of the same
     * symbol (global stream order, null on the symbol's first tick) and
@@ -193,8 +249,8 @@ object Micro {
     */
   def vpin(s: SparkSession, d: String, chunkNs: Long = ChunkNs,
            bucketVol: Long = VolumeBarUnits, window: Int = 10): DataFrame = {
-    val b = exclCum(signedTicksCached(s, d, chunkNs), "vol", chunkNs)
-      .withColumn("bucket_id", expr(s"cum_prev div ${bucketVol}L"))
+    val b = cumTicksCached(s, d, chunkNs)
+      .withColumn("bucket_id", expr(s"cum_vol_prev div ${bucketVol}L"))
       .groupBy("symbol", "bucket_id")
       .agg(sum(when(col("sign") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
         sum(when(col("sign") === -1, col("vol")).otherwise(0L)).as("sell_vol"),
@@ -249,6 +305,34 @@ object Micro {
       .select("symbol", "n_ticks", "kyle_lambda", "r2")
       .orderBy("symbol")
 
+  /** Lags carried by the shared minute-bar cent-lag frame: covers the
+    * variance ratio's max q (10) and the ACF's max lag + 1 (6).
+    */
+  val BarLags = 11
+
+  /** Session-memoized minute-bar cent-lag frame: (symbol, bucket_ms,
+    * cents, c1..c11 with c_k = lag(cents, k)) from ONE WindowExec over
+    * the memoized minute bars. q_return_acf and q_variance_ratio each
+    * re-sorted the bar frame and ran their own lag windows before r15;
+    * both now read this frame, and their diffs (exact integer
+    * subtractions of the same lag values) are bit-identical to the
+    * per-query windows they replace. Bar-scale rows — the cache is the
+    * bars-level footprint class, not ticks.
+    */
+  private val barLagCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  def barCentLagsCached(s: SparkSession, d: String): DataFrame =
+    barLagCache.getOrElseUpdate((s, d), {
+      val w = Window.partitionBy("symbol").orderBy("bucket_ms")
+      Bars.ohlcvCached(s, d, 60)
+        .select(col("symbol"), col("bucket_ms"),
+          floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
+        .select(col("symbol") +: col("bucket_ms") +: col("cents") +:
+          (1 to BarLags).map(k => lag(col("cents"), k).over(w).as(s"c$k")): _*)
+        .cache()
+    })
+
   /** Lo-MacKinlay variance ratio VR(q) = Var(q-period diff)/(q·Var(1))
     * per symbol on minute-bar cent diffs, q ∈ {2, 5, 10} — VR < 1 flags
     * mean reversion, > 1 trending (read next to q_return_acf before
@@ -258,12 +342,13 @@ object Micro {
     */
   def varianceRatio(s: SparkSession, d: String,
                     qs: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    val base = Bars.ohlcvCached(s, d, 60)
-      .select(col("symbol"), col("bucket_ms"),
-        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
-    val lagged = base.select(col("symbol") +: col("cents") +:
-      qs.map(k => (col("cents") - lag(col("cents"), k).over(w)).as(s"d$k")): _*)
+    require(qs.max <= BarLags, s"variance-ratio q ${qs.max} exceeds BarLags $BarLags")
+    // d_k = cents − lag(cents, k): read off the session-memoized cent-lag
+    // frame (one WindowExec per session, shared with q_return_acf) — the
+    // subtraction of exact integers is bit-identical to the per-query
+    // window it replaces
+    val lagged = barCentLagsCached(s, d).select(col("symbol") +: col("cents") +:
+      qs.map(k => (col("cents") - col(s"c$k")).as(s"d$k")): _*)
     val stackExpr = qs.map(k => s"${k}L, d$k").mkString(", ")
     val m = lagged
       .selectExpr("symbol", s"stack(${qs.size}, $stackExpr) AS (q, y)")
@@ -294,14 +379,17 @@ object Micro {
     * WindowExec carries all five lags.
     */
   def returnAcf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("bucket_ms")
-    val x = Bars.ohlcvCached(s, d, 60)
-      .select(col("symbol"), col("bucket_ms"),
-        floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
-      .withColumn("x", col("cents") - lag("cents", 1).over(w))
+    require(maxLag + 1 <= BarLags, s"acf lag $maxLag exceeds BarLags ${BarLags - 1}")
+    // x = cents − c1 (the 1-bar diff; null only on each symbol's first
+    // bar) and its lag-k value y_k = c_k − c_{k+1}: both read off the
+    // session-memoized cent-lag frame. Equal to the old filter-then-lag
+    // form exactly — the filter dropped only the one null-x row per
+    // symbol, so lag(x, k) over the filtered frame is x_{i−k}, which is
+    // c_k − c_{k+1} at row i wherever either is defined (exact integers).
+    val lagged = barCentLagsCached(s, d)
+      .select(col("symbol") +: (col("cents") - col("c1")).as("x") +:
+        (1 to maxLag).map(k => (col(s"c$k") - col(s"c${k + 1}")).as(s"y$k")): _*)
       .filter(col("x").isNotNull)
-    val lagged = x.select(col("symbol") +: col("bucket_ms") +: col("x") +:
-      (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"y$k")): _*)
     val stackExpr = (1 to maxLag).map(k => s"${k}L, y$k").mkString(", ")
     val pairs = lagged
       .selectExpr("symbol", "x", s"stack($maxLag, $stackExpr) AS (lag, y)")

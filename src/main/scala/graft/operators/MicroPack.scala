@@ -16,10 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MicroPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // both bar clocks read the session-memoized cumulative frame (one
+    // shared two-level window pass); values identical to the per-query
+    // exclCum form — exact integers, same cum column
     "q_dollar_bars" -> ((s, d) =>
-      Micro.thresholdBars(Micro.intTicks(s, d), "dollar_c", Micro.DollarBarCents)),
+      Micro.thresholdBarsCached(s, d, "cum_dollar_prev", Micro.DollarBarCents)),
     "q_volume_bars" -> ((s, d) =>
-      Micro.thresholdBars(Micro.intTicks(s, d), "vol", Micro.VolumeBarUnits)),
+      Micro.thresholdBarsCached(s, d, "cum_vol_prev", Micro.VolumeBarUnits)),
     "q_tick_rule_flow" -> ((s, d) => Micro.tickRuleFlow(s, d)),
     "q_roll_spread" -> ((s, d) => Micro.rollSpread(s, d)),
     "q_vpin" -> ((s, d) => Micro.vpin(s, d)),

@@ -106,8 +106,14 @@ object TpchPack extends QueryPack {
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
-    "q3_shipping_priority" -> ((s, d) =>
-      q3From(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    // q3/q10 read the session's bucketed fact layout when available
+    // (BucketedTables.factLayout — co-located orderkey buckets, no
+    // shuffle Exchange on the fact join); plain parquet otherwise.
+    // Same rows either way, oracle unchanged.
+    "q3_shipping_priority" -> ((s, d) => {
+      val (l, o) = graft.sources.BucketedTables.factLayout(s, d)
+      q3From(l, o, Tables.customer(s, d))
+    }),
     "q5_local_supplier" -> ((s, d) => {
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d).join(broadcast(asia),
@@ -128,9 +134,10 @@ object TpchPack extends QueryPack {
         .select(col("n_name"), (col("rev_e4") / 10000.0).as("revenue"), col("n_items"))
         .orderBy(col("n_name"))
     }),
-    "q10_returned_items" -> ((s, d) =>
-      q10From(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
-        Tables.nation(s, d))),
+    "q10_returned_items" -> ((s, d) => {
+      val (l, o) = graft.sources.BucketedTables.factLayout(s, d)
+      q10From(l, o, Tables.customer(s, d), Tables.nation(s, d))
+    }),
     "q_top_customers_per_nation" -> ((s, d) => {
       val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)

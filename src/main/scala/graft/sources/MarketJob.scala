@@ -35,24 +35,44 @@ object MarketJob extends QueryPack {
   private val MinPrice = 10.0
   private val MaxPrice = 180.0
 
+  /** Session memo for the cleaned tick feed: [[summary]] reads it twice
+    * (funnel count + bar build), so uncached the validate→IQR chain —
+    * quantile aggregate included — planned twice per call and once more
+    * per warm pass.
+    */
+  private val cleanTickCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
   /** Cleaned tick feed: validate -> per-symbol IQR gate (keeps
     * ts/price/volume so the bar stage can resample it).
     */
-  def cleanTicks(s: SparkSession, d: String): DataFrame = {
-    val valid = Tables.ticks(s, d)
-      .select("symbol", "ts", "event_id", "price", "volume")
-      .filter(col("price") >= MinPrice && col("price") <= MaxPrice)
-    valid.join(broadcast(Cleaner.iqrBounds(valid)), "symbol")
-      .filter(col("price") >= col("lo") && col("price") <= col("hi"))
-      .select("symbol", "ts", "event_id", "price", "volume")
-  }
+  def cleanTicks(s: SparkSession, d: String): DataFrame =
+    cleanTickCache.getOrElseUpdate((s, d), {
+      val valid = Tables.ticks(s, d)
+        .select("symbol", "ts", "event_id", "price", "volume")
+        .filter(col("price") >= MinPrice && col("price") <= MaxPrice)
+      valid.join(broadcast(Cleaner.iqrBounds(valid)), "symbol")
+        .filter(col("price") >= col("lo") && col("price") <= col("hi"))
+        .select("symbol", "ts", "event_id", "price", "volume")
+        .cache()
+    })
+
+  /** Session memo for the cleaned 1-minute bars — the resample stage's
+    * output, read by the funnel count AND the whole backtest chain.
+    */
+  private val cleanBarCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  def cleanBars(s: SparkSession, d: String): DataFrame =
+    cleanBarCache.getOrElseUpdate((s, d),
+      graft.operators.Bars.ohlcv(cleanTicks(s, d), 60).cache())
 
   /** The composed per-symbol summary manifest. */
   def summary(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.ticks(s, d).groupBy("symbol")
       .agg(count(lit(1)).as("n_raw_ticks"))
     val clean = cleanTicks(s, d)
-    val bars = graft.operators.Bars.ohlcv(clean, 60)
+    val bars = cleanBars(s, d)
     val met = Metrics.compute(Backtester.run(Signals.maCrossPlain(bars)))
     raw
       .join(clean.groupBy("symbol").agg(count(lit(1)).as("n_clean_ticks")), "symbol")

@@ -79,6 +79,22 @@ class MediaNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed/truncated UTF-8 degrades to codepoint 0, no exception") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // lone multibyte leading bytes, truncated continuation tails, and a
+    // valid prefix with a truncated last sequence — the binary-to-string
+    // cast shapes the composed substr/ascii form tolerates
+    val bad = Seq(
+      Array(0xE2.toByte),                                  // 3-byte lead, no tail
+      Array(0xF0.toByte, 0x9F.toByte),                     // 4-byte lead, 1 tail
+      Array(0xC3.toByte),                                  // 2-byte lead, no tail
+      Array('a'.toByte, 'b'.toByte, 0xE4.toByte, 0xB8.toByte)) // valid prefix
+    for (b <- bad) {
+      val h = graft.functions.PHash56.phash(UTF8String.fromBytes(b))
+      assert(h >= 0L && h < (1L << 56), s"phash out of range on ${b.toSeq}")
+    }
+  }
+
   test("identical media hash identically; hash is 56-bit") {
     val t = mkText(7)
     val docs = Seq((10L, t), (11L, t)).toDF("doc_id", "text")

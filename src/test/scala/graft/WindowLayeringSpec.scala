@@ -34,11 +34,13 @@ class WindowLayeringSpec extends AnyFunSuite {
     // empty-propagation can erase the post-filter windows entirely, so
     // the measured count only ever shrinks below this structural pin.
     "q_feature_importance" -> 3,
-    // r08 production variants: approx VaR shares the symbol sort between
-    // the return lag and the GK-sketch percentile window; approx DAU/WAU
-    // is window-free (sketch aggregates only)
-    "q_var_cvar_approx" -> 2,
-    "q_dau_wau_approx" -> 0,
+    // r15 referee forms: approx VaR's exact side rides the memoized
+    // stats frame; the sketch referee re-derives the returns lag in two
+    // plan branches (approx agg + rank-count join-back). Approx DAU/WAU
+    // adds the exact side's one first-activity lag; the HLL side stays
+    // window-free (sketch aggregates only).
+    "q_var_cvar_approx" -> 4,
+    "q_dau_wau_approx" -> 1,
     // exact DAU/WAU: one lag over the user partition (first-touch
     // window emission) — the rewrite that removed the distinct agg
     "q_dau_wau" -> 1,
