@@ -75,7 +75,10 @@ object ExtrasPack extends QueryPack {
         col("*") +: StratSfx.map { case (x, _) =>
           (exp(col(s"log_equity_$x") - col(s"peak_$x")) - 1).as(s"dd_$x")
         }: _*)
-        .cache()
+        // repartition + localCheckpoint (the Micro.cumTicksCached
+        // pattern): shallow consumer plans, no frozen 1-partition layout
+        .repartition(32, col("symbol"))
+        .localCheckpoint()
     })
 
   /** EMA via a bounded 60-tap weighted sum of window lags — one sort per

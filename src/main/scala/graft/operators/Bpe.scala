@@ -140,31 +140,43 @@ object Bpe {
       // steps backwards — same guard as pairCounts
       .filter(length(col("tok")) >= 1)
       .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-    val vocab = words.select("tok").distinct()
+    encodeFromCounts(words, piecesTable(words.select("tok").distinct()))
+  }
+
+  /** Piece counts of the frozen tokenizer over a distinct-token frame:
+    * (tok, pieces). Merge passes apply in stages of MergeStage with a
+    * materialization boundary between stages: Catalyst collapses the
+    * chained withColumns into ONE projection whose nested-HOF
+    * expression tree grows with every merge, and past a few dozen
+    * merges the analysis/eval cost of that single expression dominates
+    * (the r15 full-capacity table is ~6x the old 16). Each stage is one
+    * pass over the DISTINCT-WORD frame — vocab-scale rows, so the
+    * localCheckpoint is bytes, not corpus.
+    */
+  def piecesTable(vocabToks: DataFrame): DataFrame = {
+    val vocab = vocabToks
       .withColumn("syms",
         expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
-    // Merge passes apply in stages of MergeStage with a materialization
-    // boundary between stages: Catalyst collapses the chained
-    // withColumns into ONE projection whose nested-HOF expression tree
-    // grows with every merge, and past a few dozen merges the
-    // analysis/eval cost of that single expression dominates (the r15
-    // full-capacity table is ~6x the old 16). Each stage is one pass
-    // over the DISTINCT-WORD frame — vocab-scale rows, so the
-    // localCheckpoint is bytes, not corpus.
-    val encoded = TrainedMerges.grouped(MergeStage)
+    TrainedMerges.grouped(MergeStage)
       .foldLeft(vocab) { case (df, grp) =>
         grp.foldLeft(df) { case (f, (a, b)) => applyMerge(f, a, b) }
           .localCheckpoint()
       }
       .select(col("tok"), size(col("syms")).cast("long").as("pieces"))
-    words.join(encoded, "tok")
+  }
+
+  /** Encode from precomputed (source, tok, n) word counts and a (tok,
+    * pieces) table — the memo-riding form: the pack passes session-
+    * cached frames so a warm q_bpe_encode is one join + one aggregate.
+    */
+  def encodeFromCounts(words: DataFrame, pieces: DataFrame): DataFrame =
+    words.join(pieces, "tok")
       .groupBy("source")
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("pieces")).as("n_pieces"))
       .withColumn("bpe_fertility",
         col("n_pieces").cast("double") / col("n_words").cast("double"))
       .orderBy("source")
-  }
 
   /** Greedy left-to-right merge of every (a, b) adjacency in one
     * codegen'd aggregate() fold: append each symbol unless it completes

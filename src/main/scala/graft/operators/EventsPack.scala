@@ -261,27 +261,33 @@ object EventsPack extends QueryPack {
     dauWauApproxOn(events
       .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct(), lgConfigK)
 
-  /** The exact DAU/WAU frame (day_ms, dau, wau, stickiness), unordered —
-    * factored out of q_dau_wau so the approx referee can join the HLL
-    * estimates against the same exact values. See the q_dau_wau scaladoc
-    * for the first-activity-in-window derivation.
+  /** Session-memoized exact DAU/WAU frame (day_ms, dau, wau,
+    * stickiness), unordered — q_dau_wau and the approx referee both
+    * read it (the referee joins the HLL estimates against these exact
+    * values). Days-scale rows. See the q_dau_wau scaladoc for the
+    * first-activity-in-window derivation.
     */
-  private def dauWauExact(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("day")
-    userDaysCached(s, d)
-      .withColumn("lo",
-        greatest(col("day"), coalesce(lag(col("day"), 1).over(w) + 7, col("day"))))
-      .select(col("day"), col("lo"),
-        explode(when(col("lo") > col("day"),
-          concat(array(col("day")), sequence(col("lo"), col("day") + 6)))
-          .otherwise(sequence(col("lo"), col("day") + 6))).as("d"))
-      .groupBy("d")
-      .agg(count(when(col("day") === col("d"), 1)).as("dau"),
-        count(when(col("d") >= col("lo"), 1)).as("wau"))
-      .filter(col("dau") > 0)
-      .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
-        (col("dau") / col("wau")).as("stickiness"))
-  }
+  private val dauWauCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  private def dauWauExact(s: SparkSession, d: String): DataFrame =
+    dauWauCache.getOrElseUpdate((s, d), {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      userDaysCached(s, d)
+        .withColumn("lo",
+          greatest(col("day"), coalesce(lag(col("day"), 1).over(w) + 7, col("day"))))
+        .select(col("day"), col("lo"),
+          explode(when(col("lo") > col("day"),
+            concat(array(col("day")), sequence(col("lo"), col("day") + 6)))
+            .otherwise(sequence(col("lo"), col("day") + 6))).as("d"))
+        .groupBy("d")
+        .agg(count(when(col("day") === col("d"), 1)).as("dau"),
+          count(when(col("d") >= col("lo"), 1)).as("wau"))
+        .filter(col("dau") > 0)
+        .select((col("d") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+          (col("dau") / col("wau")).as("stickiness"))
+        .localCheckpoint()
+    })
 
   /** [[dauWauApprox]] over an already-distinct (user_id, day) frame —
     * lets the pack share one memoized distinct pass with q_dau_wau.

@@ -149,7 +149,18 @@ object Micro {
             .as("cum_vol_prev"),
           (coalesce(sum(col("sv")).over(wIn), lit(0L)) + col("_offsv"))
             .as("cum_sv_prev"))
-        .cache()
+        // localCheckpoint, not cache: the consumers are single hash
+        // aggregates, and re-analyzing the deep tick lineage (chunk
+        // links + two window layers) per execution cost more driver
+        // time than the aggregates themselves; checkpointing truncates
+        // the logical plan to the materialized blocks. The explicit
+        // symbol repartition matters twice: AQE coalesces the small-SF
+        // shuffle (a bare checkpoint would FREEZE that 1-partition
+        // layout), and a user repartition both survives AQE and is
+        // advertised by the checkpointed scan, so per-symbol consumers
+        // still fuse their aggregates without an exchange.
+        .repartition(32, col("symbol"))
+        .localCheckpoint()
     })
 
   /** Ticks with `dpc` = cent-price diff vs the previous tick of the same
@@ -330,7 +341,12 @@ object Micro {
           floor(col("close") * 100 + lit(0.5)).cast("long").as("cents"))
         .select(col("symbol") +: col("bucket_ms") +: col("cents") +:
           (1 to BarLags).map(k => lag(col("cents"), k).over(w).as(s"c$k")): _*)
-        .cache()
+        // localCheckpoint for the same lineage-analysis reason as
+        // cumTicksCached (scan-shallow consumer plans); same explicit
+        // symbol repartition so the checkpointed scan advertises a
+        // partitioning the ACF/VR aggregates can ride exchange-free
+        .repartition(32, col("symbol"))
+        .localCheckpoint()
     })
 
   /** Lo-MacKinlay variance ratio VR(q) = Var(q-period diff)/(q·Var(1))

@@ -102,9 +102,47 @@ object TextPack extends QueryPack {
   def tokenCountsCached(s: SparkSession, d: String): DataFrame =
     tokenCountCache.getOrElseUpdate((s, d),
       graft.Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .cache())
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+        // repartition + localCheckpoint (the Micro.cumTicksCached
+        // pattern): shallow consumer plans, no frozen 1-partition layout
+        .repartition(32, col("doc_id"))
+        .localCheckpoint())
+
+  /** Session-memoized IDF model table — (tok, df, n_docs): document
+    * frequency over the bag-of-words memo plus the corpus size, the
+    * model artifact TF-IDF scoring broadcasts (vocab-scale rows). Same
+    * reuse rationale as [[bigramLmCached]]: the table fills once per
+    * session; scoring is then one broadcast join against the tf memo.
+    */
+  private val idfCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  def idfCached(s: SparkSession, d: String): DataFrame =
+    idfCache.getOrElseUpdate((s, d), {
+      val nDocs = graft.Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tokenCountsCached(s, d)
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .localCheckpoint()
+    })
+
+  /** Session-memoized frozen-tokenizer piece table — (tok, pieces) from
+    * the staged merge passes over the corpus vocabulary. The tokenizer
+    * is a constant of the job (Bpe.TrainedMerges), so its piece counts
+    * over the vocab are a model artifact like [[idfCached]]: fill once,
+    * broadcast to every encode.
+    */
+  private val bpePiecesCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+
+  def bpePiecesCached(s: SparkSession, d: String): DataFrame =
+    bpePiecesCache.getOrElseUpdate((s, d),
+      Bpe.piecesTable(
+        tokenCountsCached(s, d).filter(length(col("tok")) >= 1)
+          .select("tok").distinct())
+        .localCheckpoint())
 
   /** Session-memoized corpus bigram LM counts — (tok, t1, c12, c1) with
     * c12 the bigram count and c1 the left-context total (a vocab-scale
@@ -121,7 +159,10 @@ object TextPack extends QueryPack {
       posShinglesCached(s, d)
         .groupBy("tok", "t1").agg(count(lit(1)).as("c12"))
         .withColumn("c1", sum(col("c12")).over(Window.partitionBy("tok")))
-        .cache())
+        // repartition + localCheckpoint (the Micro.cumTicksCached
+        // pattern): shallow consumer plans, no frozen 1-partition layout
+        .repartition(32, col("tok"))
+        .localCheckpoint())
 
   /** Jaccard pair chain over the shingle CTE (final CTE: jp) — shared by
     * the pair and cluster oracles.
@@ -255,11 +296,18 @@ object TextPack extends QueryPack {
         .orderBy("rank")
     }),
     // Distributed encode with the FROZEN trained merge table — the
-    // production serving path of the trainer above (Bpe.encode: the
-    // 89-rule full-capacity table applied as staged HOF merge passes
-    // over the distinct-word frame, piece counts joined back to
-    // per-source word frequencies).
-    "q_bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
+    // production serving path of the trainer above: the 89-rule
+    // full-capacity table applied as staged HOF merge passes over the
+    // distinct-word frame. Both inputs ride session memos: the
+    // per-(source, tok) counts derive from the bag-of-words frame and
+    // the piece table is the frozen tokenizer's model artifact
+    // (bpePiecesCached) — a warm encode is one broadcast join + one
+    // aggregate, the same values as the live Bpe.encode chain.
+    "q_bpe_encode" -> ((s, d) =>
+      Bpe.encodeFromCounts(
+        tokenCountsCached(s, d).filter(length(col("tok")) >= 1)
+          .groupBy("source", "tok").agg(sum(col("tf")).as("n")),
+        broadcast(bpePiecesCached(s, d)))),
     "q_ngram_novelty" -> ((s, d) => {
       // Ingestion-order novelty: the fraction of a doc's distinct
       // 3-grams whose FIRST occurrence (lowest doc_id) is this doc —
@@ -760,14 +808,11 @@ object TextPack extends QueryPack {
       // windows over one doc's distinct tokens — bounded by doc length —
       // and ranks the 1e-6-SNAPPED score (ties by token) so both engines
       // order identical values.
-      // tf is the session-memoized bag-of-words frame; df derives from
-      // it (count of docs containing the token — one agg over the
-      // cached dimension-bounded frame, no re-explode of the corpus)
+      // tf is the session-memoized bag-of-words frame and the IDF side
+      // is the memoized model table (df + corpus size in one broadcast)
+      // — the query is one broadcast join + rank over cached rows
       val tf = tokenCountsCached(s, d)
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(dfreq), "tok")
-        .crossJoin(broadcast(nDocs))
+      tf.join(broadcast(idfCached(s, d)), "tok")
         .withColumn("tfidf", graft.functions.Port.r(
           col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
         .withColumn("rk", row_number().over(
