@@ -14,7 +14,8 @@ object Memo {
   private val clearers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** A registered memo map; `onEvict` runs per value on invalidation
-    * (unpersist cached DataFrames there).
+    * (unpersist cached DataFrames there — use [[release]] for DataFrame
+    * values so checkpoint-materialized frames actually free their blocks).
     */
   def map[K, V](onEvict: V => Unit): TrieMap[K, V] = {
     val m = TrieMap.empty[K, V]
@@ -23,4 +24,23 @@ object Memo {
   }
 
   def invalidateAll(): Unit = synchronized { clearers.foreach(_.apply()) }
+
+  /** Eviction hook for DataFrame-valued memos. `Dataset.unpersist` only
+    * consults the CacheManager, which does not track the RDD-level
+    * persistence `localCheckpoint` installs — so for the checkpoint-
+    * materialized memo frames (the repartition+localCheckpoint pattern)
+    * it is a no-op and the blocks would stay resident until the
+    * ContextCleaner eventually GCs the RDD. Walk the analyzed plan for
+    * the checkpoint's `LogicalRDD` leaves and unpersist their RDDs
+    * directly, in addition to the CacheManager path.
+    */
+  def release(df: org.apache.spark.sql.DataFrame): Unit = {
+    import scala.util.control.NonFatal
+    try df.unpersist() catch { case NonFatal(_) => () }
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false) catch { case NonFatal(_) => () }
+      case _ => ()
+    } catch { case NonFatal(_) => () }
+  }
 }

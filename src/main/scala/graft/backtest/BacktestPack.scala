@@ -25,7 +25,7 @@ object BacktestPack extends QueryPack {
     * per-call .cache() would sit outside Memo eviction.
     */
   private val portTermsCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def portTermsCached(s: SparkSession, d: String): DataFrame =
     portTermsCache.getOrElseUpdate((s, d), {

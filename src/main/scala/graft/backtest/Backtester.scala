@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * operator parallelizes across symbols and AQE handles skew.
   */
 object Backtester {
-  val DefaultCostRate: Double = 0.001 + 0.0005 // commission + slippage
-  val InitialCash: Double = 1000000.0
+  def DefaultCostRate: Double = graft.GraftConfig.active.costRate // commission + slippage
+  def InitialCash: Double = graft.GraftConfig.active.initialCash
 
   /** The per-bar backtest expressions — ONE definition each. [[run]] and
     * the wide three-strategy form (ExtrasPack q_strategy_comparison)
@@ -54,7 +54,7 @@ object Backtester {
     * per session, every consumer reads the cache.
     */
   private val maCrossCache =
-    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](graft.Memo.release)
 
   def maCrossCached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     // plain form pinned: the oracled consumers' outputs must not depend

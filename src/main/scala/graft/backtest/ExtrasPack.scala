@@ -24,7 +24,7 @@ object ExtrasPack extends QueryPack {
     * consume it; one window pass per session instead of one per query.
     */
   private val allThreeCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def allThreeCached(s: SparkSession, d: String): DataFrame =
     allThreeCache.getOrElseUpdate((s, d),
@@ -43,7 +43,7 @@ object ExtrasPack extends QueryPack {
     * for any cross-strategy analysis (turnover, attribution).
     */
   private val wideThreeCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def wideThreeCached(s: SparkSession, d: String): DataFrame =
     wideThreeCache.getOrElseUpdate((s, d), {

@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * (no losing periods).
   */
 object Metrics {
-  val PeriodsPerYear = 252.0
-  val RiskFree = 0.02
-  val RfPerPeriod: Double = RiskFree / PeriodsPerYear
+  def PeriodsPerYear: Double = graft.GraftConfig.active.periodsPerYear
+  def RiskFree: Double = graft.GraftConfig.active.riskFreeRate
+  def RfPerPeriod: Double = RiskFree / PeriodsPerYear
 
   /** The 13 metric column names, in the oracle's output order. */
   val MetricNames: Seq[String] = Seq("log_total_return", "cagr", "volatility",

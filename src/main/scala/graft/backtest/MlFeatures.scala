@@ -22,7 +22,7 @@ object MlFeatures {
     * are the expensive part; build once per session).
     */
   private val cache =
-    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(org.apache.spark.sql.SparkSession, String), DataFrame](graft.Memo.release)
 
   def cached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((s, d),

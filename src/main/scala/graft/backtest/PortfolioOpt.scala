@@ -27,17 +27,17 @@ object PortfolioOpt {
     * the whole grid-scoring pipeline.
     */
   private val retsCache =
-    graft.Memo.map[DataFrame, DataFrame](_.unpersist())
+    graft.Memo.map[DataFrame, DataFrame](graft.Memo.release)
   private def retsCached(bars: DataFrame): DataFrame =
     retsCache.getOrElseUpdate(bars, Risk.barReturns(bars).cache())
 
   private val covCache =
-    graft.Memo.map[DataFrame, DataFrame](_.unpersist())
+    graft.Memo.map[DataFrame, DataFrame](graft.Memo.release)
   private def covCached(bars: DataFrame): DataFrame =
     covCache.getOrElseUpdate(bars, covFromRets(retsCached(bars)).cache())
 
   private val frontierCache =
-    graft.Memo.map[(SparkSession, DataFrame, Int), (DataFrame, DataFrame)](_._2.unpersist())
+    graft.Memo.map[(SparkSession, DataFrame, Int), (DataFrame, DataFrame)] { case (a, b) => graft.Memo.release(a); graft.Memo.release(b) }
 
   /** Pairwise annualized covariance/correlation matrix of per-symbol bar
     * returns, joined on time bucket (full N×N, both directions).
@@ -91,7 +91,7 @@ object PortfolioOpt {
     * combinatorial object, not data), so the symbol universe collect is
     * bounded — a mis-keyed input fails fast instead of OOMing the driver.
     */
-  val MaxSymbols = 64
+  def MaxSymbols: Int = graft.GraftConfig.active.optMaxSymbols
 
   private def symbolUniverse(mu: DataFrame): Seq[String] = {
     val syms = mu.select("symbol").limit(MaxSymbols + 1).collect().map(_.getString(0))
@@ -173,7 +173,7 @@ object PortfolioOpt {
     * Memo.invalidateAll owns eviction).
     */
   private val rcCache =
-    graft.Memo.map[(DataFrame, Int), DataFrame](_.unpersist())
+    graft.Memo.map[(DataFrame, Int), DataFrame](graft.Memo.release)
 
   private def rcGridCached(spark: SparkSession, bars: DataFrame,
                            quarters: Int): DataFrame =

@@ -135,7 +135,7 @@ object Risk {
   /** Kelly fraction from a backtest's net returns (risk_monitor.py:332):
     * quarter-Kelly, capped to [0, maxPosition].
     */
-  def kelly(backtest: DataFrame, maxPosition: Double = 0.25): DataFrame = {
+  def kelly(backtest: DataFrame, maxPosition: Double = graft.GraftConfig.active.maxPosition): DataFrame = {
     val net = col("net_returns")
     val wins = sum(when(net > 0, 1.0).otherwise(0.0))
     val nonzero = sum(when(net =!= 0, 1.0).otherwise(0.0))
@@ -158,7 +158,7 @@ object Risk {
     * (risk_monitor.py:360; portfolio_optimization.py:22 annualization).
     */
   def volSizing(bars: DataFrame, portfolioValue: Double = 1000000.0,
-                targetVol: Double = 0.15, maxPosition: Double = 0.25): DataFrame =
+                targetVol: Double = graft.GraftConfig.active.targetVol, maxPosition: Double = graft.GraftConfig.active.maxPosition): DataFrame =
     sizingCols(portfolioValue, targetVol, maxPosition)
       .foldLeft(barReturns(bars).groupBy("symbol")
         .agg(annStatsAggs.head, annStatsAggs.tail: _*)) {

@@ -24,7 +24,7 @@ object RiskPack extends QueryPack {
     * Risk.volSizing so the oracles are unchanged.
     */
   private val riskStatsCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def riskStats(s: SparkSession, d: String): DataFrame =
     riskStatsCache.getOrElseUpdate((s, d),
@@ -41,7 +41,7 @@ object RiskPack extends QueryPack {
     * .cache() here would sit outside Memo eviction).
     */
   private val dailyRiskCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def dailyRiskCached(s: SparkSession, d: String): DataFrame =
     dailyRiskCache.getOrElseUpdate((s, d), {

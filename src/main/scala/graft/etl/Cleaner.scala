@@ -17,7 +17,7 @@ object Cleaner {
   /** Per-symbol IQR bounds (cleaner.py:21, method="iqr"); exact
     * interpolated percentiles, threshold × IQR beyond the quartiles.
     */
-  def iqrBounds(ticks: DataFrame, threshold: Double = 3.0): DataFrame =
+  def iqrBounds(ticks: DataFrame, threshold: Double = graft.GraftConfig.active.outlierThreshold): DataFrame =
     ticks
       .groupBy("symbol")
       .agg(percentile(col("price"), array(lit(0.25), lit(0.75))).as("qs"))
@@ -34,7 +34,7 @@ object Cleaner {
   /** Filter ticks outside per-symbol IQR bounds; bounds side is tiny and
     * broadcast.
     */
-  def removeOutliersIqr(ticks: DataFrame, threshold: Double = 3.0): DataFrame = {
+  def removeOutliersIqr(ticks: DataFrame, threshold: Double = graft.GraftConfig.active.outlierThreshold): DataFrame = {
     val bounds = iqrBounds(ticks, threshold)
     ticks
       .join(broadcast(bounds), "symbol")
@@ -45,7 +45,7 @@ object Cleaner {
   /** Filter ticks with per-symbol |z| >= threshold removed
     * (cleaner.py:21, method="zscore"; sample stddev like pandas .std()).
     */
-  def removeOutliersZscore(ticks: DataFrame, threshold: Double = 3.0): DataFrame = {
+  def removeOutliersZscore(ticks: DataFrame, threshold: Double = graft.GraftConfig.active.outlierThreshold): DataFrame = {
     val stats = ticks.groupBy("symbol")
       .agg(avg(col("price")).as("mu"), stddev_samp(col("price")).as("sd"))
     ticks
@@ -82,7 +82,7 @@ object Cleaner {
     * the same exploded spine (keyed by the memoized bars instance) — one
     * build per (session, dataset) instead of three.
     */
-  private val gapRunsCache = graft.Memo.map[DataFrame, DataFrame](_.unpersist())
+  private val gapRunsCache = graft.Memo.map[DataFrame, DataFrame](graft.Memo.release)
   private def gapRunsCached(bars: DataFrame): DataFrame =
     gapRunsCache.getOrElseUpdate(bars, gapRuns(bars).cache())
 

@@ -16,7 +16,7 @@ object EtlPack extends QueryPack {
     * into four downstream counts/aggregates within the query).
     */
   private val dedupStageCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def dedupStageCached(s: SparkSession, d: String): DataFrame =
     dedupStageCache.getOrElseUpdate((s, d),

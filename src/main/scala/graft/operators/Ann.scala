@@ -162,7 +162,7 @@ object Ann {
   /** Caches handed out by the self-cleaning entry point, keyed by the
     * frame itself (no dedup — lifecycle tracking only).
     */
-  private val liveResults = graft.Memo.map[DataFrame, DataFrame](_.unpersist())
+  private val liveResults = graft.Memo.map[DataFrame, DataFrame](graft.Memo.release)
 
   /** [[hyperplaneNearDup]] plus its cache scaffolding (the signature and
     * size-filtered bucket frames) so a caller that materializes the
@@ -242,7 +242,7 @@ object Ann {
     graft.Memo.map[(org.apache.spark.sql.SparkSession,
                     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
                    (DataFrame, DataFrame)] {
-      case (a, c) => a.unpersist(); c.unpersist()
+      case (a, c) => graft.Memo.release(a); graft.Memo.release(c)
     }
 
   /** Keyed on the canonicalized plan OBJECT (structural equality — the
@@ -418,7 +418,7 @@ object Ann {
     graft.Memo.map[(org.apache.spark.sql.SparkSession,
                     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
                    (DataFrame, DataFrame)] {
-      case (a, c) => a.unpersist(); c.unpersist()
+      case (a, c) => graft.Memo.release(a); graft.Memo.release(c)
     }
 
   /** Session-memoized PQ training, keyed like kmeansCellsCached (the

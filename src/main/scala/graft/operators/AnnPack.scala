@@ -41,7 +41,7 @@ object AnnPack extends QueryPack {
     * (the staleness hazard invalidateAll exists to close).
     */
   private val embCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Session-memoized graph-ANN beam-search result (q_ann_beam_topk) —
     * graphBeamTopK returns a cached+materialized frame; registering it
@@ -49,7 +49,7 @@ object AnnPack extends QueryPack {
     * product has.
     */
   private val beamCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private[operators] def embCached(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d), emb(s, d).cache())
@@ -275,7 +275,7 @@ object AnnPack extends QueryPack {
     * bench queries ran next (the r06 dedup-neighborhood variance).
     */
   private val nearDupCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** UNthresholded LSH candidate scores (v1 < v2, snapped cosine) — ONE
     * hyperplane pass per session shared by the near-dup filter and the
@@ -312,7 +312,7 @@ object AnnPack extends QueryPack {
     // cached-scan per session
     val (bits, bands) = Ann.autoLshParams(emb.count())
     val (res, scaffolding) = Ann.hyperplaneNearDupStaged(emb,
-      bands = bands, bits = bits, threshold = threshold, cap = 2000)
+      bands = bands, bits = bits, threshold = threshold, cap = graft.GraftConfig.active.annLshCap)
     val r = res.cache()
     r.count()
     // plain cached frames with live lineage: safe to free (a cache-
@@ -335,7 +335,7 @@ object AnnPack extends QueryPack {
     * filter; otherwise only the thresholded frame is materialized.
     */
   private val nearDupThreshCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def nearDupCached(s: SparkSession, d: String): DataFrame =
     if (nearDupCache.contains((s, d)))

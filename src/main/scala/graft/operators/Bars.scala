@@ -47,7 +47,7 @@ object Bars {
     * (symbols × buckets), never tick-sized.
     */
   private val barsCache =
-    graft.Memo.map[(SparkSession, String, Long), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String, Long), DataFrame](graft.Memo.release)
 
   def ohlcvCached(s: SparkSession, d: String, seconds: Long): DataFrame =
     barsCache.getOrElseUpdate((s, d, seconds),

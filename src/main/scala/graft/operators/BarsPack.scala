@@ -17,7 +17,7 @@ object BarsPack extends QueryPack {
     * left in its chain), now once per session.
     */
   private val minuteDollarCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def minuteDollarCached(s: SparkSession, d: String): DataFrame =
     minuteDollarCache.getOrElseUpdate((s, d), {

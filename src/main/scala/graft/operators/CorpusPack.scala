@@ -57,7 +57,7 @@ object CorpusPack extends QueryPack {
     * TextPack.shinglesCached for the 3-gram dedup shingles).
     */
   private val shingle5Cache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def shingles5Cached(s: SparkSession, d: String): DataFrame =
     shingle5Cache.getOrElseUpdate((s, d),
@@ -74,7 +74,7 @@ object CorpusPack extends QueryPack {
     * its lineage is corpus-scale and feeds three consumers.
     */
   private val overlapCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def overlapAggCached(s: SparkSession, d: String): DataFrame =
     overlapCache.getOrElseUpdate((s, d), {

@@ -106,7 +106,7 @@ object DedupPack extends QueryPack {
     * ContextCleaner — the r07 bench-neighborhood debt class).
     */
   private val simhashCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def simhashCached(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate((s, d), simhash(Tables.documents(s, d)).cache())
@@ -134,7 +134,7 @@ object DedupPack extends QueryPack {
     * the oracle; DedupSpec pins that planted pairs survive and a
     * 300-replica cluster stays connected.
     */
-  val PairsPerDocPerBucket = 64L
+  def PairsPerDocPerBucket: Long = graft.GraftConfig.active.lshPairsPerDocPerBucket
 
   /** Near-dup pairs over a (doc_id, simhash) frame: 4 bands x 14 bits
     * over the 56-bit signature (pigeonhole: any pair within hamming 3
@@ -194,7 +194,7 @@ object DedupPack extends QueryPack {
     * signatures every call.
     */
   private val candCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Bucket cap for the band self-joins (minhash AND simhash): identical
     * signatures form one bucket, and at web scale a boilerplate/empty-doc
@@ -205,7 +205,7 @@ object DedupPack extends QueryPack {
     * mass — whole-corpus exact dup groups are q_dedup_exact_docs' job;
     * a near-dup of the group still collides in its other bands/buckets.
     */
-  val BucketCap = 2000L
+  def BucketCap: Long = graft.GraftConfig.active.lshBucketCap
 
   /** Band-bucket collision candidates over a (doc_id, band, sig)
     * signature frame, with the BucketCap guard applied per (band, sig).
@@ -226,7 +226,7 @@ object DedupPack extends QueryPack {
     * per-pair match count, which self-joins it; fixed 32 rows per doc.
     */
   private val sigCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def sigsCached(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d),

@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object EventsPack extends QueryPack {
 
-  private val GapNs = 30L * 60 * 1000000000L // 30-minute session gap
+  private def GapNs: Long = graft.GraftConfig.active.sessionGapNs // 30-minute session gap by default
 
   /** Session-memoized distinct (user_id, day) frame — the expensive pass
     * shared by q_dau_wau and q_dau_wau_approx (result is at most
     * |users|×|days| rows, tiny next to the event stream).
     */
   private val userDaysCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def userDaysCached(s: SparkSession, d: String): DataFrame =
     userDaysCache.getOrElseUpdate((s, d),
@@ -26,25 +26,31 @@ object EventsPack extends QueryPack {
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
         .distinct().cache())
 
+  /** Configured funnel stage list (GraftConfig events.funnel_stages;
+    * default signup→view→click→purchase). First stage is ungated; each
+    * later stage only counts events strictly after the previous stage.
+    */
+  private def funnelStages: Vector[String] =
+    graft.GraftConfig.active.funnelStages
+
   /** Per-user ordered funnel stage minima (the q_funnel frame):
-    * user_id, t_signup, t_view, t_click, t_purchase — ONE events scan,
-    * four dependent whole-user-partition window layers.
+    * user_id plus one t_<stage> column per configured stage — ONE events
+    * scan, one dependent whole-user-partition window layer per stage.
     */
   private def funnelPerUser(s: SparkSession, d: String): DataFrame = {
+    val stages = funnelStages
     val w = Window.partitionBy("user_id")
-    def stageMin(evType: String, after: org.apache.spark.sql.Column) =
-      min(when(col("event_type") === evType && col("ts") > after, col("ts"))).over(w)
-    Tables.events(s, d).select("user_id", "event_type", "ts")
-      .withColumn("t_signup",
-        min(when(col("event_type") === "signup", col("ts"))).over(w))
-      .withColumn("t_view", stageMin("view", col("t_signup")))
-      .withColumn("t_click", stageMin("click", col("t_view")))
-      .withColumn("t_purchase", stageMin("purchase", col("t_click")))
-      .groupBy("user_id").agg(
-        max(col("t_signup")).as("t_signup"),
-        max(col("t_view")).as("t_view"),
-        max(col("t_click")).as("t_click"),
-        max(col("t_purchase")).as("t_purchase"))
+    def stageMin(evType: String, after: Option[org.apache.spark.sql.Column]) =
+      min(when(after.foldLeft(col("event_type") === evType)(
+        (p, a) => p && col("ts") > a), col("ts"))).over(w)
+    val staged = stages.zipWithIndex.foldLeft(
+      Tables.events(s, d).select("user_id", "event_type", "ts")) {
+      case (df, (st, i)) =>
+        val after = if (i == 0) None else Some(col(s"t_${stages(i - 1)}"))
+        df.withColumn(s"t_$st", stageMin(st, after))
+    }
+    val aggs = stages.map(st => max(col(s"t_$st")).as(s"t_$st"))
+    staged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,13 +64,13 @@ object EventsPack extends QueryPack {
       // smallest value whose cumulative count reaches ceil(p·n). Exact
       // integers end-to-end.
       val pu = funnelPerUser(s, d)
-      val gaps = pu.select(explode(array(
-        struct(lit("1_signup_to_view").as("stage"),
-          expr("(t_view - t_signup) div 1000000000").as("gap_s")),
-        struct(lit("2_view_to_click").as("stage"),
-          expr("(t_click - t_view) div 1000000000").as("gap_s")),
-        struct(lit("3_click_to_purchase").as("stage"),
-          expr("(t_purchase - t_click) div 1000000000").as("gap_s")))).as("g"))
+      val stages = funnelStages
+      val transitions = stages.sliding(2).zipWithIndex.collect {
+        case (Vector(a, b), i) =>
+          struct(lit(s"${i + 1}_${a}_to_$b").as("stage"),
+            expr(s"(t_$b - t_$a) div 1000000000").as("gap_s"))
+      }.toSeq
+      val gaps = pu.select(explode(array(transitions: _*)).as("g"))
         .select(col("g.stage").as("stage"), col("g.gap_s").as("gap_s"))
         .filter(col("gap_s").isNotNull)
       val hist = gaps.groupBy("stage", "gap_s").agg(count(lit(1)).as("c"))
@@ -116,18 +122,20 @@ object EventsPack extends QueryPack {
     }),
     "q_funnel" -> ((s, d) => {
       // ONE events scan: each funnel stage is a whole-user-partition
-      // conditional min over the previous stage's window output — four
-      // dependent window layers on one shuffle. The old per-stage
-      // groupBy + join chain planned the events lineage once per stage
-      // PLUS once per join probe. Semantics are identical: strict `>`
-      // carries over, and a null previous stage nulls the comparison,
-      // which mirrors the inner-join gating (count() skips nulls).
+      // conditional min over the previous stage's window output — one
+      // dependent window layer per stage on one shuffle. The old
+      // per-stage groupBy + join chain planned the events lineage once
+      // per stage PLUS once per join probe. Semantics are identical:
+      // strict `>` carries over, and a null previous stage nulls the
+      // comparison, which mirrors the inner-join gating (count() skips
+      // nulls). First stage counts as n_<stage>, later ones
+      // n_<stage>_after (completed-after-previous).
       val perUser = funnelPerUser(s, d)
-      perUser
-        .agg(count(col("t_signup")).as("n_signup"),
-          count(col("t_view")).as("n_view_after"),
-          count(col("t_click")).as("n_click_after"),
-          count(col("t_purchase")).as("n_purchase_after"))
+      val stages = funnelStages
+      val counts = stages.zipWithIndex.map { case (st, i) =>
+        count(col(s"t_$st")).as(if (i == 0) s"n_$st" else s"n_${st}_after")
+      }
+      perUser.agg(counts.head, counts.tail: _*)
     }),
     "q_asof_join" -> ((s, d) => {
       val left = Tables.ticks(s, d)
@@ -199,6 +207,12 @@ object EventsPack extends QueryPack {
     // whichever is larger — HLL is exact in sparse mode at small
     // cardinalities, so small-count days never flap). The mirror pins
     // the flag at 1: an out-of-bound estimate fails the driver's hash.
+    // CAVEAT (unlike GK's hard rank bound): 4·RSE is a ~4σ PROBABILISTIC
+    // bound — on fresh data/seeds a CORRECT sketch can legitimately land
+    // outside it (p ≈ 6e-5 per day, so expect one flip per ~16k
+    // day-windows). A flag flip on new data means "investigate the
+    // estimate", not necessarily "the sketch is broken"; widen to the
+    // sketch library's a-priori bound if a deployment needs a hard gate.
     "q_dau_wau_approx" -> ((s, d) => {
       val rse = 1.04 / math.sqrt((1 << 14).toDouble)
       val est = dauWauApproxOn(userDaysCached(s, d))
@@ -268,7 +282,7 @@ object EventsPack extends QueryPack {
     * first-activity-in-window derivation.
     */
   private val dauWauCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def dauWauExact(s: SparkSession, d: String): DataFrame =
     dauWauCache.getOrElseUpdate((s, d), {

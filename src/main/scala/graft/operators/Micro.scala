@@ -31,10 +31,10 @@ object Micro {
     * crosses a multiple of $100k (10M cents) — ~40-50 ticks/bar on the
     * synthetic feed, mirroring the "avg ticks per bar" sizing rule.
     */
-  val DollarBarCents = 10000000L
+  def DollarBarCents: Long = graft.GraftConfig.active.dollarBarCents
 
   /** Volume-bar threshold: one bar per 2000 traded units. */
-  val VolumeBarUnits = 2000L
+  def VolumeBarUnits: Long = graft.GraftConfig.active.volumeBarUnits
 
   /** Day chunk for the two-level windows (ts is epoch-ns). */
   val ChunkNs = 86400000000000L
@@ -120,7 +120,7 @@ object Micro {
     * exclCum it replaces.
     */
   private val cumCache =
-    graft.Memo.map[(SparkSession, String, Long), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String, Long), DataFrame](graft.Memo.release)
 
   def cumTicksCached(s: SparkSession, d: String,
                      chunkNs: Long = ChunkNs): DataFrame =
@@ -228,7 +228,7 @@ object Micro {
     * Memo owns eviction like every other session cache.
     */
   private val signedCache =
-    graft.Memo.map[(SparkSession, String, Long), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String, Long), DataFrame](graft.Memo.release)
 
   def signedTicksCached(s: SparkSession, d: String,
                         chunkNs: Long = ChunkNs): DataFrame =
@@ -331,7 +331,7 @@ object Micro {
     * bars-level footprint class, not ticks.
     */
   private val barLagCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def barCentLagsCached(s: SparkSession, d: String): DataFrame =
     barLagCache.getOrElseUpdate((s, d), {

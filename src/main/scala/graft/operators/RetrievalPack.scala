@@ -62,7 +62,7 @@ object RetrievalPack extends QueryPack {
     *         * 1e6 + 0.5)
     */
   private val tfCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def tfScoredCached(s: SparkSession, d: String): DataFrame =
     tfCache.getOrElseUpdate((s, d), {
@@ -122,7 +122,7 @@ object RetrievalPack extends QueryPack {
     * an evicted partition recomputes instead of failing.
     */
   private val rankCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Session-memoized symmetrized top-3 kNN edge frame
     * (vec_id, nbr, cosine, rank) over the shared LSH pool — ONE
@@ -134,7 +134,7 @@ object RetrievalPack extends QueryPack {
     * and must not sort in one task; same top-3 set as a global rank.
     */
   private val knnEdgeCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def knnEdgesCached(s: SparkSession, d: String): DataFrame =
     knnEdgeCache.getOrElseUpdate((s, d), {

@@ -63,7 +63,7 @@ object SpanPack extends QueryPack {
     * Bench) builds the coverage join and merge windows once.
     */
   private val spanCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def spansCached(s: SparkSession, d: String): DataFrame =
     spanCache.getOrElseUpdate((s, d),
@@ -155,7 +155,7 @@ object SpanPack extends QueryPack {
     * narrow frame makes the heavy column a single-read at any scale.
     */
   private val packDocsCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def packDocsCached(s: SparkSession, d: String): DataFrame =
     packDocsCache.getOrElseUpdate((s, d),

@@ -58,7 +58,7 @@ object TextPack extends QueryPack {
     * or their window frames would count the extra row).
     */
   private val posShingleCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def posShinglesCached(s: SparkSession, d: String): DataFrame =
     posShingleCache.getOrElseUpdate((s, d), {
@@ -80,7 +80,7 @@ object TextPack extends QueryPack {
     * and DedupPack's MinHash signatures/verification.
     */
   private val shingleCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
@@ -97,7 +97,7 @@ object TextPack extends QueryPack {
     * single-token docs entirely, so tf must not derive from it.
     */
   private val tokenCountCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def tokenCountsCached(s: SparkSession, d: String): DataFrame =
     tokenCountCache.getOrElseUpdate((s, d),
@@ -117,13 +117,18 @@ object TextPack extends QueryPack {
     * session; scoring is then one broadcast join against the tf memo.
     */
   private val idfCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def idfCached(s: SparkSession, d: String): DataFrame =
     idfCache.getOrElseUpdate((s, d), {
       val nDocs = graft.Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tokenCountsCached(s, d)
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+        // df = DISTINCT DOCS containing the token. The memo rows are
+        // (doc_id, source, tok) groups, so a plain row count would
+        // equal distinct docs only while doc_id→source is 1:1; the
+        // distinct makes the definition hold for a multi-source doc
+        // too (two-phase partial-distinct aggregate, still vocab-scale)
+        .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
         .crossJoin(broadcast(nDocs))
         .localCheckpoint()
     })
@@ -135,7 +140,7 @@ object TextPack extends QueryPack {
     * broadcast to every encode.
     */
   private val bpePiecesCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def bpePiecesCached(s: SparkSession, d: String): DataFrame =
     bpePiecesCache.getOrElseUpdate((s, d),
@@ -152,7 +157,7 @@ object TextPack extends QueryPack {
     * positional stream.
     */
   private val bigramLmCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def bigramLmCached(s: SparkSession, d: String): DataFrame =
     bigramLmCache.getOrElseUpdate((s, d),
@@ -849,7 +854,7 @@ object TextPack extends QueryPack {
     */
   private val clusterCache =
     graft.Memo.map[(SparkSession, String), (DataFrame, () => Unit)] {
-      case (df, release) => df.unpersist(); release()
+      case (df, release) => graft.Memo.release(df); release()
     }
 
   private def clustersCached(s: SparkSession, d: String): DataFrame =
@@ -907,7 +912,7 @@ object TextPack extends QueryPack {
     * linearity guard.
     */
   private val verifiedPairsCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** (doc1, doc2, inter, sz1, sz2) for every pair whose
     * containment-over-min can reach 1/2 — threshold filters are applied

@@ -44,28 +44,61 @@ object BucketedTables {
     * falls back to the plain parquet feeds — correctness never depends
     * on the layout.
     */
-  private val factCache =
-    graft.Memo.map[(SparkSession, String), (DataFrame, DataFrame)](_ => ())
+  /** Memo value carries everything eviction needs: the frames plus the
+    * catalog tables and scratch path to tear down. Eviction DROPs the
+    * tables and deletes the path — without that, invalidateAll cleared
+    * the memo entry but the persisted layout survived, and a refill
+    * would re-read pre-rewrite fact rows (the exact stale-read scenario
+    * Memo.invalidateAll exists for). The fallback value has no tables,
+    * so its eviction is a no-op.
+    */
+  private final case class FactLayout(lineitem: DataFrame, orders: DataFrame,
+                                      spark: SparkSession,
+                                      tables: Seq[String], path: Option[String])
 
-  def factLayout(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    factCache.getOrElseUpdate((s, d), {
+  private val factCache =
+    graft.Memo.map[(SparkSession, String), FactLayout] { v =>
+      import scala.util.control.NonFatal
+      v.tables.foreach { t =>
+        try v.spark.sql(s"DROP TABLE IF EXISTS $t")
+        catch { case NonFatal(_) => () }
+      }
+      v.path.foreach { p =>
+        try deleteRecursively(new java.io.File(p))
+        catch { case NonFatal(_) => () }
+      }
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  def factLayout(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val v = factCache.getOrElseUpdate((s, d), {
+      // NonFatal only: an OutOfMemoryError/LinkageError during the
+      // layout write must propagate, not silently degrade the layout
       try {
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
         val (lt, ot) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
         val base = s"/tmp/graft_bucketed/$tag"
-        if (!s.catalog.tableExists(lt))
-          writeBucketed(Tables.lineitem(s, d), lt, s"$base/lineitem",
-            "l_orderkey", FactBuckets)
-        if (!s.catalog.tableExists(ot))
-          writeBucketed(Tables.orders(s, d), ot, s"$base/orders",
-            "o_orderkey", FactBuckets)
-        (s.table(lt), s.table(ot))
+        // no tableExists guard: always (re)write on memo fill, so a
+        // refill after invalidateAll reflects the rewritten inputs even
+        // if a previous session's catalog entry survived
+        writeBucketed(Tables.lineitem(s, d), lt, s"$base/lineitem",
+          "l_orderkey", FactBuckets)
+        writeBucketed(Tables.orders(s, d), ot, s"$base/orders",
+          "o_orderkey", FactBuckets)
+        FactLayout(s.table(lt), s.table(ot), s, Seq(lt, ot), Some(base))
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] bucketed fact layout unavailable " +
             s"(${e.getClass.getSimpleName}); falling back to plain parquet")
-          (Tables.lineitem(s, d), Tables.orders(s, d))
+          FactLayout(Tables.lineitem(s, d), Tables.orders(s, d), s, Nil, None)
       }
     })
+    (v.lineitem, v.orders)
+  }
 }

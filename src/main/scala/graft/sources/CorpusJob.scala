@@ -44,7 +44,7 @@ object CorpusJob extends QueryPack {
     * memoized jaccard pool) is the costliest stage of either.
     */
   private val cleanedCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Cleaned survivors: exact-dup keepers ∩ corpus-filter kept. */
   def cleanedDocs(s: SparkSession, d: String): DataFrame =
@@ -64,7 +64,7 @@ object CorpusJob extends QueryPack {
     * pack+mix pass per session instead of one per consumer.
     */
   private val mixedCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Packed layout of the cleaned corpus with the temperature-mix token
     * budget applied as a start_off gate (a doc enters while its source's

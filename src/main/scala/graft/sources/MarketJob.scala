@@ -41,7 +41,7 @@ object MarketJob extends QueryPack {
     * per warm pass.
     */
   private val cleanTickCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   /** Cleaned tick feed: validate -> per-symbol IQR gate (keeps
     * ts/price/volume so the bar stage can resample it).
@@ -61,7 +61,7 @@ object MarketJob extends QueryPack {
     * output, read by the funnel count AND the whole backtest chain.
     */
   private val cleanBarCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](_.unpersist())
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   def cleanBars(s: SparkSession, d: String): DataFrame =
     cleanBarCache.getOrElseUpdate((s, d),
