@@ -35,7 +35,14 @@ object BeamScale {
     // partners per bucket, so the scale runs turn the cap down (the
     // exact lever the r13 pair-stream adjudication named).
     val cap = sys.env.get("BEAM_CAP").flatMap(_.toIntOption).getOrElse(2000)
-    val (bits, bands) = Ann.autoLshParams(n)
+    // BEAM_BITS/BEAM_BANDS override the auto sizing: at >=1M vectors the
+    // auto band count (36 at 1.25M) exists for near-dup RECALL, but an
+    // 8-degree graph needs only enough same-bucket partners per vector —
+    // fewer bands keep the pool-pair stream (the r14 spill surface)
+    // proportional to what the edge build actually consumes.
+    val (autoBits, autoBands) = Ann.autoLshParams(n)
+    val bits = sys.env.get("BEAM_BITS").flatMap(_.toIntOption).getOrElse(autoBits)
+    val bands = sys.env.get("BEAM_BANDS").flatMap(_.toIntOption).getOrElse(autoBands)
     val t0 = System.nanoTime()
     val (pool, scaffolding) = Ann.hyperplaneNearDupStaged(
       emb, bands = bands, bits = bits, threshold = -2.0, cap = cap)

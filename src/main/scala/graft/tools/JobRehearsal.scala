@@ -76,8 +76,10 @@ object JobRehearsal {
       }
       val nTasks = stages.map(_._2.length).sum
       // skew criterion per WIDE stage (>= 16 tasks); narrow stages have
-      // no meaningful p95
-      val wide = stages.filter(_._2.length >= 16)
+      // no meaningful p95, and sub-second-p95 stages are excluded too —
+      // a 136 ms max on a 9 ms p95 reads as 15x "skew" but is scheduler
+      // noise, not a straggler (r16: gen100x stage 141)
+      val wide = stages.filter(s => s._2.length >= 16 && pct(s._2, 0.95) >= 1000)
       val worst = wide.map { case (sid, ds) =>
         (sid, ds, if (pct(ds, 0.95) > 0) ds.last.toDouble / pct(ds, 0.95) else 0.0)
       }.sortBy(-_._3).headOption
@@ -110,18 +112,35 @@ object JobRehearsal {
     def marketJob(scale: String, d: String): Unit =
       stage(scale, "market_summary") { MarketJob.summary(spark, d).collect().length.toLong }
 
-    val scales = sys.env.getOrElse("JOB_SCALES", "10x,30x").split(",").toSet
-    if (scales("10x")) {
-      corpusJob("10x", dir10)
-      marketJob("10x", dir10)
-      // physical shard write at 10x: the full run() (write + manifest)
-      stage("10x", "corpus_shard_write") {
-        CorpusJob.run(spark, dir10, "/tmp/graft_r14_shards").count()
-      }
-    }
-    if (scales("30x")) {
-      corpusJob("30x", dir30)
-      marketJob("30x", dir30)
+    // JOB_SPEC="label=dir,label=dir" runs arbitrary labeled scales (the
+    // r16 generated-SF path: 10x=/tmp/gen_sf1,100x=/tmp/gen_sf10);
+    // without it, the r14 replica-dir behavior is unchanged.
+    sys.env.get("JOB_SPEC") match {
+      case Some(spec) =>
+        val shardWriteLabel = sys.env.get("JOB_SHARD_WRITE_LABEL")
+        spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { p =>
+          val Array(label, dir) = p.split("=", 2)
+          corpusJob(label, dir)
+          marketJob(label, dir)
+          if (shardWriteLabel.contains(label))
+            stage(label, "corpus_shard_write") {
+              CorpusJob.run(spark, dir, s"/tmp/graft_shards_$label").count()
+            }
+        }
+      case None =>
+        val scales = sys.env.getOrElse("JOB_SCALES", "10x,30x").split(",").toSet
+        if (scales("10x")) {
+          corpusJob("10x", dir10)
+          marketJob("10x", dir10)
+          // physical shard write at 10x: the full run() (write + manifest)
+          stage("10x", "corpus_shard_write") {
+            CorpusJob.run(spark, dir10, "/tmp/graft_r14_shards").count()
+          }
+        }
+        if (scales("30x")) {
+          corpusJob("30x", dir30)
+          marketJob("30x", dir30)
+        }
     }
 
     val line = out.map { case (k, v) => s""""$k":$v""" }

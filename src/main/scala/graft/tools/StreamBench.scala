@@ -67,10 +67,21 @@ object StreamBench {
       val cs = chunks(data, nBatches)
       val t0 = System.nanoTime()
       var fed = 0L
+      // sustained-run evidence (r15 task 1): per-trigger seconds, so a
+      // long run shows whether the steady state holds or the state
+      // store/backlog degrades trigger over trigger
+      val perTrigger = sys.env.contains("STREAM_BENCH_PER_TRIGGER")
+      var ti = 0
       for (c <- cs; _ <- 1 to repeat) {
+        val tt = System.nanoTime()
         input.addData(c: _*)
         q.processAllAvailable()
         fed += c.length
+        if (perTrigger) {
+          val tSec = (System.nanoTime() - tt) / 1e9
+          ti += 1
+          println(f"""{"lane":"$name","trigger":$ti,"rows":${c.length},"sec":$tSec%.3f,"rows_per_sec":${c.length / tSec}%.0f}""")
+        }
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val out = spark.table(s"sb_$name").count()
