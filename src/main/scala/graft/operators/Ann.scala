@@ -187,17 +187,39 @@ object Ann {
       Seq("band", "bucket"))
       .filter(col("bsz") <= cap)
       .cache()
-    val cand = sized.as("a").join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    // Bucket-LOCAL pair scoring (r16). The previous shape — id-only
+    // candidate pairs joined back to the embedding table twice — sorted
+    // the PAIR stream with 512-byte vectors attached (pairs × vector
+    // width): measured 1.25M vectors / 12 bands ≈ 280M candidate rows ≈
+    // >75 GB of SortMergeJoin spill, the disk cliff that killed both the
+    // r14 and first r16 beam rehearsals. Here vectors travel ONCE per
+    // (band, bucket) membership (n·bands rows — the same volume the
+    // signature join already shuffles), each cap-bounded cell scores its
+    // own i<j pairs inside the aggregate row (native codegen'd dot), and
+    // only (v1, v2, cosine) triples — 24 bytes — ever leave the cell.
+    // Shuffle is now Θ(n·bands + surviving pairs) at ANY scale; the cap
+    // contract bounds the per-cell quadratic exactly as before (a cell of
+    // `cap` docs materializes ≤ cap²/2 transient pair structs inside one
+    // row — cap=2000 ≈ 2M structs, the same mass the join shape carried
+    // per bucket, without the global sort).
+    // Values are bit-identical to the join shape: ids canonicalized
+    // v1<v2 via least/greatest, dot is index-order commutative, same
+    // 6dp snap, cross-band duplicates collapse in the same distinct().
+    val withVec = sized.select("vec_id", "band", "bucket")
+      .join(emb.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    val cells = withVec.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("e"), col("nrm"))).as("vs"))
+    val pairsArr = flatten(transform(col("vs"), (a, i) =>
+      transform(slice(col("vs"), i + lit(2), size(col("vs"))), b =>
+        struct(
+          least(a("vec_id"), b("vec_id")).as("v1"),
+          greatest(a("vec_id"), b("vec_id")).as("v2"),
+          Port.r(dot(a("e"), b("e")) / (a("nrm") * b("nrm")), 6).as("cosine")))))
+    val result = cells
+      .select(explode(filter(pairsArr, p => p("cosine") >= threshold)).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
+        col("p.cosine").as("cosine"))
       .distinct()
-    val e1 = emb.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
-    val e2 = emb.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
-    val result = cand.join(e1, "v1").join(e2, "v2")
-      .withColumn("cosine", Port.r(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("v1", "v2", "cosine")
       .orderBy("v1", "v2")
     (result, Seq(buckets, sized))
   }

@@ -586,13 +586,27 @@ object Micro {
     */
   def effectiveSpread(s: SparkSession, d: String): DataFrame = {
     val t = graft.Tables.ticks(s, d)
-    val quotes = t.groupBy(col("symbol"), col("ts"))
-      .agg(max_by(col("price"), col("event_id")).as("qp"))
-      .select(col("symbol"), (col("ts") + 1).as("ts"),
-        (col("qp") * 0.999).as("bid"), (col("qp") * 1.001).as("ask"))
-    val trades = t.select("symbol", "ts", "event_id", "price")
-    AsOfJoin.backward(trades, quotes, "symbol", "ts", Seq("bid", "ask"))
-      .filter(col("bid").isNotNull)
+    // ONE window pass (r16, closes the r15 q_effective_spread perf-weak
+    // row): the quote side of the old AsOfJoin derives from the SAME
+    // tick stream — the synthetic quote available at a trade's ts is
+    // the last trade at a strictly earlier ts (max event_id within that
+    // ts). That is exactly a running range-frame max_by over
+    // (ts, event_id): RANGE UNBOUNDED PRECEDING TO -1 excludes the
+    // current instant, and the struct ordering picks the latest
+    // event_id of the latest earlier ts — bit-identical to the
+    // quotes-agg + union-asof it replaces (the mirror is unchanged),
+    // but one shuffle instead of three stages. Window state is O(1)
+    // (incremental growing frame), same per-symbol partitioning
+    // contract as AsOfJoin itself.
+    val w = Window.partitionBy("symbol").orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    t.select(col("symbol"), col("ts"), col("event_id"), col("price"))
+      .withColumn("qp",
+        max_by(col("price"), struct(col("ts"), col("event_id"))).over(w))
+      .filter(col("qp").isNotNull)
+      // bid/ask/mid written as the exact oracle expression sequence
+      .withColumn("bid", col("qp") * 0.999)
+      .withColumn("ask", col("qp") * 1.001)
       .withColumn("mid", (col("bid") + col("ask")) / 2)
       .withColumn("eff_u",
         floor(abs(col("price") - col("mid")) / col("mid") * 1e4 * 1e6 + lit(0.5))
