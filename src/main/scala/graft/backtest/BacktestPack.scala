@@ -44,9 +44,10 @@ object BacktestPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Oracle-pinned queries pin the PLAIN signal forms explicitly: the
     // adaptive Signals.maCross/... route consults plan statistics, so a
-    // catalog ANALYZE could silently switch a verified query to the
-    // chunked form, whose prefix sums differ from the flat scan on exact
-    // comparison ties — verified outputs must not depend on stats state.
+    // catalog ANALYZE could otherwise silently switch a verified query
+    // to the chunked form. (Since the r16 integer-cent decisions the two
+    // forms are equal by arithmetic — the pin now guards plan-shape
+    // stability, not values.)
     "q_signal_ma_cross" -> ((s, d) =>
       Signals.maCrossPlain(bars1m(s, d))
         .select(col("symbol"), col("bucket_ms"), col("close"),
@@ -371,17 +372,27 @@ object BacktestPack extends QueryPack {
        |FROM sig ORDER BY symbol, bucket_ms""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // ma-cross decided on integer-CENT sliding sums — exact in any
+    // association below 2^53, equal to Signals.maCrossPlain's prefix-sum
+    // differences by arithmetic (see BtSql.chainFromBars).
     "q_signal_ma_cross" -> sigOracle(
-      "CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END",
-      """avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-        |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma""".stripMargin),
+      "CASE WHEN rn >= 50 AND fast_c * 50 > slow_c * 10 THEN 1 ELSE 0 END",
+      """sum(floor(close * 100 + 0.5)) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_c,
+        |         sum(floor(close * 100 + 0.5)) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_c""".stripMargin),
+    // z-decision on integer-CENT sums via the division-free quadratic
+    // dev²·19 > 80·(20·Σc² − (Σc)²), dev = 20c − Σc — exact in any
+    // association below 2^53, equal to Signals.mrSignal by arithmetic.
     "q_signal_mean_reversion" -> sigOracle(
       """CASE WHEN rn < 20 THEN 0
-        |       WHEN (close - mu20) / sd20 < -2.0 THEN 1
-        |       WHEN (close - mu20) / sd20 > 2.0 THEN -1
+        |       WHEN floor(close * 100 + 0.5) * 20 - s1c < 0
+        |        AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+        |          > 80 * (s2c * 20 - s1c * s1c) THEN 1
+        |       WHEN floor(close * 100 + 0.5) * 20 - s1c > 0
+        |        AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+        |          > 80 * (s2c * 20 - s1c * s1c) THEN -1
         |       ELSE 0 END""".stripMargin,
-      """avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
-        |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20""".stripMargin),
+      """sum(floor(close * 100 + 0.5)) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1c,
+        |         sum(floor(close * 100 + 0.5) * floor(close * 100 + 0.5)) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2c""".stripMargin),
     "q_signal_momentum" -> sigOracle(
       """CASE WHEN rn <= 20 THEN 0
         |       WHEN close / lag20 - 1 > 0.02 THEN 1

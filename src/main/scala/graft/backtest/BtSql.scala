@@ -22,16 +22,24 @@ object BtSql {
   def chainFromBars(barsPrefix: String): String =
     barsPrefix + """,
       |sig AS (
+      |  -- exact ma-cross decision (r16): integer-CENT prefix sums
+      |  -- (integer-valued doubles are exact below 2^53 in any
+      |  -- association) and the cross-multiplied comparison — the true
+      |  -- rational fast/slow MA ordering, engine-independent, matching
+      |  -- Signals.maCrossPlain by arithmetic instead of by ulp luck.
       |  SELECT symbol, bucket_ms, close,
       |         row_number() OVER w AS rn,
-      |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-      |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma
+      |         sum(floor(close * 100 + 0.5)) OVER (
+      |           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
       |),
       |sig2 AS (
       |  SELECT symbol, bucket_ms, close, rn,
-      |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS signal
-      |  FROM sig
+      |         CASE WHEN rn >= 50
+      |                AND (csum - coalesce(lag(csum, 10) OVER w, 0.0)) * 50
+      |                  > (csum - coalesce(lag(csum, 50) OVER w, 0.0)) * 10
+      |              THEN 1 ELSE 0 END AS signal
+      |  FROM sig WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
       |),
       |bt0 AS (
       |  SELECT symbol, bucket_ms, close, signal,
@@ -91,24 +99,36 @@ object BtSql {
   val StackedStrategiesWithPeakCte: String =
     graft.QueryPack.BarsCte + """,
       |sigall AS (
+      |  -- ma-cross decided on integer-CENT sliding sums (exact in any
+      |  -- association below 2^53): for rn >= 50 these equal the Spark
+      |  -- prefix-sum differences bit-for-bit — see BtSql.chainFromBars.
       |  SELECT symbol, bucket_ms, close,
       |         row_number() OVER w AS rn,
-      |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-      |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma,
-      |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
-      |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+      |         sum(floor(close * 100 + 0.5))
+      |           OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_c,
+      |         sum(floor(close * 100 + 0.5))
+      |           OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_c,
+      |         sum(floor(close * 100 + 0.5))
+      |           OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1c,
+      |         sum(floor(close * 100 + 0.5) * floor(close * 100 + 0.5))
+      |           OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2c,
       |         lag(close, 20) OVER w AS lag20
       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
       |),
       |stacked AS (
       |  SELECT 'ma_cross' AS strategy, symbol, bucket_ms, close,
-      |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS signal
+      |         CASE WHEN rn >= 50 AND fast_c * 50 > slow_c * 10 THEN 1 ELSE 0 END AS signal
       |  FROM sigall
       |  UNION ALL
+      |  -- z-decision on integer cents: dev²·19 > 80·(20·Σc² − (Σc)²)
       |  SELECT 'mean_reversion', symbol, bucket_ms, close,
       |         CASE WHEN rn < 20 THEN 0
-      |              WHEN (close - mu20) / sd20 < -2.0 THEN 1
-      |              WHEN (close - mu20) / sd20 > 2.0 THEN -1 ELSE 0 END
+      |              WHEN floor(close * 100 + 0.5) * 20 - s1c < 0
+      |               AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+      |                 > 80 * (s2c * 20 - s1c * s1c) THEN 1
+      |              WHEN floor(close * 100 + 0.5) * 20 - s1c > 0
+      |               AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+      |                 > 80 * (s2c * 20 - s1c * s1c) THEN -1 ELSE 0 END
       |  FROM sigall
       |  UNION ALL
       |  SELECT 'momentum', symbol, bucket_ms, close,

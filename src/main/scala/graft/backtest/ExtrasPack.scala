@@ -439,19 +439,28 @@ object ExtrasPack extends QueryPack {
        |sig AS (
        |  SELECT symbol, bucket_ms,
        |         row_number() OVER w AS rn,
-       |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-       |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma,
-       |         avg(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mu20,
-       |         stddev_samp(close) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd20,
+       |         sum(floor(close * 100 + 0.5))
+       |           OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_c,
+       |         sum(floor(close * 100 + 0.5))
+       |           OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_c,
+       |         sum(floor(close * 100 + 0.5))
+       |           OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1c,
+       |         sum(floor(close * 100 + 0.5) * floor(close * 100 + 0.5))
+       |           OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2c,
        |         lag(close, 20) OVER w AS lag20, close
        |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
        |),
        |votes AS (
        |  SELECT symbol, bucket_ms, close,
-       |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS s1,
+       |         -- integer-CENT ma-cross + z decisions (see BtSql.chainFromBars)
+       |         CASE WHEN rn >= 50 AND fast_c * 50 > slow_c * 10 THEN 1 ELSE 0 END AS s1,
        |         CASE WHEN rn < 20 THEN 0
-       |              WHEN (close - mu20) / sd20 < -2.0 THEN 1
-       |              WHEN (close - mu20) / sd20 > 2.0 THEN -1 ELSE 0 END AS s2,
+       |              WHEN floor(close * 100 + 0.5) * 20 - s1c < 0
+       |               AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+       |                 > 80 * (s2c * 20 - s1c * s1c) THEN 1
+       |              WHEN floor(close * 100 + 0.5) * 20 - s1c > 0
+       |               AND (floor(close * 100 + 0.5) * 20 - s1c) * (floor(close * 100 + 0.5) * 20 - s1c) * 19
+       |                 > 80 * (s2c * 20 - s1c * s1c) THEN -1 ELSE 0 END AS s2,
        |         CASE WHEN rn <= 20 THEN 0
        |              WHEN close / lag20 - 1 > 0.02 THEN 1
        |              WHEN close / lag20 - 1 < -0.02 THEN -1 ELSE 0 END AS s3
@@ -471,13 +480,16 @@ object ExtrasPack extends QueryPack {
          |sig AS MATERIALIZED (
          |  SELECT symbol, bucket_ms, close,
          |         CAST(row_number() OVER w AS BIGINT) AS rn,
-         |         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_ma,
-         |         avg(close) OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_ma
+         |         sum(floor(close * 100 + 0.5))
+         |           OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fast_c,
+         |         sum(floor(close * 100 + 0.5))
+         |           OVER (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS slow_c
          |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket_ms)
          |),
          |sb AS MATERIALIZED (
          |  SELECT symbol, bucket_ms, close, rn,
-         |         CASE WHEN rn >= 50 AND fast_ma > slow_ma THEN 1 ELSE 0 END AS signal
+         |         -- integer-CENT ma-cross decision (see BtSql.chainFromBars)
+         |         CASE WHEN rn >= 50 AND fast_c * 50 > slow_c * 10 THEN 1 ELSE 0 END AS signal
          |  FROM sig
          |),
          |rec AS (

@@ -1,6 +1,6 @@
 package graft.backtest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,9 +28,12 @@ object Signals {
     * k-bar sliding sum is the difference of two prefix sums — all the
     * window work collapses to one running accumulator plus offset
     * lookups, every frame O(1), all sharing a single WindowExec sort.
-    * Re-association shifts the sums by ~n·ulp, far below any signal
-    * comparison boundary (verified hash-identical vs the sliding-frame
-    * oracle at sf0.001/0.01, signal-identical at sf0.1).
+    * Prefix sums here run over integer CENTS (see [[cents]]) — exact in
+    * any association below 2^53, so prefix-diff, sliding-frame, and
+    * chunked forms are EQUAL by arithmetic. (The pre-r16 float form's
+    * ~n·ulp re-association drift flipped two ma-cross decisions at sf0.1
+    * bar density on the composed market job's cleaned feed — the class
+    * of bug the integer decisions remove.)
     */
   private def cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
@@ -90,19 +93,33 @@ object Signals {
   // two WindowExec total, expressions token-identical (q_strategy_
   // comparison measured 2.4 -> 0.8 s isolated from the same fix).
 
+  // ---- exact ma-cross decision (r16). fast_ma > slow_ma is decided in
+  // integer CENTS: prices are cent-denominated, so floor(close*100+0.5)
+  // is the exact integer both engines agree on, integer-valued doubles
+  // sum EXACTLY (no rounding below 2^53 — per-symbol cent prefix sums
+  // reach ~1e13 at 1e9 bars, three orders inside the envelope) in ANY
+  // association, and (Σf)·slow > (Σs)·fast is the true rational MA
+  // comparison with no division. The float form this replaces agreed
+  // with the avg()-OVER mirror only to ~n·ulp — at sf0.1 bar density
+  // two bars of the composed market job's CLEANED feed landed exactly
+  // on the boundary and flipped (2-4 trades/symbol drift). The integer
+  // decision is engine- and association-independent: plain, chunked,
+  // and DuckDB mirrors are now EQUAL by arithmetic, not by luck.
+  private[backtest] def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+
   def maCrossPlain(bars: DataFrame, fast: Int = 10, slow: Int = 50): DataFrame = {
     val base = bars.select(col("*"),
       row_number().over(w).as("rn"),
-      sum(col("close")).over(cum).as("_ps1"))
+      sum(cents(col("close"))).over(cum).as("_psc"))
     val lagged = base.select(col("*"),
-      lag(col("_ps1"), fast).over(w).as("_lf"),
-      lag(col("_ps1"), slow).over(w).as("_ls"))
-    val fastMa = (col("_ps1") - coalesce(col("_lf"), lit(0.0))) / fast
-    val slowMa = (col("_ps1") - coalesce(col("_ls"), lit(0.0))) / slow
+      lag(col("_psc"), fast).over(w).as("_lf"),
+      lag(col("_psc"), slow).over(w).as("_ls"))
+    val fastNum = (col("_psc") - coalesce(col("_lf"), lit(0.0))) * slow
+    val slowNum = (col("_psc") - coalesce(col("_ls"), lit(0.0))) * fast
     lagged
       .withColumn("signal",
-        when(col("rn") >= slow && fastMa > slowMa, 1).otherwise(0))
-      .drop("_ps1", "_lf", "_ls")
+        when(col("rn") >= slow && fastNum > slowNum, 1).otherwise(0))
+      .drop("_psc", "_lf", "_ls")
   }
 
   /** Mean reversion: +1 when z < -k, -1 when z > k (strategy.py:71).
@@ -116,24 +133,37 @@ object Signals {
     if (useChunked(bars, rowsPerSymbolHint)) meanReversionChunked(bars, window, numStd)
     else meanReversionPlain(bars, window, numStd)
 
+  // exact mean-reversion decision (r16, same class as the ma-cross fix):
+  // z<-ns / z>ns decided on integer-CENT sums with the division-free
+  // quadratic  dev²·(k−1) > ns²·k·(k·Σc² − (Σc)²)  where dev = k·c − Σc.
+  // All terms are integer-valued doubles — exact in any association below
+  // 2^53, i.e. for prices < ~$5,300 at k=20 (generator max $560; cast to
+  // long before widening the envelope). sd=0 degenerates to 0>0 = false
+  // → signal 0, matching the float form's NaN-comparison behavior.
+  private def mrSignal(c: Column, s1: Column, s2: Column, k: Int,
+                       ns: Double): (Column, Column) = {
+    val dev = c * k - s1
+    val lhs = dev * dev * (k - 1)
+    val rhs = lit(ns * ns * k) * (s2 * k - s1 * s1)
+    (dev < 0 && lhs > rhs, dev > 0 && lhs > rhs) // (z < -ns, z > ns)
+  }
+
   def meanReversionPlain(bars: DataFrame, window: Int = 20, numStd: Double = 2.0): DataFrame = {
     val base = bars.select(col("*"),
       row_number().over(w).as("rn"),
-      sum(col("close")).over(cum).as("_ps1"),
-      sum(col("close") * col("close")).over(cum).as("_ps2"))
+      sum(cents(col("close"))).over(cum).as("_ps1"),
+      sum(cents(col("close")) * cents(col("close"))).over(cum).as("_ps2"))
     val lagged = base.select(col("*"),
       lag(col("_ps1"), window).over(w).as("_l1"),
       lag(col("_ps2"), window).over(w).as("_l2"))
     val s1 = col("_ps1") - coalesce(col("_l1"), lit(0.0))
     val s2 = col("_ps2") - coalesce(col("_l2"), lit(0.0))
-    val mu = s1 / window
-    val sd = sqrt((s2 - s1 * s1 / window) / (window - 1))
-    val z = (col("close") - mu) / sd
+    val (zLo, zHi) = mrSignal(cents(col("close")), s1, s2, window, numStd)
     lagged
       .withColumn("signal",
         when(col("rn") < window, 0)
-          .when(z < -numStd, 1)
-          .when(z > numStd, -1)
+          .when(zLo, 1)
+          .when(zHi, -1)
           .otherwise(0))
       .drop("_ps1", "_ps2", "_l1", "_l2")
   }
@@ -172,66 +202,66 @@ object Signals {
   def allThreePlain(bars: DataFrame): DataFrame = {
     val base = bars.select(col("*"),
       row_number().over(w).as("rn"),
-      sum(col("close")).over(cum).as("_ps1"),
-      sum(col("close") * col("close")).over(cum).as("_ps2"))
+      sum(cents(col("close"))).over(cum).as("_psc"),
+      sum(cents(col("close")) * cents(col("close"))).over(cum).as("_ps2"))
     val lagged = base.select(col("*"),
-      lag(col("_ps1"), 10).over(w).as("_lf10"),
-      lag(col("_ps1"), 50).over(w).as("_ls50"),
-      lag(col("_ps1"), 20).over(w).as("_l120"),
+      lag(col("_psc"), 10).over(w).as("_lf10"),
+      lag(col("_psc"), 50).over(w).as("_ls50"),
+      lag(col("_psc"), 20).over(w).as("_l120"),
       lag(col("_ps2"), 20).over(w).as("_l220"),
       lag(col("close"), 20).over(w).as("_lc20"))
-    val fastMa = (col("_ps1") - coalesce(col("_lf10"), lit(0.0))) / 10
-    val slowMa = (col("_ps1") - coalesce(col("_ls50"), lit(0.0))) / 50
-    val s1 = col("_ps1") - coalesce(col("_l120"), lit(0.0))
+    val fastNum = (col("_psc") - coalesce(col("_lf10"), lit(0.0))) * 50
+    val slowNum = (col("_psc") - coalesce(col("_ls50"), lit(0.0))) * 10
+    val s1 = col("_psc") - coalesce(col("_l120"), lit(0.0))
     val s2 = col("_ps2") - coalesce(col("_l220"), lit(0.0))
-    val mu = s1 / 20
-    val sd = sqrt((s2 - s1 * s1 / 20) / 19)
-    val z = (col("close") - mu) / sd
+    val (zLo, zHi) = mrSignal(cents(col("close")), s1, s2, 20, 2.0)
     val mom = col("close") / col("_lc20") - 1
     lagged
-      .withColumn("s_ma", when(col("rn") >= 50 && fastMa > slowMa, 1).otherwise(0))
+      .withColumn("s_ma", when(col("rn") >= 50 && fastNum > slowNum, 1).otherwise(0))
       .withColumn("s_mr",
-        when(col("rn") < 20, 0).when(z < -2.0, 1).when(z > 2.0, -1).otherwise(0))
+        when(col("rn") < 20, 0).when(zLo, 1).when(zHi, -1).otherwise(0))
       .withColumn("s_mo",
         when(col("rn") <= 20, 0).when(mom > 0.02, 1).when(mom < -0.02, -1).otherwise(0))
-      .drop("_ps1", "_ps2", "_lf10", "_ls50", "_l120", "_l220", "_lc20")
+      .drop("_psc", "_ps2", "_lf10", "_ls50", "_l120", "_l220", "_lc20")
   }
 
   // ---- two-level (chunked) variants: identical semantics, but no task
   // ever sorts a full symbol history (graft.operators.ChunkedWindows) —
   // the scale form for histories that exceed one task's sort budget.
-  // Lag values are exact copies (ghost rows); prefix sums differ from the
-  // flat scan only by offset re-association (~n·ulp), so the integer
-  // signals match the plain variants except on exact comparison ties.
+  // Lag values are exact copies (ghost rows); the decision prefix sums
+  // run over integer cents (exact under re-association), so the chunked
+  // signals EQUAL the plain variants by arithmetic — no tie caveat.
 
   import graft.operators.ChunkedWindows
 
   def maCrossChunked(bars: DataFrame, fast: Int = 10, slow: Int = 50): DataFrame = {
-    val b = ChunkedWindows.withRnAndPrefixSums(bars, Seq(("_ps1", col("close"))))
+    // cents prefix sums are integer-valued doubles: the chunk-offset
+    // re-association is EXACT below 2^53, so chunked == plain by
+    // arithmetic (the float form matched "except on exact ties").
+    val b = ChunkedWindows.withRnAndPrefixSums(bars, Seq(("_psc", cents(col("close")))))
     val t = ChunkedWindows.withBoundedLags(b,
-      Seq(("_ps1", fast, "_lf"), ("_ps1", slow, "_ls")))
-    val fastMa = (col("_ps1") - coalesce(col("_lf"), lit(0.0))) / fast
-    val slowMa = (col("_ps1") - coalesce(col("_ls"), lit(0.0))) / slow
+      Seq(("_psc", fast, "_lf"), ("_psc", slow, "_ls")))
+    val fastNum = (col("_psc") - coalesce(col("_lf"), lit(0.0))) * slow
+    val slowNum = (col("_psc") - coalesce(col("_ls"), lit(0.0))) * fast
     t.withColumn("signal",
-        when(col("rn") >= slow && fastMa > slowMa, 1).otherwise(0))
-      .drop("_ps1", "_lf", "_ls")
+        when(col("rn") >= slow && fastNum > slowNum, 1).otherwise(0))
+      .drop("_psc", "_lf", "_ls")
   }
 
   def meanReversionChunked(bars: DataFrame, window: Int = 20,
                            numStd: Double = 2.0): DataFrame = {
     val b = ChunkedWindows.withRnAndPrefixSums(bars,
-      Seq(("_ps1", col("close")), ("_ps2", col("close") * col("close"))))
+      Seq(("_ps1", cents(col("close"))),
+          ("_ps2", cents(col("close")) * cents(col("close")))))
     val t = ChunkedWindows.withBoundedLags(b,
       Seq(("_ps1", window, "_l1"), ("_ps2", window, "_l2")))
     val s1 = col("_ps1") - coalesce(col("_l1"), lit(0.0))
     val s2 = col("_ps2") - coalesce(col("_l2"), lit(0.0))
-    val mu = s1 / window
-    val sd = sqrt((s2 - s1 * s1 / window) / (window - 1))
-    val z = (col("close") - mu) / sd
+    val (zLo, zHi) = mrSignal(cents(col("close")), s1, s2, window, numStd)
     t.withColumn("signal",
         when(col("rn") < window, 0)
-          .when(z < -numStd, 1)
-          .when(z > numStd, -1)
+          .when(zLo, 1)
+          .when(zHi, -1)
           .otherwise(0))
       .drop("_ps1", "_ps2", "_l1", "_l2")
   }
