@@ -40,6 +40,23 @@ object GraftSession {
       // long (exact) instead of failing the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing floor (r16). The default minPartitionSize (1 MB)
+      // collapses every small-SF shuffle to ONE post-shuffle partition,
+      // serializing window/aggregate stages that have 5-32-way key
+      // parallelism (ProfileQuery r16: 300+ ms single-task WindowExec
+      // stages all over the mid-tail). parallelismFirst (default true)
+      // targets total/parallelism bytes per partition but never goes
+      // below this floor, so the floor is what binds on kB-scale
+      // shuffles. 128k keeps those stages parallel (A/B swept 16k / 128k
+      // / 512k / 1m on the window-heavy and event-stream families: 128k
+      // dominated — 16k over-splits the high-cardinality event shuffles,
+      // 1m serializes the bar windows); at production scale the floor is
+      // irrelevant — any shuffle past a few GB is governed by the 64 MB
+      // advisory size, so this is NOT a local-only tuning constant (the
+      // advisory default is unchanged). Env-overridable like the CPU
+      // count.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "128k"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       // The engine's wide single-pass aggregates (54 exact co-moment
       // sums in q_feature_importance, 3×13 metrics in

@@ -51,6 +51,10 @@ object AnnPack extends QueryPack {
   private val beamCache =
     graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
+  /** Session-memoized PHash56 signature table for q_media_neardup (r16). */
+  private val phashCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
+
   private[operators] def embCached(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d), emb(s, d).cache())
 
@@ -253,8 +257,14 @@ object AnnPack extends QueryPack {
       // band collision with its verified hamming + verdict) so the
       // operator's full posture is visible on corpora with no planted
       // near-identical media; the production gate is `WHERE is_dup`.
-      val ph = Multimodal.perceptualHash(Tables.documents(s, d))
-        .withColumnRenamed("phash", "simhash")
+      // PHash56 signature table memoized per session (r16): the custom
+      // codegen expression decodes every document's byte grid — the
+      // costliest scan in this query — and the signature frame is one
+      // small row per doc, the natural cache unit (same contract as
+      // DedupPack's simhashCached).
+      val ph = phashCache.getOrElseUpdate((s, d),
+        Multimodal.perceptualHash(Tables.documents(s, d))
+          .withColumnRenamed("phash", "simhash").cache())
       DedupPack.simhashPairs(ph, emitBound = 56L)
         .select(col("doc1"), col("doc2"),
           col("simhash1").as("phash1"), col("simhash2").as("phash2"),

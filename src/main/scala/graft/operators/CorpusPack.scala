@@ -63,6 +63,53 @@ object CorpusPack extends QueryPack {
     shingle5Cache.getOrElseUpdate((s, d),
       shingles5(Tables.documents(s, d)).cache())
 
+  /** Session-memoized eval-contamination hit pairs (r16): one
+    * corpus⋈eval shingle join per session — (corpus doc_id, eval_doc,
+    * shingle) for every 5-gram shared with the held-out source —
+    * consumed by BOTH q_decontaminate (per-corpus-doc hit counts) and
+    * q_eval_coverage (per-eval-doc covered-shingle counts). Before r16
+    * each query ran its own corpus-scale shingle join (and coverage
+    * additionally materialized a full DISTINCT of the corpus shingle
+    * set, ~27 s of task time per warm run at sf0.1); the hit frame is
+    * bounded by actual contamination mass, the natural cache size. The
+    * two consumers' aggregates are exactly the old values: decontaminate
+    * grouped this same join by doc_id, and coverage's semi-join count
+    * per eval doc equals countDistinct(shingle) over the hits.
+    */
+  private val evalHitCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
+
+  private def evalHitsCached(s: SparkSession, d: String): DataFrame =
+    evalHitCache.getOrElseUpdate((s, d), {
+      val shd = shingles5Cached(s, d)
+      val ev = shd.filter(col("source") === EvalSource)
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      shd.filter(col("source") =!= EvalSource)
+        .select("doc_id", "shingle")
+        .join(ev, "shingle")
+        .select("doc_id", "eval_doc", "shingle")
+        .cache()
+    })
+
+  /** Session-memoized per-doc 5-gram counts split by side (r16): the
+    * n_shingles marginals of q_decontaminate (corpus side) and
+    * q_eval_coverage (eval side). Each warm run otherwise re-scans the
+    * full cached shingle table just to recount an unchanging per-doc
+    * dimension frame (~14 s of task time at sf0.1 in the r16 profile).
+    */
+  private val shingleSizeCache =
+    graft.Memo.map[(SparkSession, String, Boolean), DataFrame](graft.Memo.release)
+
+  private def shingleSizes5Cached(s: SparkSession, d: String,
+                                  evalSide: Boolean): DataFrame =
+    shingleSizeCache.getOrElseUpdate((s, d, evalSide), {
+      val side = if (evalSide) col("source") === EvalSource
+                 else col("source") =!= EvalSource
+      shingles5Cached(s, d).filter(side)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .cache()
+    })
+
   /** Combined per-(src1, src2) shared-shingle counts AND per-source
     * distinct-shingle marginals (src2 null) in ONE pass: groupBy(shingle)
     * collapses each shingle to its sorted source set (bounded by source
@@ -146,12 +193,10 @@ object CorpusPack extends QueryPack {
       // cache barrier: shd5 feeds three consumers (eval side, corpus
       // sizes, hit join) — uncached, the posexplode+window+distinct
       // chain executes three times (measured: the whole r5 warm cost)
-      val shd = shingles5Cached(s, d)
-      val ev = shd.filter(col("source") === EvalSource)
-        .select(col("doc_id").as("eval_doc"), col("shingle"))
-      val corp = shd.filter(col("source") =!= EvalSource).select("doc_id", "shingle")
-      val sizes = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val hits = corp.join(ev, "shingle")
+      val sizes = shingleSizes5Cached(s, d, evalSide = false)
+      // corpus⋈eval hit pairs from the session memo (r16) — same join,
+      // computed once per session instead of per call
+      val hits = evalHitsCached(s, d)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hit_shingles"),
           countDistinct(col("eval_doc")).as("n_eval_docs"))
@@ -171,13 +216,17 @@ object CorpusPack extends QueryPack {
       // build side by construction, so no hot-shingle output blowup is
       // possible), and the probe side is eval-sized — the cheap
       // direction at any corpus scale.
-      val shd = shingles5Cached(s, d)
-      val ev = shd.filter(col("source") === EvalSource).select("doc_id", "shingle")
-      val corpSh = shd.filter(col("source") =!= EvalSource)
-        .select("shingle").distinct()
-      val cov = ev.join(corpSh, Seq("shingle"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
-      ev.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      // covered shingles per eval doc off the session-memoized hit pairs
+      // (r16): countDistinct(shingle) over hits equals the old
+      // ev ⋉ DISTINCT(corpus shingles) count — ev rows are unique
+      // (doc_id, shingle) by shingles5's distinct, and a shingle appears
+      // in hits iff some corpus doc shares it. The old form's full
+      // corpus-shingle DISTINCT (the single most expensive stage in the
+      // r16 profile: 27 s task time warm) never runs.
+      val cov = evalHitsCached(s, d)
+        .groupBy("eval_doc").agg(countDistinct(col("shingle")).as("n_covered"))
+        .withColumnRenamed("eval_doc", "doc_id")
+      shingleSizes5Cached(s, d, evalSide = true)
         .join(cov, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_covered"), lit(0L)).as("n_covered"))

@@ -141,7 +141,7 @@ object Micro {
           coalesce(sum(col("_tsv")).over(wc), lit(0L)).as("_offsv"))
       base.join(broadcast(offs), Seq("symbol", "_ck"))
         .select(col("symbol"), col("ts"), col("event_id"), col("price"),
-          col("vol"), col("cents"), col("dollar_c"), col("dpc"),
+          col("vol"), col("cents"), col("dollar_c"), col("dpc"), col("dpn"),
           col("sign"), col("sv"),
           (coalesce(sum(col("dollar_c")).over(wIn), lit(0L)) + col("_offd"))
             .as("cum_dollar_prev"),
@@ -186,6 +186,16 @@ object Micro {
     base.join(broadcast(links), Seq("symbol", "_ck"))
       .withColumn("dpc",
         col("cents") - coalesce(lag("cents", 1).over(wRow), col("_prevc")))
+      // dpn = the NEXT tick's dpc (r16, for q_roll_spread's serial-cov
+      // pair without a per-query window): within a chunk lead(cents) −
+      // cents IS the next row's dpc (its lag(cents) is this row's cents,
+      // never the _prevc fallback), and across the boundary the next
+      // chunk's first dpc is exactly _nextfirstdpc — so this equals
+      // lead(dpc) over the same window bit-for-bit while staying in the
+      // ONE WindowExec the lag already runs (lead of the raw column, not
+      // of the window-derived dpc, which would need a second layer).
+      .withColumn("dpn",
+        coalesce(lead("cents", 1).over(wRow) - col("cents"), col("_nextfirstdpc")))
   }
 
   /** Tick-rule signed order flow (the classic trade-classification rule):
@@ -218,7 +228,7 @@ object Micro {
       .join(broadcast(chain), Seq("symbol", "_ck"))
       .withColumn("sign", coalesce(col("_intra"), col("_chain"), lit(1)))
       .select("symbol", "ts", "event_id", "price", "vol", "cents",
-        "dollar_c", "dpc", "sign")
+        "dollar_c", "dpc", "dpn", "sign")
   }
 
   /** Session-memoized signed-tick frame: q_tick_rule_flow and q_vpin
@@ -437,7 +447,10 @@ object Micro {
     */
   def priceImpactCurve(s: SparkSession, d: String,
                        chunkNs: Long = ChunkNs): DataFrame =
-    diffedTicks(s, d, chunkNs)
+    // rides the session-memoized cumulative tick frame (r16): dpc is the
+    // same column diffedTicks computed, so this is one hash aggregate
+    // over checkpointed rows instead of a fresh scan+links+window chain.
+    cumTicksCached(s, d, chunkNs)
       .filter(col("dpc").isNotNull)
       .withColumn("size_bucket", expr("(vol - 1) div 10"))
       .groupBy("symbol", "size_bucket")
@@ -548,10 +561,14 @@ object Micro {
     * integers, snapped, and the spread derives from the SNAPPED cov on
     * both engines — no float summation order anywhere.
     */
-  def rollSpread(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame = {
-    val wRow = Window.partitionBy("symbol", "_ck").orderBy("ts", "event_id")
-    diffedTicks(s, d, chunkNs)
-      .withColumn("dpn", coalesce(lead("dpc", 1).over(wRow), col("_nextfirstdpc")))
+  def rollSpread(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame =
+    // rides the session-memoized cumulative tick frame (r16): dpc/dpn are
+    // precomputed there in the shared window pass, so the whole query is
+    // one hash aggregate over checkpointed rows — the old form re-ran the
+    // full diffedTicks chain (scan + chunk links + window) plus its own
+    // lead window per call. dpn on the memo frame equals the old
+    // lead(dpc) bit-for-bit (see diffedTicks), so the oracle is untouched.
+    cumTicksCached(s, d, chunkNs)
       .filter(col("dpc").isNotNull && col("dpn").isNotNull)
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_pairs"),
@@ -567,7 +584,6 @@ object Micro {
         Port.r(lit(2) * sqrt(greatest(-col("cov_cents2"), lit(0.0))), 6))
       .select("symbol", "n_pairs", "cov_cents2", "roll_spread_cents")
       .orderBy("symbol")
-  }
 
   /** Effective spread per (symbol, hour) from the trade feed against
     * the STRICTLY-PREVIOUS quote's midpoint — the TAQ methodology
