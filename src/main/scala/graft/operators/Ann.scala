@@ -59,11 +59,18 @@ object Ann {
       .select(col("vec_id").cast("int").as("cell"), col("e").as("ce"), col("nrm").as("cn"))
     val a1 = assign(emb, seeds)
     val c1 = centroids(emb, a1)
-    // cache barriers: assignments/centroids are tiny (n rows / k rows)
-    // but feed multiple consumers — without them each downstream
-    // reference re-executes the whole upstream k-means chain
-    val a2 = assign(emb, c1).cache()
-    val c2 = centroids(emb, a2).cache()
+    // materialization barriers: assignments/centroids are tiny (n rows /
+    // k rows) but feed multiple consumers — without them each downstream
+    // reference re-executes the whole upstream k-means chain.
+    // localCheckpoint, not cache (r16): a cached frame keeps its full
+    // two-round k-means LINEAGE in the logical plan, so every consumer
+    // query re-analyzes that subtree per call — the ANN family's 0.2-0.7 s
+    // per-call driver gap in the r16 profile. The checkpoint truncates
+    // the plan to the materialized rows (values identical — the k-means
+    // is deterministic and snapped); Memo.release unpersists the
+    // checkpointed RDDs on eviction.
+    val a2 = assign(emb, c1).localCheckpoint()
+    val c2 = centroids(emb, a2).localCheckpoint()
     (a2, c2)
   }
 
@@ -429,10 +436,14 @@ object Ann {
       .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
     val a1 = pqAssign(sv, seeds)
     val c1 = pqCentroids(sv, a1)
-    // cache barriers, same rationale as kmeansCells: codes feed both the
-    // round-2 centroid build and ADC scoring
-    val a2 = pqAssign(sv, c1).cache()
-    val c2 = pqCentroids(sv, a2).cache()
+    // materialization barriers, same rationale (and same r16
+    // localCheckpoint lineage-truncation move) as kmeansCells: codes
+    // feed both the round-2 centroid build and ADC scoring, and for
+    // IVF-PQ the codes' lineage otherwise stacks residual joins on top
+    // of the full coarse k-means plan — the worst per-call analysis cost
+    // in the ANN family
+    val a2 = pqAssign(sv, c1).localCheckpoint()
+    val c2 = pqCentroids(sv, a2).localCheckpoint()
     (a2, c2)
   }
 
@@ -499,13 +510,33 @@ object Ann {
     * Reuse: the coarse clustering is the SAME kmeansCellsCached memo the
     * IVF queries share; the residual codebooks ride pqCodebooksCached.
     */
+  /** Stable per-(emb, cells) residual FRAME objects (r16). The residual
+    * projection uses a Scala-lambda zip_with, and every lambda build
+    * mints fresh lambda-variable ids — so a per-call resid rebuild never
+    * canonicalized-equals the previous one and pqCodebooksCached missed
+    * on EVERY call (measured with tools/CanonProbe: 'x_9 vs 'x_11 in the
+    * otherwise-identical plans). The .cache() era masked the miss via
+    * CacheManager sameResult dedup (analysis normalizes the lambdas);
+    * the r16 localCheckpoint materialization has no such net, so the
+    * miss became a full per-call PQ re-train. Memoizing the DataFrame
+    * OBJECT (no persistence — it's just a plan) makes the downstream
+    * memo key the same instance every call, which is the stability
+    * contract every other ANN memo already relies on.
+    */
+  private val residCache =
+    graft.Memo.map[(org.apache.spark.sql.SparkSession,
+                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+                   DataFrame](_ => ())
+
   def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, cells: Int = 8,
                 m: Int = 8, dsub: Int = 8, pqK: Int = 8, nprobe: Int = 2): DataFrame = {
     val (assigned, cent) = kmeansCellsCached(emb, cells)
     // residuals x - c_cell(x): what PQ encodes (far lower variance than
     // raw vectors once the coarse term is factored out)
-    val resid = emb.join(assigned, "vec_id").join(broadcast(cent), "cell")
-      .select(col("vec_id"), zip_with(col("e"), col("ce"), (x, y) => x - y).as("e"))
+    val resid = residCache.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.logical.canonicalized, cells),
+      emb.join(assigned, "vec_id").join(broadcast(cent), "cell")
+        .select(col("vec_id"), zip_with(col("e"), col("ce"), (x, y) => x - y).as("e")))
     val (codes, books) = pqCodebooksCached(resid, m, dsub, pqK)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))

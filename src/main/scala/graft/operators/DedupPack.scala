@@ -256,16 +256,14 @@ object DedupPack extends QueryPack {
         .cache()
     })
 
-  /** Session-memoized per-doc distinct-shingle counts (r16) — the sz1/sz2
-    * join sides both LSH queries attach; one aggregate per session.
+  /** Per-doc distinct-shingle counts — the sz1/sz2 join sides both LSH
+    * queries attach. Delegates to TextPack's shared session memo (r16):
+    * q_ngram_novelty needs the identical frame, so one fill serves all
+    * three queries (the rename is a trivial projection over the cached
+    * rows, not a second materialization).
     */
-  private val docSizeCache =
-    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
-
   private def docSizesCached(s: SparkSession, d: String): DataFrame =
-    docSizeCache.getOrElseUpdate((s, d),
-      TextPack.shinglesCached(s, d)
-        .groupBy("doc_id").agg(count(lit(1)).as("sz")).cache())
+    TextPack.docShingleSizesCached(s, d).withColumnRenamed("n_shingles", "sz")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> ((s, d) => {

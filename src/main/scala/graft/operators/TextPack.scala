@@ -87,6 +87,36 @@ object TextPack extends QueryPack {
       posShinglesCached(s, d).filter(col("shingle").isNotNull)
         .select("doc_id", "shingle").distinct().cache())
 
+  /** Session-memoized per-doc distinct-3-gram counts (r16) — the
+    * denominator frame of q_ngram_novelty and the sz1/sz2 sides of
+    * DedupPack's LSH verification: three queries aggregated the same
+    * cached shingle table per call (~6 s taskTime each warm at sf0.1);
+    * one dimension-scale fill (one row per doc) serves them all.
+    */
+  private val docShingleSizeCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
+
+  def docShingleSizesCached(s: SparkSession, d: String): DataFrame =
+    docShingleSizeCache.getOrElseUpdate((s, d),
+      shinglesCached(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles")).cache())
+
+  /** Session-memoized first-occurrence novelty counts (r16): for each
+    * doc, how many of the corpus's distinct 3-grams first appear (lowest
+    * doc_id) in it — q_ngram_novelty's numerator. The groupBy(shingle)
+    * min pass over the corpus-scale shingle table (the heaviest stage of
+    * that query: ~7 s taskTime warm at sf0.1) runs once per session; the
+    * frame is dimension-scale (≤ one row per doc).
+    */
+  private val novelCountCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
+
+  private def novelCountsCached(s: SparkSession, d: String): DataFrame =
+    novelCountCache.getOrElseUpdate((s, d),
+      shinglesCached(s, d).groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel")).cache())
+
   /** Session-memoized per-(doc, token) term-frequency frame — the
     * bag-of-words table (doc_id, tok, tf) behind TF-IDF: document
     * frequency, corpus vocabulary and doc totals are all exact-integer
@@ -326,11 +356,12 @@ object TextPack extends QueryPack {
       // hot shingle carrying 10% of corpus mass collapses map-side
       // instead of landing one join task with 10% of all postings; the
       // only join left is doc-keyed (uniform by construction).
-      val sh = shinglesCached(s, d)
-      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val novel = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-        .groupBy(col("first_doc").as("doc_id"))
-        .agg(count(lit(1)).as("n_novel"))
+      // both aggregates ride session memos (r16) — identical frames to
+      // the per-call groupBys they replace; per run this query is one
+      // doc-keyed join of two dimension-scale cached frames + the
+      // novelty division
+      val perDoc = docShingleSizesCached(s, d)
+      val novel = novelCountsCached(s, d)
       perDoc.join(novel, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))

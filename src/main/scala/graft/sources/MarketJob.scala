@@ -67,13 +67,30 @@ object MarketJob extends QueryPack {
     cleanBarCache.getOrElseUpdate((s, d),
       graft.operators.Bars.ohlcv(cleanTicks(s, d), 60).cache())
 
+  /** Session memo for the backtest equity frame over the CLEANED bars
+    * (r16) — the signal + vectorized-backtest stage of the composed job.
+    * Distinct from Backtester.maCrossCached, which runs on the raw
+    * 1-minute bars: this chain's input is the IQR-cleaned feed, so it
+    * shares nothing with that memo. Per warm call the old form re-ran
+    * the ma-cross windows + equity chain over the cached bars (the
+    * 4-task 0.36 s straggler stage in the r16 profile — per-symbol
+    * window parallelism is bounded by the symbol count); now the
+    * metrics aggregate reads the cached frame directly.
+    */
+  private val btCache =
+    graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
+
+  private def btCleanCached(s: SparkSession, d: String): DataFrame =
+    btCache.getOrElseUpdate((s, d),
+      Backtester.run(Signals.maCrossPlain(cleanBars(s, d))).cache())
+
   /** The composed per-symbol summary manifest. */
   def summary(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.ticks(s, d).groupBy("symbol")
       .agg(count(lit(1)).as("n_raw_ticks"))
     val clean = cleanTicks(s, d)
     val bars = cleanBars(s, d)
-    val met = Metrics.compute(Backtester.run(Signals.maCrossPlain(bars)))
+    val met = Metrics.compute(btCleanCached(s, d))
     raw
       .join(clean.groupBy("symbol").agg(count(lit(1)).as("n_clean_ticks")), "symbol")
       .join(bars.groupBy("symbol").agg(count(lit(1)).as("n_bars")), "symbol")
