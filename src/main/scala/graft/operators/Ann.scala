@@ -62,15 +62,19 @@ object Ann {
     // materialization barriers: assignments/centroids are tiny (n rows /
     // k rows) but feed multiple consumers — without them each downstream
     // reference re-executes the whole upstream k-means chain.
-    // localCheckpoint, not cache (r16): a cached frame keeps its full
+    // localCheckpoint + cache (r16): a bare cache keeps the full
     // two-round k-means LINEAGE in the logical plan, so every consumer
     // query re-analyzes that subtree per call — the ANN family's 0.2-0.7 s
-    // per-call driver gap in the r16 profile. The checkpoint truncates
-    // the plan to the materialized rows (values identical — the k-means
-    // is deterministic and snapped); Memo.release unpersists the
-    // checkpointed RDDs on eviction.
-    val a2 = assign(emb, c1).localCheckpoint()
-    val c2 = centroids(emb, a2).localCheckpoint()
+    // per-call driver gap in the r16 profile (the IVF-PQ explain was
+    // 27.5k lines). The checkpoint truncates the plan to the
+    // materialized rows (values identical — the k-means is deterministic
+    // and snapped); the cache ON TOP restores accurate size statistics,
+    // which a bare LogicalRDD lacks (default sizeInBytes = huge), so the
+    // emb⋈assigned joins keep auto-broadcasting the tiny side instead of
+    // falling back to sort-merge (measured +0.7 s on q_ann_recall_audit
+    // with checkpoint alone). Memo.release unpersists both layers.
+    val a2 = assign(emb, c1).localCheckpoint().cache()
+    val c2 = centroids(emb, a2).localCheckpoint().cache()
     (a2, c2)
   }
 
@@ -436,14 +440,14 @@ object Ann {
       .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
     val a1 = pqAssign(sv, seeds)
     val c1 = pqCentroids(sv, a1)
-    // materialization barriers, same rationale (and same r16
-    // localCheckpoint lineage-truncation move) as kmeansCells: codes
-    // feed both the round-2 centroid build and ADC scoring, and for
-    // IVF-PQ the codes' lineage otherwise stacks residual joins on top
-    // of the full coarse k-means plan — the worst per-call analysis cost
-    // in the ANN family
-    val a2 = pqAssign(sv, c1).localCheckpoint()
-    val c2 = pqCentroids(sv, a2).localCheckpoint()
+    // materialization barriers, same rationale (and the same r16
+    // localCheckpoint-under-cache lineage truncation) as kmeansCells:
+    // codes feed both the round-2 centroid build and ADC scoring, and
+    // for IVF-PQ the codes' lineage otherwise stacks residual joins on
+    // top of the full coarse k-means plan — the worst per-call analysis
+    // cost in the ANN family
+    val a2 = pqAssign(sv, c1).localCheckpoint().cache()
+    val c2 = pqCentroids(sv, a2).localCheckpoint().cache()
     (a2, c2)
   }
 

@@ -163,9 +163,14 @@ object DedupPack extends QueryPack {
     val sigBands = classes.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("key", expr("(simhash >> (band * 14)) & 16383"))
     // the BucketCap contract counts DOCS per (band, key) — sum of class
-    // sizes, no doc-level explode needed
-    val bsz = sigBands.groupBy("band", "key").agg(sum("csz").as("bsz"))
-    val sb = sigBands.join(bsz, Seq("band", "key")).filter(col("bsz") <= BucketCap)
+    // sizes, no doc-level explode needed. Whole-partition window, not
+    // groupBy + join-back (r16): the same per-(band, key) sum lands on
+    // every row in ONE exchange instead of two (aggregate + re-join),
+    // and the sigBands subtree plans once — identical bsz values, one
+    // less shuffle in a chain whose warm cost is stage constants.
+    val wBK = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val sb = sigBands.withColumn("bsz", sum("csz").over(wBK))
+      .filter(col("bsz") <= BucketCap)
     val ca = sb.select(col("simhash").as("simhash1"), col("band"), col("key"))
     val cb = sb.select(col("simhash").as("simhash2"), col("band"), col("key"))
     // DIRECTED class pairs incl. the self pair: an unordered doc pair
