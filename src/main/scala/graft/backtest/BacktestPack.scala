@@ -37,7 +37,7 @@ object BacktestPack extends QueryPack {
           floor(log(lit(1.0) + greatest(col("port_net"), lit(-0.9999))) * 1e8 + lit(0.5))
             .cast(dec38))
         .withColumn("chunk", expr("bucket_ms div 86400000"))
-        .cache()
+        .transform(graft.Memo.pin)
     })
 
 
@@ -104,7 +104,7 @@ object BacktestPack extends QueryPack {
         prod("syy", yq, yq, by)
       melted.groupBy("symbol", "iv", "feature")
         .agg(momAggs.head, momAggs.tail: _*)
-        .cache()
+        .transform(graft.Memo.pin)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

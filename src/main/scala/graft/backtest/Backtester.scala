@@ -61,7 +61,7 @@ object Backtester {
     // on catalog-statistics state (the adaptive route can flip to the
     // chunked prefix sums, which differ on exact comparison ties)
     maCrossCache.getOrElseUpdate((s, d),
-      run(Signals.maCrossPlain(graft.operators.Bars.ohlcvCached(s, d, 60))).cache())
+      graft.Memo.pin(run(Signals.maCrossPlain(graft.operators.Bars.ohlcvCached(s, d, 60)))))
 
   /** Input: bars with `signal`; output adds position/returns/costs/
     * net_returns/log_equity. `returns`/`net_returns` are pure IEEE

@@ -28,7 +28,7 @@ object ExtrasPack extends QueryPack {
 
   private def allThreeCached(s: SparkSession, d: String): DataFrame =
     allThreeCache.getOrElseUpdate((s, d),
-      Signals.allThreePlain(bars1m(s, d)).cache())
+      graft.Memo.pin(Signals.allThreePlain(bars1m(s, d))))
 
   /** Strategy suffixes of the wide three-strategy frame. */
   private val StratSfx =

@@ -26,7 +26,7 @@ object MlFeatures {
 
   def cached(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((s, d),
-      compute(graft.operators.Bars.ohlcvCached(s, d, 60)).cache())
+      graft.Memo.pin(compute(graft.operators.Bars.ohlcvCached(s, d, 60))))
 
   def compute(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("bucket_ms")

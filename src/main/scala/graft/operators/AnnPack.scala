@@ -72,7 +72,7 @@ object AnnPack extends QueryPack {
 
   private[operators] def bruteTopCached(s: SparkSession, d: String): DataFrame =
     bruteTopCache.getOrElseUpdate((s, d),
-      Ann.bruteTopK(embCached(s, d), nQueries = 10, k = 10).cache())
+      graft.Memo.pin(Ann.bruteTopK(embCached(s, d), nQueries = 10, k = 10)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine_topk" -> ((s, d) => bruteTopCached(s, d)),
@@ -282,7 +282,7 @@ object AnnPack extends QueryPack {
       // DedupPack's simhashCached).
       val ph = phashCache.getOrElseUpdate((s, d),
         Multimodal.perceptualHash(Tables.documents(s, d))
-          .withColumnRenamed("phash", "simhash").cache())
+          .withColumnRenamed("phash", "simhash").transform(graft.Memo.pin))
       DedupPack.simhashPairs(ph, emitBound = 56L)
         .select(col("doc1"), col("doc2"),
           col("simhash1").as("phash1"), col("simhash2").as("phash2"),

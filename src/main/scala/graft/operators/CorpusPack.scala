@@ -61,7 +61,7 @@ object CorpusPack extends QueryPack {
 
   private def shingles5Cached(s: SparkSession, d: String): DataFrame =
     shingle5Cache.getOrElseUpdate((s, d),
-      shingles5(Tables.documents(s, d)).cache())
+      graft.Memo.pin(shingles5(Tables.documents(s, d))))
 
   /** Session-memoized eval-contamination hit pairs (r16): one
     * corpus⋈eval shingle join per session — (corpus doc_id, eval_doc,
@@ -88,7 +88,7 @@ object CorpusPack extends QueryPack {
         .select("doc_id", "shingle")
         .join(ev, "shingle")
         .select("doc_id", "eval_doc", "shingle")
-        .cache()
+        .transform(graft.Memo.pin)
     })
 
   /** Session-memoized per-doc 5-gram counts split by side (r16): the
@@ -107,7 +107,7 @@ object CorpusPack extends QueryPack {
                  else col("source") =!= EvalSource
       shingles5Cached(s, d).filter(side)
         .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-        .cache()
+        .transform(graft.Memo.pin)
     })
 
   /** Combined per-(src1, src2) shared-shingle counts AND per-source
@@ -137,7 +137,7 @@ object CorpusPack extends QueryPack {
         .select(col("p.src1"), col("p.src2"))
         .groupBy("src1", "src2")
         .agg(count(lit(1)).as("n"))
-        .cache()
+        .transform(graft.Memo.pin)
       r.count() // materialize so every consumer reads the tiny cached frame
       r
     })

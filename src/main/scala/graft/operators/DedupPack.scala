@@ -109,7 +109,7 @@ object DedupPack extends QueryPack {
     graft.Memo.map[(SparkSession, String), DataFrame](graft.Memo.release)
 
   private def simhashCached(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrElseUpdate((s, d), simhash(Tables.documents(s, d)).cache())
+    simhashCache.getOrElseUpdate((s, d), graft.Memo.pin(simhash(Tables.documents(s, d))))
 
   /** Output-stage partner cap for the simhash band join: each doc emits
     * at most this many pairs per (band, key) bucket, partners taken in
@@ -235,11 +235,11 @@ object DedupPack extends QueryPack {
 
   private def sigsCached(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d),
-      minhashFromShingles(TextPack.shinglesCached(s, d)).cache())
+      graft.Memo.pin(minhashFromShingles(TextPack.shinglesCached(s, d))))
 
   private def candsCached(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
-      lshCandidates(bandSignatures(sigsCached(s, d))).cache())
+      graft.Memo.pin(lshCandidates(bandSignatures(sigsCached(s, d)))))
 
   /** Session-memoized exact shingle-intersection counts for the LSH
     * candidate pairs (r16): q_dedup_minhash_lsh and q_minhash_calibration

@@ -243,7 +243,7 @@ object Micro {
   def signedTicksCached(s: SparkSession, d: String,
                         chunkNs: Long = ChunkNs): DataFrame =
     signedCache.getOrElseUpdate((s, d, chunkNs),
-      signedTicks(s, d, chunkNs).cache())
+      graft.Memo.pin(signedTicks(s, d, chunkNs)))
 
   def tickRuleFlow(s: SparkSession, d: String, chunkNs: Long = ChunkNs): DataFrame =
     signedTicksCached(s, d, chunkNs)

@@ -84,7 +84,7 @@ object RetrievalPack extends QueryPack {
                 (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))) *
               lit(1e6) + 0.5).cast("long"))
         .select("doc_id", "tok", "tf", "dl", "df", "u")
-        .cache()
+        .transform(graft.Memo.pin)
       // materialize NOW (the overlapAgg/candScores Memo pattern): without
       // this the full scoring build lands inside whichever consumer query
       // runs first and skews its timing (r10 ADVICE)
@@ -142,7 +142,7 @@ object RetrievalPack extends QueryPack {
       val dirs = e.select(col("v1").as("vec_id"), col("v2").as("nbr"), col("cosine"))
         .unionByName(e.select(col("v2").as("vec_id"), col("v1").as("nbr"), col("cosine")))
       val r = twoLevelRank(dirs, Seq("vec_id"), k = 3, score = "cosine", id = "nbr")
-        .cache()
+        .transform(graft.Memo.pin)
       r.count()
       r
     })
@@ -243,7 +243,7 @@ object RetrievalPack extends QueryPack {
       twoLevelRank(lexScored, Seq("q_id"), k = 10,
         score = "score_u", id = "doc_id")
         .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-        .cache()
+        .transform(graft.Memo.pin)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -84,8 +84,8 @@ object TextPack extends QueryPack {
 
   def shinglesCached(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
-      posShinglesCached(s, d).filter(col("shingle").isNotNull)
-        .select("doc_id", "shingle").distinct().cache())
+      graft.Memo.pin(posShinglesCached(s, d).filter(col("shingle").isNotNull)
+        .select("doc_id", "shingle").distinct()))
 
   /** Session-memoized per-doc distinct-3-gram counts (r16) — the
     * denominator frame of q_ngram_novelty and the sz1/sz2 sides of
@@ -98,8 +98,8 @@ object TextPack extends QueryPack {
 
   def docShingleSizesCached(s: SparkSession, d: String): DataFrame =
     docShingleSizeCache.getOrElseUpdate((s, d),
-      shinglesCached(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles")).cache())
+      graft.Memo.pin(shinglesCached(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"))))
 
   /** Session-memoized first-occurrence novelty counts (r16): for each
     * doc, how many of the corpus's distinct 3-grams first appear (lowest
@@ -113,9 +113,9 @@ object TextPack extends QueryPack {
 
   private def novelCountsCached(s: SparkSession, d: String): DataFrame =
     novelCountCache.getOrElseUpdate((s, d),
-      shinglesCached(s, d).groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      graft.Memo.pin(shinglesCached(s, d).groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
         .groupBy(col("first_doc").as("doc_id"))
-        .agg(count(lit(1)).as("n_novel")).cache())
+        .agg(count(lit(1)).as("n_novel"))))
 
   /** Session-memoized per-(doc, token) term-frequency frame — the
     * bag-of-words table (doc_id, tok, tf) behind TF-IDF: document

@@ -65,7 +65,7 @@ object MarketJob extends QueryPack {
 
   def cleanBars(s: SparkSession, d: String): DataFrame =
     cleanBarCache.getOrElseUpdate((s, d),
-      graft.operators.Bars.ohlcv(cleanTicks(s, d), 60).cache())
+      graft.Memo.pin(graft.operators.Bars.ohlcv(cleanTicks(s, d), 60)))
 
   /** Session memo for the backtest equity frame over the CLEANED bars
     * (r16) — the signal + vectorized-backtest stage of the composed job.
@@ -82,7 +82,7 @@ object MarketJob extends QueryPack {
 
   private def btCleanCached(s: SparkSession, d: String): DataFrame =
     btCache.getOrElseUpdate((s, d),
-      Backtester.run(Signals.maCrossPlain(cleanBars(s, d))).cache())
+      graft.Memo.pin(Backtester.run(Signals.maCrossPlain(cleanBars(s, d)))))
 
   /** The composed per-symbol summary manifest. */
   def summary(s: SparkSession, d: String): DataFrame = {
